@@ -1,0 +1,209 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has no dedup surface; these are the §7-extension operators,
+designed Spark-first for 100 TB:
+
+- ``exact_duplicates``     hash-groupBy on content — one shuffle on a
+                           uniformly distributed md5 key (no skew).
+- MinHash + LSH            shingle → per-doc signature (map-side partial
+                           min-agg) → band → bucket self-join. The join is
+                           on band signatures, whose cardinality ~ number
+                           of documents — no O(n²) pair blow-up; only
+                           within-bucket pairs materialize.
+- ``simhash_fingerprints`` 16-bit SimHash; near-dups collide on the
+                           fingerprint — dedup becomes a groupBy.
+
+Portability note: every hash is derived from ``md5`` hex strings and the
+min-hash order is lexicographic on those strings. MD5 is identical in
+Spark and DuckDB, which makes each operator oracle-checkable bit-for-bit
+(SURVEY §5.1) — a deliberate choice over xxhash64 (Spark-only). At scale
+the md5 cost is dwarfed by the shuffle it feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # high bit of a hex digit
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group identical content, keep the smallest id.
+
+    Returns (text_hash, keeper_id, n_copies). Grouping key is the raw
+    content so the hash never false-positives; Catalyst's partial
+    aggregation keeps the shuffle at one row per distinct text.
+    """
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.md5(F.col(text_col)).alias("text_hash"),
+            "keeper_id",
+            "n_copies",
+        )
+    )
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle).
+
+    Tokens are whitespace-split; documents with fewer than k tokens are
+    dropped (they have no k-shingle). Built entirely from higher-order
+    array functions — no Python in the hot path.
+    """
+    toks = F.split(F.col(text_col), " ")
+    parts = [F.element_at(toks, F.col("i") + j + 1) for j in range(k)]
+    shingled = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= k)
+        .select(
+            id_col,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - k),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(k)]
+                    ),
+                )
+            ).alias("_sh"),
+        )
+        .select(id_col, F.explode("_sh").alias("shingle"))
+    )
+    return shingled
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min(md5(i || ':' || shingle)).
+
+    The min over lexicographic md5-hex order is a valid MinHash (any
+    uniform hash into a totally ordered space works); hex strings keep it
+    engine-portable. Partial min-aggregation runs map-side, so the
+    shuffle carries one row per doc.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_signature).
+
+    Two docs are candidates iff they agree on every hash of some band —
+    the standard LSH S-curve. The join key (band signature) is
+    high-cardinality and uniform, so the shuffle partitions evenly; the
+    cross-product within a bucket is bounded by bucket size, not n.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    bands = None
+    for b in range(num_hashes // band_size):
+        cols = [f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        one = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(c) for c in cols]).alias("sig"),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    Output: (id_a, id_b, jaccard) for pairs with Jaccard >= threshold.
+    The verification join touches only candidate pairs — at scale this is
+    the standard two-phase shape: cheap LSH recall, exact precision pass.
+    """
+    sh = doc_shingles(df, text_col, id_col, k).cache()
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, band_size
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col(f"sa.{id_col}") == F.col("id_a"))
+        .join(
+            sb,
+            (F.col(f"sb.{id_col}") == F.col("id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = (
+        inter.join(na, F.col(f"na.{id_col}") == F.col("id_a"))
+        .join(nb, F.col(f"nb.{id_col}") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("na.n") + F.col("nb.n") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return jac
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """16-bit SimHash over distinct word tokens, as a '0'/'1' string.
+
+    Bit i of a token is the high bit of hex digit i of md5(token); the
+    fingerprint bit is the sign of the +1/-1 vote sum. String encoding
+    (rather than an int) keeps the operator portable to the SQL oracle.
+    Returns (doc_id, simhash). Group equal fingerprints to find near-dups.
+    """
+    assert bits <= 32
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    ).select(id_col, F.md5("w").alias("hx"))
+    votes = [
+        F.when(F.substring("hx", i + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(
+        *[F.sum(v).alias(f"v{i}") for i, v in enumerate(votes)]
+    )
+    bit_chars = [
+        F.when(F.col(f"v{i}") > 0, "1").otherwise("0") for i in range(bits)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))

@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §7.7).
+
+Language-ID, quality scoring, corpus token statistics, and document
+fingerprinting — each a single declarative plan over a text column:
+scan → tokenize (higher-order array fns) → one aggregate. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Real pipelines plug in fastText-style models via mapInPandas (see
+# operators/multimodal.py for the pandas plumbing pattern); the heuristic
+# here is the built-in, fully-distributed baseline.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que"],
+}
+LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tiebreak order
+
+
+def _tokens(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-ratio language ID: score each language as the fraction of
+    tokens in its stopword list; predict the argmax, 'und' (undetermined)
+    when every score is zero.
+
+    Returns (doc_id, <lang>_score..., pred_lang). One narrow projection —
+    no shuffle at all; this runs at scan speed on 100 TB.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks).cast("double")
+    scores = {
+        lang: F.round(
+            F.size(F.filter(toks, lambda t: t.isin(*words))) / n, 6
+        ).alias(f"{lang}_score")
+        for lang, words in STOPWORDS.items()
+    }
+    out = df.select(F.col(id_col), *scores.values())
+    best = F.greatest(*[F.col(f"{lang}_score") for lang in LANG_ORDER])
+    pred = F.when(best <= 0, "und")
+    for lang in LANG_ORDER:  # first max in LANG_ORDER wins ties
+        pred = pred.when(F.col(f"{lang}_score") == best, lang)
+    return out.select(
+        id_col, *[f"{lang}_score" for lang in LANG_ORDER], pred.alias("pred_lang")
+    )
+
+
+def quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality heuristics: token count, distinct ratio, mean
+    token length, alphabetic ratio, stopword ratio, and a keep/flag label.
+
+    Mirrors the usual pre-training quality filters (length bounds,
+    repetition, symbol density). Pure projection — no shuffle.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks).cast("double")
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*all_stop)))
+    n_distinct = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(n_distinct / n, 6).alias("distinct_ratio"),
+        F.round(
+            (F.length(F.col(text_col)) - (n - 1)) / n, 6
+        ).alias("mean_token_len"),
+        F.round(n_alpha / n, 6).alias("alpha_ratio"),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
+        F.when(
+            (F.size(toks) >= 10) & (n_distinct / n >= 0.2), "keep"
+        ).otherwise("flag").alias("label"),
+    )
+
+
+def token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus token statistics per group: documents, total tokens,
+    distinct tokens, mean tokens/doc.
+
+    Two-level aggregate: explode → group. The explode multiplies rows by
+    ~tokens/doc, but partial aggregation collapses them map-side before
+    the single shuffle on the (low-cardinality) group key.
+    """
+    tok = df.select(
+        F.col(group_col), F.col(id_col), F.explode(_tokens(text_col)).alias("w")
+    )
+    return (
+        tok.groupBy(group_col)
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_distinct_tokens"),
+            F.round(F.count(F.lit(1)) / F.countDistinct(id_col), 6).alias(
+                "tokens_per_doc"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum md5 over the document's
+    k-word shingles. Equal fingerprints ⇒ the documents share their
+    lexicographically-smallest shingle hash — a cheap containment signal.
+    Returns (doc_id, fingerprint).
+    """
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(df, text_col, id_col, k)
+    return (
+        sh.groupBy(id_col)
+        .agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    )

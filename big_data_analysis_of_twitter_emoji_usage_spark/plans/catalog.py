@@ -1,0 +1,608 @@
+"""The engine's query catalog: every SURVEY §2 capability and every
+extension operator as a named (Spark builder, DuckDB oracle SQL) pair.
+
+Each builder takes ``(spark, sf_dir)`` and returns a DataFrame over the
+driver's parquet tables (TESTDATA.md); the paired SQL computes the same
+result in DuckDB for the differential-correctness gate. Column names and
+types are aligned on both sides (the driver hashes values under sorted
+column names).
+
+Cross-engine determinism rules used throughout (SURVEY §7.3):
+- regexes restricted to the Java∩RE2 common subset for oracle queries
+  (the verbatim Java-only reference patterns are covered by PySpark-only
+  unit tests in tests/);
+- money aggregates go through DECIMAL (exact, order-independent) and are
+  cast back to DOUBLE — double SUMs are partition-order-dependent and
+  would flap the hash;
+- every hash-ish derivation uses md5 hex strings (identical both
+  engines), with lexicographic MIN as the MinHash order;
+- float outputs are rounded; ranks tie-break on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from big_data_analysis_of_twitter_emoji_usage_spark.core import (
+    load_events,
+    load_table,
+    nanos_to_timestamp,
+    stream_table_path,
+    table_path,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.functions.text import WORD_KEEP, tokenize_words
+from big_data_analysis_of_twitter_emoji_usage_spark.functions.emoji import PORTABLE_EMOJI, extract_emojis
+from big_data_analysis_of_twitter_emoji_usage_spark.plans.queries import (
+    global_token_counts,
+    token_by_dimension,
+    token_counts,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+    exact_duplicates,
+    near_dup_pairs,
+    simhash_fingerprints,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+    cosine_knn_bruteforce,
+    cosine_knn_sign_lsh,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
+    STOPWORDS,
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_batch,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+    run_stream_to_memory,
+    windowed_event_counts,
+)
+
+# DuckDB-side word tokenizer (mirrors functions.text.tokenize_words on the
+# clean fixture text; the Java-only strip class is a no-op there).
+_W = "'^[A-Za-z0-9'']+$'"
+_WORDS_CTE = (
+    "WITH w AS (SELECT doc_id, lang, source, word FROM ("
+    "  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word"
+    "  FROM documents) WHERE regexp_matches(word, {w}))"
+).format(w=_W)
+
+# 3-word shingles per doc (DuckDB side of operators.dedup.doc_shingles).
+_SHINGLES_CTE = (
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),\n"
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+    "))) AS shingle FROM toks WHERE len(t) >= 3)"
+)
+
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + ",\nmh AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+    )
+    + " FROM sh GROUP BY doc_id),\n"
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS sig FROM mh"
+        for b in range(4)
+    )
+    + "),\n"
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+    " FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig"
+    " AND a.doc_id < b.doc_id)"
+)
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+# --------------------------------------------------------------------------
+# Reference-parity queries (the seven questions re-expressed over the
+# fixture tables; FIXTURES.md §B mapping).
+# --------------------------------------------------------------------------
+
+
+def q1_top_words(spark, sf):
+    """q1 'most popular token' (q1:101-113) with the word kernel."""
+    return token_counts(
+        _docs(spark, sf), "text", tokenize_words, pre_rlike=None,
+        out="word", count_alias="cnt",
+    )
+
+
+def q1_rare_words(spark, sf):
+    """q1 option 2: least-popular, ascending sort (q1:149-162)."""
+    return token_counts(
+        _docs(spark, sf), "text", tokenize_words, pre_rlike=None,
+        ascending=True, out="word", count_alias="cnt",
+    )
+
+
+def q1_word_search(spark, sf):
+    """q1 option 3: rlike point-lookup on the token (q1:204, F5)."""
+    return token_counts(
+        _docs(spark, sf), "text", tokenize_words, pre_rlike=None,
+        token_rlike="^s", out="word", count_alias="cnt",
+    )
+
+
+def q1_top_emojis(spark, sf):
+    """The emoji kernel itself against the oracle, on the portable
+    pattern subset (SURVEY §7.3). The fixture corpus is emoji-free, so
+    both engines must return an empty frequency table — the match is on
+    emptiness, schema included; the kernel's value behavior is covered by
+    PySpark-only unit tests over tweet fixtures."""
+    return token_counts(
+        _docs(spark, sf), "text",
+        tokens_fn=lambda c: F.filter(
+            F.split(F.regexp_replace(c, f"[^{PORTABLE_EMOJI[1:-1]} ]", ""), " "),
+            lambda t: t.rlike(PORTABLE_EMOJI),
+        ),
+        pre_rlike=PORTABLE_EMOJI, out="Emoji", count_alias="cnt",
+    )
+
+
+def q3_corpus_counts(spark, sf):
+    """q3 grand totals (q3:104-113/170-176): words, docs, words-per-doc."""
+    toks = _docs(spark, sf).select(
+        "doc_id", F.explode(tokenize_words("text")).alias("word")
+    )
+    return toks.agg(
+        F.count(F.lit(1)).alias("word_count"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.count(F.lit(1)) / F.countDistinct("doc_id"), 6).alias(
+            "words_per_doc"
+        ),
+    )
+
+
+def q4_words_by_source(spark, sf):
+    """q4 shape (token × dimension, q4:108-123): word × source."""
+    return token_by_dimension(
+        _docs(spark, sf), "text", "source", "source",
+        tokens_fn=tokenize_words, pre_rlike=None,
+        out="word", count_alias="cnt",
+    )
+
+
+def q5_words_by_lang(spark, sf):
+    """q5 shape (token × category with named agg, q5:97-112)."""
+    return token_by_dimension(
+        _docs(spark, sf), "text", "lang", "lang",
+        tokens_fn=tokenize_words, pre_rlike=None,
+        out="word", count_alias="cnt",
+    )
+
+
+def q6_words_by_lang_excl(spark, sf):
+    """q6 exclude-one variant (negated contains, q6:216-228)."""
+    return token_by_dimension(
+        _docs(spark, sf), "text", "lang", "lang",
+        tokens_fn=tokenize_words, pre_rlike=None,
+        exclude_contains="e", out="word", count_alias="cnt",
+    )
+
+
+def q6_word_search_by_lang(spark, sf):
+    """q6 one-dimension-value variant (rlike include, q6:160-177)."""
+    return token_by_dimension(
+        _docs(spark, sf), "text", "lang", "lang",
+        tokens_fn=tokenize_words, pre_rlike=None,
+        include_rlike="^e", out="word", count_alias="cnt",
+    )
+
+
+def q7_events_early(spark, sf):
+    """q7 historical-slice shape (q7:62-85): counts over a time range."""
+    ev = load_events(spark, sf)
+    return (
+        ev.filter(F.col("ts") < F.to_timestamp(F.lit("2024-01-15 00:00:00")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+def q7_events_late(spark, sf):
+    """q7's second slice (q7:87-108): the complementary range."""
+    ev = load_events(spark, sf)
+    return (
+        ev.filter(F.col("ts") >= F.to_timestamp(F.lit("2024-01-15 00:00:00")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming (S2/S5/A5): same builders on an unbounded source, driven to a
+# checkable final state. Batch/stream duality is the contract (§2.8).
+# --------------------------------------------------------------------------
+
+
+def q2_stream_top_words(spark, sf):
+    """q2: the q1 plan on a file-source stream, complete mode (q2:96-120),
+    driven with availableNow into a memory sink; result equals q1's."""
+    schema = spark.read.parquet(table_path(sf, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(stream_table_path(sf, "documents"))
+    )
+    counted = token_counts(
+        stream, "text", tokenize_words, pre_rlike=None,
+        out="word", count_alias="cnt",
+    )
+    return run_stream_to_memory(spark, counted, "q2_stream_top_words_sink")
+
+
+def stream_windowed_events(spark, sf):
+    """Watermarked tumbling-day counts (SURVEY §7.6 modernization),
+    complete mode so every window lands in the memory sink."""
+    schema = spark.read.parquet(table_path(sf, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_table_path(sf, "events"))
+        .withColumn("ts", nanos_to_timestamp("ts"))
+    )
+    win = windowed_event_counts(stream).select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+    )
+    return run_stream_to_memory(spark, win, "stream_windowed_events_sink")
+
+
+# --------------------------------------------------------------------------
+# Relational extensions (joins/windows the reference lacks; SURVEY §2.7).
+# --------------------------------------------------------------------------
+
+
+def tpch_q1_pricing(spark, sf):
+    """TPC-H Q1 shape: the canonical multi-agg scan. DECIMAL-exact money
+    sums cast back to double (see module docstring)."""
+    li = load_table(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def join_revenue_by_nation(spark, sf):
+    """3-way join: orders ⋈ customer ⋈ nation (nation broadcast — a
+    25-row dim never deserves a shuffle), revenue per nation."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def window_top_customer_per_nation(spark, sf):
+    """Top-1 spender per nation: join + window row_number (O5's top-k
+    made explicit, per-group)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("n_name", "c_custkey", "spend")
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline extensions (dedup / similarity / text / binary).
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_q(spark, sf):
+    return exact_duplicates(_docs(spark, sf))
+
+
+def dedup_minhash_pairs_q(spark, sf):
+    """MinHash-LSH candidates + exact-Jaccard verification (≥ 0.2)."""
+    return near_dup_pairs(_docs(spark, sf), threshold=0.2)
+
+
+def dedup_simhash_q(spark, sf):
+    return simhash_fingerprints(_docs(spark, sf))
+
+
+def knn_brute_q(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def knn_lsh_q(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_knn_sign_lsh(emb, emb.filter(F.col("vec_id") < 10), k=3, bits=6)
+
+
+def text_langid_q(spark, sf):
+    return language_id(_docs(spark, sf))
+
+
+def text_quality_q(spark, sf):
+    return quality_scores(_docs(spark, sf))
+
+
+def text_token_stats_q(spark, sf):
+    return token_stats(_docs(spark, sf))
+
+
+def text_fingerprint_q(spark, sf):
+    return doc_fingerprints(_docs(spark, sf))
+
+
+def multimodal_decode_q(spark, sf):
+    """Binary payload → Arrow-batched mapInPandas decode (stubbed codec,
+    real plumbing). The only Python-side operator in the catalog."""
+    return decode_batch(attach_binary_payload(_docs(spark, sf)))
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect), keyed identically.
+# --------------------------------------------------------------------------
+
+_STOP_IN = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
+_ALL_STOP_IN = ", ".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws)
+
+_LANG_SCORE = ",\n  ".join(
+    "round(sum(CASE WHEN word IN ({lst}) THEN 1 ELSE 0 END) / count(*), 6)"
+    " AS {lang}_score".format(lst=_STOP_IN[lang], lang=lang)
+    for lang in ["en", "de", "es", "fr"]
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_top_words": _WORDS_CTE
+    + " SELECT word, count(*) AS cnt FROM w GROUP BY word"
+    " ORDER BY cnt DESC, word",
+    "q1_rare_words": _WORDS_CTE
+    + " SELECT word, count(*) AS cnt FROM w GROUP BY word"
+    " ORDER BY cnt ASC, word",
+    "q1_word_search": _WORDS_CTE
+    + " SELECT word, count(*) AS cnt FROM w WHERE regexp_matches(word, '^s')"
+    " GROUP BY word ORDER BY cnt DESC, word",
+    "q1_top_emojis": (
+        "SELECT text AS Emoji, count(*) AS cnt FROM documents"
+        " WHERE regexp_matches(text, '{pat}') GROUP BY 1 ORDER BY 2 DESC"
+    ).format(pat=PORTABLE_EMOJI),
+    "q2_stream_top_words": _WORDS_CTE
+    + " SELECT word, count(*) AS cnt FROM w GROUP BY word"
+    " ORDER BY cnt DESC, word",
+    "q3_corpus_counts": _WORDS_CTE
+    + " SELECT count(*) AS word_count, count(DISTINCT doc_id) AS n_docs,"
+    " round(count(*) / count(DISTINCT doc_id), 6) AS words_per_doc FROM w",
+    "q4_words_by_source": _WORDS_CTE
+    + " SELECT source, word, count(*) AS cnt FROM w"
+    " WHERE source IS NOT NULL GROUP BY source, word"
+    " ORDER BY cnt DESC, source, word",
+    "q5_words_by_lang": _WORDS_CTE
+    + " SELECT lang, word, count(*) AS cnt FROM w"
+    " WHERE lang IS NOT NULL GROUP BY lang, word"
+    " ORDER BY cnt DESC, lang, word",
+    "q6_words_by_lang_excl": _WORDS_CTE
+    + " SELECT lang, word, count(*) AS cnt FROM w"
+    " WHERE lang IS NOT NULL AND NOT contains(lang, 'e')"
+    " GROUP BY lang, word ORDER BY cnt DESC, lang, word",
+    "q6_word_search_by_lang": _WORDS_CTE
+    + " SELECT lang, word, count(*) AS cnt FROM w"
+    " WHERE lang IS NOT NULL AND regexp_matches(lang, '^e')"
+    " GROUP BY lang, word ORDER BY cnt DESC, lang, word",
+    "q7_events_early": (
+        "SELECT event_type, count(*) AS cnt FROM events"
+        " WHERE ts < TIMESTAMP '2024-01-15 00:00:00'"
+        " GROUP BY event_type ORDER BY cnt DESC, event_type"
+    ),
+    "q7_events_late": (
+        "SELECT event_type, count(*) AS cnt FROM events"
+        " WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'"
+        " GROUP BY event_type ORDER BY cnt DESC, event_type"
+    ),
+    "stream_windowed_events": (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
+        " event_type, count(*) AS n FROM events GROUP BY 1, 2"
+    ),
+    "tpch_q1_pricing": (
+        "SELECT l_returnflag, l_linestatus,"
+        " (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,"
+        " (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,"
+        " (sum(l_extendedprice::DECIMAL(18,2) * (1.00 - l_discount::DECIMAL(18,2))))::DOUBLE"
+        "   AS sum_disc_price,"
+        " count(*) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+        " GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+    "join_revenue_by_nation": (
+        "SELECT n_name, (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS revenue,"
+        " count(*) AS n_orders"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+    "window_top_customer_per_nation": (
+        "WITH spend AS (SELECT o_custkey,"
+        " (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS spend"
+        " FROM orders GROUP BY o_custkey)"
+        " SELECT n_name, c_custkey, spend FROM ("
+        "  SELECT n_name, c_custkey, spend, row_number() OVER ("
+        "   PARTITION BY n_name ORDER BY spend DESC, c_custkey) AS rk"
+        "  FROM spend JOIN customer ON o_custkey = c_custkey"
+        "  JOIN nation ON c_nationkey = n_nationkey)"
+        " WHERE rk = 1 ORDER BY n_name"
+    ),
+    "dedup_exact": (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,"
+        " count(*) AS n_copies FROM documents GROUP BY text"
+    ),
+    "dedup_minhash_pairs": (
+        "WITH "
+        + _MINHASH_CTE
+        + ",\nsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c"
+        " JOIN sh sa ON sa.doc_id = c.id_a"
+        " JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle"
+        " GROUP BY c.id_a, c.id_b)\n"
+        "SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard"
+        " FROM inter JOIN sizes na ON na.doc_id = id_a"
+        " JOIN sizes nb ON nb.doc_id = id_b"
+        " WHERE i / (na.n + nb.n - i) >= 0.2"
+    ),
+    "dedup_simhash": (
+        "WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))"
+        " AS w FROM documents),"
+        " h AS (SELECT doc_id, md5(w) AS hx FROM tk)"
+        " SELECT doc_id, concat("
+        + ", ".join(
+            "CASE WHEN sum(CASE WHEN substr(hx, {p}, 1) IN"
+            " ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0"
+            " THEN '1' ELSE '0' END".format(p=i + 1)
+            for i in range(16)
+        )
+        + ") AS simhash FROM h GROUP BY doc_id"
+    ),
+    "knn_brute": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),"
+        " scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  list_dot_product(q.v, c.v) /"
+        "  sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos"
+        "  FROM q JOIN e c ON q.vec_id <> c.vec_id)"
+        " SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
+        " WHERE rank <= 5"
+    ),
+    "knn_lsh": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, concat("
+        + ", ".join(
+            f"CASE WHEN embedding[{i+1}] > 0 THEN '1' ELSE '0' END"
+            for i in range(6)
+        )
+        + ") AS bucket FROM embeddings),"
+        " q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < 10),"
+        " scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  list_dot_product(q.v, c.v) /"
+        "  sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos"
+        "  FROM q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)"
+        " SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
+        " WHERE rank <= 3"
+    ),
+    "text_langid": (
+        "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+        " FROM documents), s AS (SELECT doc_id,\n  "
+        + _LANG_SCORE
+        + "\n FROM t GROUP BY doc_id)"
+        " SELECT doc_id, en_score, de_score, es_score, fr_score,"
+        " CASE WHEN greatest(en_score, de_score, es_score, fr_score) <= 0"
+        " THEN 'und'"
+        " WHEN en_score = greatest(en_score, de_score, es_score, fr_score) THEN 'en'"
+        " WHEN de_score = greatest(en_score, de_score, es_score, fr_score) THEN 'de'"
+        " WHEN es_score = greatest(en_score, de_score, es_score, fr_score) THEN 'es'"
+        " ELSE 'fr' END AS pred_lang FROM s"
+    ),
+    "text_quality": (
+        "WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS t"
+        " FROM documents)"
+        " SELECT doc_id, len(t) AS n_tokens,"
+        " round(len(list_distinct(t)) / len(t), 6) AS distinct_ratio,"
+        " round((length(text) - (len(t) - 1)) / len(t), 6) AS mean_token_len,"
+        " round(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$')))"
+        "  / len(t), 6) AS alpha_ratio,"
+        " round(len(list_filter(t, x -> x IN ({stop}))) / len(t), 6)"
+        "  AS stopword_ratio,"
+        " CASE WHEN len(t) >= 10 AND len(list_distinct(t)) / len(t) >= 0.2"
+        " THEN 'keep' ELSE 'flag' END AS label FROM base"
+    ).format(stop=_ALL_STOP_IN),
+    "text_token_stats": (
+        "WITH t AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w"
+        " FROM documents)"
+        " SELECT source, count(DISTINCT doc_id) AS n_docs,"
+        " count(*) AS n_tokens, count(DISTINCT w) AS n_distinct_tokens,"
+        " round(count(*) / count(DISTINCT doc_id), 6) AS tokens_per_doc"
+        " FROM t GROUP BY source ORDER BY source"
+    ),
+    "text_fingerprint": (
+        "WITH " + _SHINGLES_CTE
+        + " SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"
+    ),
+    "multimodal_decode": (
+        "SELECT doc_id, octet_length(encode(text))::INTEGER AS n_bytes,"
+        " md5(text) AS content_hash,"
+        " (1 + ascii(substr(text, 1, 1)) % 64)::INTEGER AS width,"
+        " (1 + ascii(substr(text, length(text), 1)) % 64)::INTEGER AS height,"
+        " CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'RGB' ELSE 'L' END"
+        "  AS mode FROM documents"
+    ),
+}
+
+
+QUERIES = {
+    "q1_top_words": q1_top_words,
+    "q1_rare_words": q1_rare_words,
+    "q1_word_search": q1_word_search,
+    "q1_top_emojis": q1_top_emojis,
+    "q2_stream_top_words": q2_stream_top_words,
+    "q3_corpus_counts": q3_corpus_counts,
+    "q4_words_by_source": q4_words_by_source,
+    "q5_words_by_lang": q5_words_by_lang,
+    "q6_words_by_lang_excl": q6_words_by_lang_excl,
+    "q6_word_search_by_lang": q6_word_search_by_lang,
+    "q7_events_early": q7_events_early,
+    "q7_events_late": q7_events_late,
+    "stream_windowed_events": stream_windowed_events,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "join_revenue_by_nation": join_revenue_by_nation,
+    "window_top_customer_per_nation": window_top_customer_per_nation,
+    "dedup_exact": dedup_exact_q,
+    "dedup_minhash_pairs": dedup_minhash_pairs_q,
+    "dedup_simhash": dedup_simhash_q,
+    "knn_brute": knn_brute_q,
+    "knn_lsh": knn_lsh_q,
+    "text_langid": text_langid_q,
+    "text_quality": text_quality_q,
+    "text_token_stats": text_token_stats_q,
+    "text_fingerprint": text_fingerprint_q,
+    "multimodal_decode": multimodal_decode_q,
+}

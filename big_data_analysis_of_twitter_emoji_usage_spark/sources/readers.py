@@ -1,0 +1,44 @@
+"""Batch and streaming readers (SURVEY §2.1 S1/S2).
+
+The reference reads a growing directory of JSONL files twice: once as a
+batch DataFrame with inferred schema (q1:93) and once as a Structured
+Streaming file source borrowing that schema (q2:96-97). The engine keeps
+both paths but takes a declared schema (schemas.py) — no inference scan —
+and also accepts Parquet, the at-rest format the engine prefers at scale
+(columnar pruning + predicate pushdown, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_tweets(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+) -> DataFrame:
+    """Batch scan of a tweet directory (S1) with a declared schema."""
+    return spark.read.format(fmt).schema(schema).load(path)
+
+
+def stream_tweets(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded micro-batch scan of a growing directory (S2).
+
+    File-source streams require an explicit schema — the reference
+    satisfied this with a prior batch-inference pass (q2:96-97); the
+    engine passes the declared one. ``maxFilesPerTrigger`` bounds
+    per-micro-batch work on a backlogged directory.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)

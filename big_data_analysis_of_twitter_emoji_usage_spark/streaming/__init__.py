@@ -1,0 +1,5 @@
+from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (  # noqa: F401
+    run_stream_to_memory,
+    stream_query,
+    windowed_event_counts,
+)
