@@ -70,9 +70,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def spread(df, min_partitions: int | None = None):
+    """Round-robin repartition a scan that arrived with fewer partitions
+    than the session's parallelism.
+
+    The fixture tables are single-file / single-row-group parquet, so the
+    scan is one task and every downstream map stage serializes onto one
+    core. On a real deployment the input splits into ~file-size /
+    ``maxPartitionBytes`` partitions and this check is false, making the
+    helper a no-op — the repartition only ever fires when the table is
+    smaller than cores × split size, bounding the shuffled volume.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one of the fixture tables (TESTDATA.md) as a DataFrame."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Read one of the fixture tables (TESTDATA.md) as a DataFrame,
+    spread to the session's parallelism (see ``spread``)."""
+    return spread(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def nanos_to_timestamp(col):

@@ -45,18 +45,21 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def doc_shingles(
+def doc_shingle_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle).
+    """Distinct k-word shingles per document as (id, shingles array).
 
     Tokens are whitespace-split; documents with fewer than k tokens are
     dropped (they have no k-shingle). Built entirely from higher-order
-    array functions — no Python in the hot path.
+    array functions — no Python, and crucially NO explode/groupBy: the
+    shingle set stays one array per row, so everything downstream of the
+    scan is map-side until the LSH band join. A document's distinct
+    shingle set is bounded by its token count, so the array comfortably
+    fits in a row even for book-length docs.
     """
     toks = F.split(F.col(text_col), " ")
-    parts = [F.element_at(toks, F.col("i") + j + 1) for j in range(k)]
-    shingled = (
+    return (
         df.select(F.col(id_col), toks.alias("_t"))
         .filter(F.size("_t") >= k)
         .select(
@@ -68,15 +71,22 @@ def doc_shingles(
                         " ", *[F.element_at(F.col("_t"), i + j + 1) for j in range(k)]
                     ),
                 )
-            ).alias("_sh"),
+            ).alias("shingles"),
         )
-        .select(id_col, F.explode("_sh").alias("shingle"))
     )
-    return shingled
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Row-per-shingle view of ``doc_shingle_arrays`` (id, shingle)."""
+    return doc_shingle_arrays(df, text_col, id_col, k).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
 
 
 def minhash_signatures(
-    shingles: DataFrame,
+    shingle_arrays: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
 ) -> DataFrame:
@@ -84,14 +94,21 @@ def minhash_signatures(
 
     The min over lexicographic md5-hex order is a valid MinHash (any
     uniform hash into a totally ordered space works); hex strings keep it
-    engine-portable. Partial min-aggregation runs map-side, so the
-    shuffle carries one row per doc.
+    engine-portable. Input is the array form, so each signature column is
+    ``array_min(transform(...))`` — pure map-side expression work with no
+    shuffle at all (vs. the naive explode → groupBy(min) which shuffles
+    every (doc, shingle, i) row).
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)),
+            )
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return shingle_arrays.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(
@@ -103,20 +120,29 @@ def lsh_candidate_pairs(
     """Band the signatures and self-join on (band, band_signature).
 
     Two docs are candidates iff they agree on every hash of some band —
-    the standard LSH S-curve. The join key (band signature) is
-    high-cardinality and uniform, so the shuffle partitions evenly; the
-    cross-product within a bucket is bounded by bucket size, not n.
-    Returns distinct (id_a, id_b) with id_a < id_b.
+    the standard LSH S-curve. Bands are emitted with a single
+    ``explode`` over a literal array of (band, sig) structs — one
+    generator in one stage, instead of a num_bands-way union that
+    schedules num_bands tiny concurrent stages. The join key (band,
+    sig) is high-cardinality and uniform, so the shuffle partitions
+    evenly; the cross-product within a bucket is bounded by bucket
+    size, not n. Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    bands = None
-    for b in range(num_hashes // band_size):
-        cols = [f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        one = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.concat(*[F.col(c) for c in cols]).alias("sig"),
-        )
-        bands = one if bands is None else bands.unionAll(one)
+    n_bands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -144,41 +170,36 @@ def near_dup_pairs(
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
     Output: (id_a, id_b, jaccard) for pairs with Jaccard >= threshold.
-    The verification join touches only candidate pairs — at scale this is
-    the standard two-phase shape: cheap LSH recall, exact precision pass.
+    Two-phase shape: cheap LSH recall, exact precision pass. The
+    verification joins the candidate pairs back to the per-doc shingle
+    *arrays* (one row per doc) and computes the intersection with
+    ``array_intersect`` — so the whole operator is: one scan, one band
+    shuffle, two hash joins on doc ids. No row-per-shingle shuffle ever
+    happens; at 100 TB the heavy state (shingle sets) moves through the
+    joins exactly twice, already aggregated per doc.
     """
-    sh = doc_shingles(df, text_col, id_col, k).cache()
+    arrays = doc_shingle_arrays(df, text_col, id_col, k).cache()
     cand = lsh_candidate_pairs(
-        minhash_signatures(sh, id_col, num_hashes), id_col, num_hashes, band_size
+        minhash_signatures(arrays, id_col, num_hashes),
+        id_col,
+        num_hashes,
+        band_size,
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col(f"sa.{id_col}") == F.col("id_a"))
-        .join(
-            sb,
-            (F.col(f"sb.{id_col}") == F.col("id_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sa = arrays.select(
+        F.col(id_col).alias("_ia"), F.col("shingles").alias("_sha")
     )
-    na, nb = sizes.alias("na"), sizes.alias("nb")
-    jac = (
-        inter.join(na, F.col(f"na.{id_col}") == F.col("id_a"))
-        .join(nb, F.col(f"nb.{id_col}") == F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter")
-                / (F.col("na.n") + F.col("nb.n") - F.col("inter"))
-            ).alias("jaccard"),
-        )
+    sb = arrays.select(
+        F.col(id_col).alias("_ib"), F.col("shingles").alias("_shb")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return (
+        cand.join(sa, F.col("id_a") == F.col("_ia"))
+        .join(sb, F.col("id_b") == F.col("_ib"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return jac
 
 
 def simhash_fingerprints(

@@ -120,12 +120,15 @@ def doc_fingerprints(
     """Winnowing-style fingerprint: the minimum md5 over the document's
     k-word shingles. Equal fingerprints ⇒ the documents share their
     lexicographically-smallest shingle hash — a cheap containment signal.
-    Returns (doc_id, fingerprint).
+    Returns (doc_id, fingerprint). Computed as ``array_min`` over the
+    per-doc shingle array — a pure projection with no shuffle; the plan
+    is a single scan stage at any data size.
     """
-    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import doc_shingles
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        doc_shingle_arrays,
+    )
 
-    sh = doc_shingles(df, text_col, id_col, k)
-    return (
-        sh.groupBy(id_col)
-        .agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    return doc_shingle_arrays(df, text_col, id_col, k).select(
+        F.col(id_col),
+        F.array_min(F.transform("shingles", F.md5)).alias("fingerprint"),
     )
