@@ -81,6 +81,8 @@ def spread(df, min_partitions: int | None = None):
     helper a no-op — the repartition only ever fires when the table is
     smaller than cores × split size, bounding the shuffled volume.
     """
+    if df.isStreaming:  # partition counts are undefined pre-execution
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

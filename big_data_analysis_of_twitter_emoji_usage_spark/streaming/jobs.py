@@ -48,6 +48,7 @@ def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
     output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a streaming plan over everything currently in its source and
     return the final result as a batch DataFrame (memory sink).
@@ -55,14 +56,28 @@ def run_stream_to_memory(
     This is the engine's batch/stream equivalence harness: for any
     builder B, ``run_stream_to_memory(spark, B(stream_src), n)`` must
     equal ``B(batch_src)`` — the reference's central design property.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    plan compiled at ``start()`` (a streaming aggregation's state
+    partitioning is fixed at first run and checkpointed). Stateful
+    micro-batches pay a per-partition state-store commit every trigger,
+    so oversized state partitioning costs fixed latency per batch; size
+    it to state volume, not to CPU count. The batch conf is restored
+    after start.
     """
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(query_name)
 
