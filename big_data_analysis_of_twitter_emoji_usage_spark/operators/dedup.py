@@ -46,18 +46,38 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def doc_shingle_arrays(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    unit: str = "word",
 ) -> DataFrame:
-    """Distinct k-word shingles per document as (id, shingles array).
+    """Distinct k-gram shingles per document as (id, shingles array).
 
-    Tokens are whitespace-split; documents with fewer than k tokens are
-    dropped (they have no k-shingle). Built entirely from higher-order
-    array functions — no Python, and crucially NO explode/groupBy: the
-    shingle set stays one array per row, so everything downstream of the
-    scan is map-side until the LSH band join. A document's distinct
-    shingle set is bounded by its token count, so the array comfortably
-    fits in a row even for book-length docs.
+    ``unit='word'``: k-word shingles over whitespace tokens (the MinHash
+    classic); ``unit='char'``: character k-grams (n-gram Jaccard's
+    usual unit). Documents shorter than k units are dropped (no
+    k-shingle). Built entirely from higher-order array functions — no
+    Python, and crucially NO explode/groupBy: the shingle set stays one
+    array per row, so everything downstream of the scan is map-side
+    until the LSH band join. A document's distinct shingle set is
+    bounded by its length, so the array comfortably fits in a row even
+    for book-length docs.
     """
+    if unit == "char":
+        n = F.length(F.col(text_col))
+        return (
+            df.filter(n >= k)
+            .select(
+                id_col,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n - k + 1),
+                        lambda i: F.substring(F.col(text_col), i, F.lit(k)),
+                    )
+                ).alias("shingles"),
+            )
+        )
     toks = F.split(F.col(text_col), " ")
     return (
         df.select(F.col(id_col), toks.alias("_t"))
@@ -166,6 +186,7 @@ def near_dup_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.4,
+    unit: str = "word",
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -178,7 +199,7 @@ def near_dup_pairs(
     happens; at 100 TB the heavy state (shingle sets) moves through the
     joins exactly twice, already aggregated per doc.
     """
-    arrays = doc_shingle_arrays(df, text_col, id_col, k).cache()
+    arrays = doc_shingle_arrays(df, text_col, id_col, k, unit).cache()
     cand = lsh_candidate_pairs(
         minhash_signatures(arrays, id_col, num_hashes),
         id_col,

@@ -1,0 +1,107 @@
+"""Relational extension operators the reference lacks (SURVEY §2.7):
+as-of join and sessionization.
+
+The reference correlates dimensions with explode cross-products and has
+zero joins; a complete analytics engine needs the time-series join
+shapes too. Both operators here are one-shuffle designs:
+
+- ``asof_join``: the classic "latest right row at or before the left
+  timestamp" join. Implemented as union → window carry-forward, NOT as a
+  range join: a range-condition join explodes to |left| × |right-in-range|
+  intermediate rows, while the union form shuffles each row exactly once
+  on the join key and resolves the as-of match with a running
+  ``last(..., ignorenulls)`` inside the partition. This is the standard
+  scalable shape for point-in-time joins on Spark.
+- ``sessionize``: native ``F.session_window`` gap sessionization —
+  Spark's built-in session operator (works on batch and, with a
+  watermark, on streams with state cleanup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tolerance: None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` for the same ``key`` (DuckDB/pandas
+    ``ASOF JOIN`` semantics; unmatched left rows keep nulls).
+
+    Right rows are first reduced to one per (key, ts) with ``max_by`` on
+    the first payload column, making the result deterministic under
+    duplicate timestamps. The union sorts right rows before left rows at
+    equal timestamps, so an exact-timestamp match is taken.
+    """
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    r0 = right.groupBy(F.col(key).alias("_k"), F.col(right_ts).alias("_ts")).agg(
+        F.max_by(payload_struct, right_payload[0]).alias("_payload")
+    )
+    left_cols = left.columns
+    lrow_type = left.select(
+        F.struct(*[F.col(c) for c in left_cols]).alias("_lrow")
+    ).schema["_lrow"].dataType
+    r1 = r0.select(
+        "_k",
+        "_ts",
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        "_payload",
+    )
+    l1 = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_lrow"),
+        F.lit(None).cast(r0.schema["_payload"].dataType).alias("_payload"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r1.unionByName(l1).withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col("_lrow")[c].alias(c) for c in left_cols],
+        *[F.col("_match")[c].alias(c) for c in right_payload],
+    )
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization with Spark's native ``session_window``:
+    one session row per (user, maximal event run with inter-event gaps
+    < ``gap``), with the session's span and event count.
+
+    ``session_window`` merges overlapping per-event windows in the
+    aggregation — a single shuffle on the user key. On a stream, add
+    ``withWatermark`` upstream and state is dropped once sessions close.
+    Returns (user, session_start, session_end, n_events) where start/end
+    are the min/max event times (not the padded window end).
+    """
+    return (
+        events.groupBy(
+            F.col(user_col), F.session_window(F.col(ts_col), gap).alias("_w")
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(user_col, "session_start", "session_end", "n_events")
+    )

@@ -96,6 +96,40 @@ def sign_bucket(vec: Column, bits: int = 6) -> Column:
     return F.concat(*chars)
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
+    pairs in the same sign-LSH bucket with cosine >= ``threshold``.
+
+    The dedup variant of similarity search: a *self*-join restricted to
+    LSH buckets, so the pair space is sum(bucket²) instead of n² — the
+    same two-phase recall/precision shape as MinHash dedup, with the
+    bucket join as the only shuffle. Fewer ``bits`` → bigger buckets →
+    higher recall at more compute.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_bucket", sign_bucket(F.col("_v"), bits))
+    a = e.select(
+        F.col("_bucket"), F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = e.select(
+        F.col("_bucket"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, ["_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 def cosine_knn_sign_lsh(
     corpus: DataFrame,
     queries: DataFrame,

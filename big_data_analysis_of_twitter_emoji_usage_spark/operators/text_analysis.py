@@ -114,6 +114,31 @@ def token_stats(
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to the Java∩RE2 regex subset
+# (no lookarounds, no unicode property classes) so the identical pattern
+# runs in Spark and the DuckDB oracle: contractions, space-prefixed
+# letter runs, digit runs, symbol runs.
+BPE_ISH_RE = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting both ways: whitespace tokens and BPE-ish
+    pre-tokenizer matches (``regexp_extract_all``), plus their ratio —
+    the standard "how many LLM tokens is this corpus" estimator.
+    Pure projection; runs at scan speed.
+    """
+    ws = F.size(_tokens(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0))
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe / ws.cast("double"), 6).alias("bpe_per_ws"),
+    )
+
+
 def doc_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

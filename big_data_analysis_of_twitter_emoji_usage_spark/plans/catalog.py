@@ -42,12 +42,19 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
     near_dup_pairs,
     simhash_fingerprints,
 )
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import (
+    asof_join,
+    sessionize,
+)
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
     cosine_knn_bruteforce,
     cosine_knn_sign_lsh,
+    embedding_near_dup_pairs,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
+    BPE_ISH_RE,
     STOPWORDS,
+    bpe_token_stats,
     doc_fingerprints,
     language_id,
     quality_scores,
@@ -79,23 +86,53 @@ _SHINGLES_CTE = (
     "))) AS shingle FROM toks WHERE len(t) >= 3)"
 )
 
-_MINHASH_CTE = (
-    _SHINGLES_CTE
-    + ",\nmh AS (SELECT doc_id, "
-    + ", ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
-    )
-    + " FROM sh GROUP BY doc_id),\n"
-    "bands AS ("
-    + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS sig FROM mh"
-        for b in range(4)
-    )
-    + "),\n"
-    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
-    " FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig"
-    " AND a.doc_id < b.doc_id)"
+# Character 4-grams per doc (dedup.doc_shingle_arrays unit='char').
+_CHAR_SHINGLES_CTE = (
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, length(text) - 2), i -> substr(text, i, 4)"
+    "))) AS shingle FROM documents WHERE length(text) >= 4)"
 )
+
+
+def _minhash_cand_sql(shingles_cte: str) -> str:
+    """mh/bands/cand CTE chain over any ``sh`` shingle CTE (mirrors
+    dedup.minhash_signatures + lsh_candidate_pairs)."""
+    return (
+        shingles_cte
+        + ",\nmh AS (SELECT doc_id, "
+        + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))
+        + " FROM sh GROUP BY doc_id),\n"
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS sig FROM mh"
+            for b in range(4)
+        )
+        + "),\n"
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+        " FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig"
+        " AND a.doc_id < b.doc_id)"
+    )
+
+
+def _near_dup_sql(shingles_cte: str, threshold: float) -> str:
+    """Full LSH-candidates + exact-Jaccard query (mirrors
+    dedup.near_dup_pairs) over any shingle CTE."""
+    return (
+        "WITH "
+        + _minhash_cand_sql(shingles_cte)
+        + ",\nsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c"
+        " JOIN sh sa ON sa.doc_id = c.id_a"
+        " JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle"
+        " GROUP BY c.id_a, c.id_b)\n"
+        "SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard"
+        " FROM inter JOIN sizes na ON na.doc_id = id_a"
+        " JOIN sizes nb ON nb.doc_id = id_b"
+        f" WHERE i / (na.n + nb.n - i) >= {threshold}"
+    )
+
+
+_MINHASH_CTE = _minhash_cand_sql(_SHINGLES_CTE)
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -329,6 +366,95 @@ def window_top_customer_per_nation(spark, sf):
     )
 
 
+def tpch_q3_topk(spark, sf):
+    """TPC-H Q3 shape: 3-way join, selective filters, grouped revenue,
+    explicit top-k. ``orderBy().limit(k)`` plans as TakeOrderedAndProject
+    — per-partition heaps + a k-row driver merge, never a global sort of
+    the aggregate (the scalable form of the reference's implicit
+    show()-top-20, SURVEY §2.6 O5)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cut = F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cut)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cut)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def setop_intersect(spark, sf):
+    """INTERSECT (SURVEY §2.7 extension): customers ordering in both the
+    early and late halves of the order history. Distinct-set semantics;
+    plans as a single shuffle on the key with AQE-sized partitions."""
+    orders = load_table(spark, sf, "orders")
+    cut = F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    early = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.intersect(late).orderBy("o_custkey")
+
+
+def setop_except(spark, sf):
+    """EXCEPT: customers who ordered early but never late (churn set)."""
+    orders = load_table(spark, sf, "orders")
+    cut = F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    early = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    return early.subtract(late).orderBy("o_custkey")
+
+
+def rollup_doc_counts(spark, sf):
+    """ROLLUP (grouping-set aggregate): doc counts at (lang, source),
+    (lang) and grand-total levels in one pass — partial aggregation
+    covers all levels before the single shuffle."""
+    return (
+        _docs(spark, sf)
+        .rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def asof_join_events(spark, sf):
+    """As-of join (point-in-time correlate): each click event picks up
+    the user's most recent purchase at or before it. See
+    operators.relational.asof_join for the one-shuffle union+window
+    design (no range-join blowup)."""
+    ev = load_events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_event_id", "purchase_value"],
+    )
+
+
+def sessionize_events(spark, sf):
+    """Gap sessionization via native session_window (30-min gap)."""
+    return sessionize(load_events(spark, sf), gap="30 minutes")
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline extensions (dedup / similarity / text / binary).
 # --------------------------------------------------------------------------
@@ -345,6 +471,17 @@ def dedup_minhash_pairs_q(spark, sf):
 
 def dedup_simhash_q(spark, sf):
     return simhash_fingerprints(_docs(spark, sf))
+
+
+def dedup_ngram_jaccard_q(spark, sf):
+    """Char-4-gram Jaccard near-dups (the n-gram variant of MinHash)."""
+    return near_dup_pairs(_docs(spark, sf), k=4, threshold=0.5, unit="char")
+
+
+def dedup_embedding_q(spark, sf):
+    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3, bits=4)
 
 
 def knn_brute_q(spark, sf):
@@ -371,6 +508,10 @@ def text_token_stats_q(spark, sf):
 
 def text_fingerprint_q(spark, sf):
     return doc_fingerprints(_docs(spark, sf))
+
+
+def text_bpe_tokens_q(spark, sf):
+    return bpe_token_stats(_docs(spark, sf))
 
 
 def multimodal_decode_q(spark, sf):
@@ -470,6 +611,83 @@ ORACLE_SQL: dict[str, str] = {
         "  JOIN nation ON c_nationkey = n_nationkey)"
         " WHERE rk = 1 ORDER BY n_name"
     ),
+    "tpch_q3_topk": (
+        "SELECT o_orderkey, o_orderdate, o_orderpriority,"
+        " (sum(l_extendedprice::DECIMAL(18,2) * (1.00 - l_discount::DECIMAL(18,2))))::DOUBLE"
+        "  AS revenue"
+        " FROM customer JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON o_orderkey = l_orderkey"
+        " WHERE c_mktsegment = 'BUILDING'"
+        " AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+        " AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'"
+        " GROUP BY o_orderkey, o_orderdate, o_orderpriority"
+        " ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    ),
+    "setop_intersect": (
+        "SELECT o_custkey FROM orders"
+        " WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+        " INTERSECT"
+        " SELECT o_custkey FROM orders"
+        " WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+        " ORDER BY o_custkey"
+    ),
+    "setop_except": (
+        "SELECT o_custkey FROM orders"
+        " WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+        " EXCEPT"
+        " SELECT o_custkey FROM orders"
+        " WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+        " ORDER BY o_custkey"
+    ),
+    "rollup_doc_counts": (
+        "SELECT lang, source, count(*) AS cnt FROM documents"
+        " GROUP BY ROLLUP (lang, source)"
+    ),
+    "asof_join_events": (
+        "WITH clicks AS (SELECT event_id, user_id, ts FROM events"
+        " WHERE event_type = 'click'),"
+        " p AS (SELECT user_id, ts,"
+        "  arg_max(event_id, event_id) AS purchase_event_id,"
+        "  arg_max(round(value, 6), event_id) AS purchase_value"
+        "  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)"
+        " SELECT c.event_id, c.user_id, c.ts, p.purchase_event_id,"
+        " p.purchase_value"
+        " FROM clicks c ASOF LEFT JOIN p"
+        " ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ),
+    "sessionize_events": (
+        "WITH b AS (SELECT user_id, ts,"
+        " CASE WHEN lag(ts) OVER w IS NULL"
+        "  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'"
+        " THEN 1 ELSE 0 END AS brk FROM events"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        " s AS (SELECT user_id, ts, sum(brk) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, brk"
+        "  ROWS UNBOUNDED PRECEDING) AS sid FROM b)"
+        " SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
+        " count(*) AS n_events FROM s GROUP BY user_id, sid"
+    ),
+    "dedup_ngram_jaccard": _near_dup_sql(_CHAR_SHINGLES_CTE, 0.5),
+    "dedup_embedding": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, concat("
+        + ", ".join(
+            f"CASE WHEN embedding[{i+1}] > 0 THEN '1' ELSE '0' END"
+            for i in range(4)
+        )
+        + ") AS bucket FROM embeddings),"
+        " p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        "  list_dot_product(a.v, b.v) /"
+        "  sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos"
+        "  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)"
+        " SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3"
+    ),
+    "text_bpe_tokens": (
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,"
+        " len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens,"
+        " round(len(regexp_extract_all(text, '{pat}'))"
+        "  / len(string_split(text, ' ')), 6) AS bpe_per_ws"
+        " FROM documents"
+    ).format(pat=BPE_ISH_RE.replace("'", "''")),
     "dedup_exact": (
         "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,"
         " count(*) AS n_copies FROM documents GROUP BY text"
@@ -593,16 +811,25 @@ QUERIES = {
     "q7_events_late": q7_events_late,
     "stream_windowed_events": stream_windowed_events,
     "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q3_topk": tpch_q3_topk,
     "join_revenue_by_nation": join_revenue_by_nation,
     "window_top_customer_per_nation": window_top_customer_per_nation,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "rollup_doc_counts": rollup_doc_counts,
+    "asof_join_events": asof_join_events,
+    "sessionize_events": sessionize_events,
     "dedup_exact": dedup_exact_q,
     "dedup_minhash_pairs": dedup_minhash_pairs_q,
     "dedup_simhash": dedup_simhash_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_embedding": dedup_embedding_q,
     "knn_brute": knn_brute_q,
     "knn_lsh": knn_lsh_q,
     "text_langid": text_langid_q,
     "text_quality": text_quality_q,
     "text_token_stats": text_token_stats_q,
     "text_fingerprint": text_fingerprint_q,
+    "text_bpe_tokens": text_bpe_tokens_q,
     "multimodal_decode": multimodal_decode_q,
 }
