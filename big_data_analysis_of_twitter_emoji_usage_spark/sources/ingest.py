@@ -36,8 +36,17 @@ class RollingJsonlWriter:
         self.dirname = dirname
         self.lines_per_file = lines_per_file
         self._buf: list[str] = []
-        self._file_index = 0
         os.makedirs(dirname, exist_ok=True)
+        # Resume numbering after any files already present: the streaming
+        # source tracks processed files BY NAME, so a restarted ingester
+        # that reused names would both clobber data and make the new
+        # files invisible to the stream.
+        existing = [
+            int(n[len("tweetstream-"):-len(".jsonl")])
+            for n in os.listdir(dirname)
+            if n.startswith("tweetstream-") and n.endswith(".jsonl")
+        ]
+        self._file_index = max(existing) + 1 if existing else 0
 
     def write(self, record) -> None:
         line = record if isinstance(record, str) else json.dumps(record)

@@ -1,0 +1,128 @@
+"""Batch/stream duality tests (SURVEY §2.8, §5.3): the same builder run
+on a static read and on a file-source stream over the same ingested
+directory must produce identical final results — the reference's central
+design property (q1:101 vs q2:103: one chain, two sources).
+
+Exercises the full ingest → source → kernel → agg path: S3 (rolling
+JSONL writer with atomic tmp→rename), S1 (batch JSON scan, declared
+schema), S2 (streaming JSON file source), S5 (complete-mode sink —
+memory variant), A5 (streaming agg).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_twitter_emoji_usage_spark.plans.queries import emoji_by_dimension, top_emojis
+from big_data_analysis_of_twitter_emoji_usage_spark.schemas import TWEETS_BASE, TWEETS_MENTIONS
+from big_data_analysis_of_twitter_emoji_usage_spark.sources.ingest import RollingJsonlWriter, replay_as_stream_dir
+from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import read_tweets, stream_tweets
+from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import run_stream_to_memory, stream_query
+from tests.tweet_fixtures import tweets_base, tweets_mentions
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def base_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tweetstream_base"))
+    n = replay_as_stream_dir(tweets_base(600), d, lines_per_file=100)
+    assert n == 600
+    return d
+
+
+def test_ingest_protocol(tmp_path):
+    """S3: fixed-size files, atomic rename, no tmp residue, tail flushed."""
+    d = str(tmp_path / "stream")
+    w = RollingJsonlWriter(d, lines_per_file=50)
+    for r in tweets_base(120):
+        w.write(r)
+    w.roll()
+    names = sorted(os.listdir(d))
+    assert names == [f"tweetstream-{i:06d}.jsonl" for i in range(3)]
+    assert not [n for n in names if n.startswith(".tmp")]
+    counts = [sum(1 for _ in open(os.path.join(d, n))) for n in names]
+    assert counts == [50, 50, 20]
+
+
+def test_batch_stream_equivalence_q1(spark, base_dir):
+    batch = read_tweets(spark, base_dir, TWEETS_BASE)
+    expected = rows(top_emojis(batch))
+
+    stream = stream_tweets(spark, base_dir, TWEETS_BASE)
+    got = rows(
+        run_stream_to_memory(spark, top_emojis(stream), "equiv_q1_sink")
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_batch_stream_equivalence_q4(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tweetstream_mentions"))
+    replay_as_stream_dir(tweets_mentions(600), d, lines_per_file=100)
+
+    batch = read_tweets(spark, d, TWEETS_MENTIONS)
+    expected = rows(emoji_by_dimension(batch, "username"))
+
+    stream = stream_tweets(spark, d, TWEETS_MENTIONS)
+    got = rows(
+        run_stream_to_memory(
+            spark, emoji_by_dimension(stream, "username"), "equiv_q4_sink"
+        )
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_stream_maxfiles_still_converges(spark, base_dir):
+    """S2 with maxFilesPerTrigger=2: several micro-batches, same final
+    complete-mode result as one big batch."""
+    batch = read_tweets(spark, base_dir, TWEETS_BASE)
+    expected = rows(top_emojis(batch))
+    stream = stream_tweets(spark, base_dir, TWEETS_BASE, max_files_per_trigger=2)
+    got = rows(
+        run_stream_to_memory(spark, top_emojis(stream), "equiv_maxfiles_sink")
+    )
+    assert got == expected
+
+
+def test_console_sink_smoke(spark, base_dir):
+    """S5: the reference's console sink shape starts and terminates under
+    availableNow (output goes to stdout; we assert clean lifecycle)."""
+    stream = stream_tweets(spark, base_dir, TWEETS_BASE)
+    q = stream_query(
+        top_emojis(stream),
+        output_mode="complete",
+        fmt="console",
+        query_name="console_smoke",
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+
+
+def test_late_file_picked_up(spark, tmp_path_factory):
+    """Files appearing after the first batch are processed by the next
+    micro-batch — the growing-directory contract the ingester relies on."""
+    d = str(tmp_path_factory.mktemp("tweetstream_growing"))
+    replay_as_stream_dir(tweets_base(200, seed=1), d, lines_per_file=100)
+
+    stream = stream_tweets(spark, d, TWEETS_BASE)
+    agg = top_emojis(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("growing_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = sum(r["Count"] for r in spark.table("growing_sink").collect())
+        # second tranche lands mid-stream via the same atomic protocol
+        replay_as_stream_dir(tweets_base(200, seed=2), d, lines_per_file=100)
+        q.processAllAvailable()
+        second = sum(r["Count"] for r in spark.table("growing_sink").collect())
+    finally:
+        q.stop()
+    assert second > first > 0
