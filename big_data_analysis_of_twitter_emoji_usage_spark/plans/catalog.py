@@ -66,6 +66,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import 
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
     run_stream_to_memory,
+    stateful_sessionize,
     windowed_event_counts,
 )
 
@@ -455,6 +456,29 @@ def sessionize_events(spark, sf):
     return sessionize(load_events(spark, sf), gap="30 minutes")
 
 
+def stream_sessionize_events(spark, sf):
+    """Custom stateful streaming sessionization (applyInPandasWithState).
+
+    Rows-only check (no oracle): per-key mutable state with custom
+    close/emit logic is the one catalog operator the SQL surface can't
+    express — emitted rows are the sessions that *closed* within the
+    stream (the trailing open session per user stays in state). The
+    equivalence against batch ``sessionize`` minus trailing sessions is
+    asserted in tests/test_stateful_streaming.py."""
+    schema = spark.read.parquet(table_path(sf, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_table_path(sf, "events"))
+        .withColumn("ts", nanos_to_timestamp("ts"))
+    )
+    return run_stream_to_memory(
+        spark,
+        stateful_sessionize(stream),
+        "stream_sessionize_sink",
+        output_mode="append",
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline extensions (dedup / similarity / text / binary).
 # --------------------------------------------------------------------------
@@ -819,6 +843,7 @@ QUERIES = {
     "rollup_doc_counts": rollup_doc_counts,
     "asof_join_events": asof_join_events,
     "sessionize_events": sessionize_events,
+    "stream_sessionize_events": stream_sessionize_events,
     "dedup_exact": dedup_exact_q,
     "dedup_minhash_pairs": dedup_minhash_pairs_q,
     "dedup_simhash": dedup_simhash_q,

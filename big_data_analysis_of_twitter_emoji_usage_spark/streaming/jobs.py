@@ -82,6 +82,82 @@ def run_stream_to_memory(
     return spark.table(query_name)
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, end long, n long"
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming sessionization via
+    ``applyInPandasWithState`` — the engine's example of an operator the
+    built-in surface can't express (per-key mutable state with custom
+    close/emit logic; SURVEY §2.8 lists the reference as having none).
+
+    State per user = the open session (start, end, count) as epoch
+    micros. Each micro-batch folds its events in timestamp order into
+    the open session; sessions whose gap closes *within the observed
+    data* are emitted as final rows, the trailing open session stays in
+    state (and is emitted only when a later batch closes it — standard
+    conservative semantics: nothing is emitted that could still change).
+
+    Scale: state is O(users) fixed-size tuples in the state store, one
+    shuffle on the user key per batch; the pandas hook processes one
+    key-group at a time so driver memory is never involved.
+    """
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fold(key, pdfs, state):
+        (user,) = key
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = None, None, 0
+        closed: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            for ts in pdf[ts_col].sort_values():
+                t = int(ts.value) // 1000  # pandas ns -> us
+                if start is None:
+                    start, end, n = t, t, 1
+                elif t - end >= gap_us:
+                    closed.append((start, end, n))
+                    start, end, n = t, t, 1
+                else:
+                    end, n = t, n + 1
+        state.update((start, end, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select(F.col(user_col), F.col(ts_col))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

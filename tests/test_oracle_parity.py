@@ -71,7 +71,12 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
 
 
+# Genuinely non-SQL-expressible ops: custom stateful streaming (per-key
+# mutable state with custom emit logic). Their correctness is asserted
+# against batch equivalents in dedicated tests instead of the oracle.
+ROWS_ONLY_ALLOWED = {"stream_sessionize_events"}
+
+
 def test_every_query_has_oracle_or_reason():
-    # every catalog query is oracle-checked unless explicitly rows-only
     rows_only = set(QUERIES) - set(ORACLE_SQL)
-    assert rows_only == set(), f"rows-only queries: {rows_only}"
+    assert rows_only == ROWS_ONLY_ALLOWED, f"rows-only queries: {rows_only}"

@@ -1,0 +1,67 @@
+"""Custom stateful streaming operator (applyInPandasWithState
+sessionization): emitted sessions must equal batch sessionization minus
+each user's trailing (still-open) session — the conservative-emission
+contract documented on streaming.jobs.stateful_sessionize.
+"""
+
+from pyspark.sql import Window, functions as F
+
+from big_data_analysis_of_twitter_emoji_usage_spark.core import load_events, nanos_to_timestamp, stream_table_path, table_path
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import sessionize
+from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import run_stream_to_memory, stateful_sessionize
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir):
+    batch = sessionize(load_events(spark, sf_dir), gap="30 minutes")
+    w = Window.partitionBy("user_id")
+    expected = (
+        batch.withColumn("_last", F.max("session_start").over(w))
+        .filter(F.col("session_start") != F.col("_last"))
+        .drop("_last")
+    )
+    exp_rows = sorted(map(tuple, expected.collect()))
+
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_table_path(sf_dir, "events"))
+        .withColumn("ts", nanos_to_timestamp("ts"))
+    )
+    got = run_stream_to_memory(
+        spark,
+        stateful_sessionize(stream),
+        "test_stateful_sessions",
+        output_mode="append",
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    assert len(got_rows) > 0
+    assert got_rows == exp_rows
+
+
+def test_stateful_sessionize_multibatch(spark, sf_dir):
+    """State must carry across micro-batches: with the source split into
+    several triggers the closed-session set is identical."""
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    one = run_stream_to_memory(
+        spark,
+        stateful_sessionize(
+            spark.readStream.schema(schema)
+            .parquet(stream_table_path(sf_dir, "events"))
+            .withColumn("ts", nanos_to_timestamp("ts"))
+        ),
+        "test_sessions_onebatch",
+        output_mode="append",
+    )
+    multi_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_table_path(sf_dir, "events"))
+        .withColumn("ts", nanos_to_timestamp("ts"))
+    )
+    multi = run_stream_to_memory(
+        spark,
+        stateful_sessionize(multi_src),
+        "test_sessions_multibatch",
+        output_mode="append",
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, multi.collect()))
