@@ -90,10 +90,16 @@ def spread(df, min_partitions: int | None = None):
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
+def load_table(spark: SparkSession, sf_dir: str, name: str, spread_scan: bool = True):
     """Read one of the fixture tables (TESTDATA.md) as a DataFrame,
-    spread to the session's parallelism (see ``spread``)."""
-    return spread(spark.read.parquet(table_path(sf_dir, name)))
+    spread to the session's parallelism (see ``spread``).
+
+    Pass ``spread_scan=False`` for tables that will be broadcast (small
+    dims): repartitioning a table that is about to be collected into a
+    broadcast relation is a pure-waste Exchange in the plan.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    return spread(df) if spread_scan else df
 
 
 def nanos_to_timestamp(col):

@@ -136,6 +136,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_signature).
 
@@ -147,6 +148,14 @@ def lsh_candidate_pairs(
     sig) is high-cardinality and uniform, so the shuffle partitions
     evenly; the cross-product within a bucket is bounded by bucket
     size, not n. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket`` is the skew guard: buckets larger than it are dropped
+    entirely before the self-join. Degenerate buckets appear whenever
+    the min-hashed feature distribution is heavy-headed (short char
+    n-grams, boilerplate shingles) and contribute O(bucket²) candidate
+    pairs of near-zero information — every production LSH dedup caps or
+    samples them. The filter is one window count over the band shuffle,
+    deterministic, and mirrored by the SQL oracle.
     """
     n_bands = num_hashes // band_size
     band_structs = F.array(
@@ -163,6 +172,15 @@ def lsh_candidate_pairs(
     bands = signatures.select(
         F.col(id_col), F.explode(band_structs).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        bands = (
+            bands.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -187,6 +205,7 @@ def near_dup_pairs(
     band_size: int = 2,
     threshold: float = 0.4,
     unit: str = "word",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -199,12 +218,16 @@ def near_dup_pairs(
     happens; at 100 TB the heavy state (shingle sets) moves through the
     joins exactly twice, already aggregated per doc.
     """
-    arrays = doc_shingle_arrays(df, text_col, id_col, k, unit).cache()
+    # No cache: the shingle projection is map-side work worth recomputing
+    # on each of its three uses — materializing it pins executor memory
+    # for the whole query (and, in a long-lived session, beyond it).
+    arrays = doc_shingle_arrays(df, text_col, id_col, k, unit)
     cand = lsh_candidate_pairs(
         minhash_signatures(arrays, id_col, num_hashes),
         id_col,
         num_hashes,
         band_size,
+        max_bucket,
     )
     sa = arrays.select(
         F.col(id_col).alias("_ia"), F.col("shingles").alias("_sha")

@@ -95,9 +95,19 @@ _CHAR_SHINGLES_CTE = (
 )
 
 
-def _minhash_cand_sql(shingles_cte: str) -> str:
+def _minhash_cand_sql(shingles_cte: str, max_bucket: int | None = None) -> str:
     """mh/bands/cand CTE chain over any ``sh`` shingle CTE (mirrors
-    dedup.minhash_signatures + lsh_candidate_pairs)."""
+    dedup.minhash_signatures + lsh_candidate_pairs, including the
+    optional degenerate-bucket skew guard)."""
+    bands_src = "bands"
+    guard = ""
+    if max_bucket is not None:
+        guard = (
+            ",\nbandsf AS (SELECT doc_id, band, sig FROM ("
+            " SELECT *, count(*) OVER (PARTITION BY band, sig) AS bc"
+            " FROM bands) WHERE bc <= %d)" % max_bucket
+        )
+        bands_src = "bandsf"
     return (
         shingles_cte
         + ",\nmh AS (SELECT doc_id, "
@@ -108,19 +118,22 @@ def _minhash_cand_sql(shingles_cte: str) -> str:
             f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS sig FROM mh"
             for b in range(4)
         )
-        + "),\n"
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
-        " FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig"
+        + ")"
+        + guard
+        + ",\ncand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+        f" FROM {bands_src} a JOIN {bands_src} b ON a.band = b.band AND a.sig = b.sig"
         " AND a.doc_id < b.doc_id)"
     )
 
 
-def _near_dup_sql(shingles_cte: str, threshold: float) -> str:
+def _near_dup_sql(
+    shingles_cte: str, threshold: float, max_bucket: int | None = None
+) -> str:
     """Full LSH-candidates + exact-Jaccard query (mirrors
     dedup.near_dup_pairs) over any shingle CTE."""
     return (
         "WITH "
-        + _minhash_cand_sql(shingles_cte)
+        + _minhash_cand_sql(shingles_cte, max_bucket)
         + ",\nsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
         "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c"
         " JOIN sh sa ON sa.doc_id = c.id_a"
@@ -325,7 +338,7 @@ def join_revenue_by_nation(spark, sf):
     25-row dim never deserves a shuffle), revenue per nation."""
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
-    nation = load_table(spark, sf, "nation")
+    nation = load_table(spark, sf, "nation", spread_scan=False)
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -347,7 +360,7 @@ def window_top_customer_per_nation(spark, sf):
 
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
-    nation = load_table(spark, sf, "nation")
+    nation = load_table(spark, sf, "nation", spread_scan=False)
     spend = (
         orders.groupBy("o_custkey")
         .agg(
@@ -498,8 +511,14 @@ def dedup_simhash_q(spark, sf):
 
 
 def dedup_ngram_jaccard_q(spark, sf):
-    """Char-4-gram Jaccard near-dups (the n-gram variant of MinHash)."""
-    return near_dup_pairs(_docs(spark, sf), k=4, threshold=0.5, unit="char")
+    """Char-4-gram Jaccard near-dups (the n-gram variant of MinHash).
+
+    Short char n-grams are heavy-headed, so the degenerate-bucket skew
+    guard is on (max_bucket=50): without it the band self-join is
+    quadratic in the largest bucket (2.2M candidate pairs at sf0.1)."""
+    return near_dup_pairs(
+        _docs(spark, sf), k=4, threshold=0.5, unit="char", max_bucket=50
+    )
 
 
 def dedup_embedding_q(spark, sf):
@@ -691,7 +710,7 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
         " count(*) AS n_events FROM s GROUP BY user_id, sid"
     ),
-    "dedup_ngram_jaccard": _near_dup_sql(_CHAR_SHINGLES_CTE, 0.5),
+    "dedup_ngram_jaccard": _near_dup_sql(_CHAR_SHINGLES_CTE, 0.5, max_bucket=50),
     "dedup_embedding": (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, concat("
         + ", ".join(

@@ -1,0 +1,60 @@
+"""Analytic sinks (SURVEY §1.3, §4): Parquet at rest, laid out for scale.
+
+The reference's only sink is console show()/complete-mode console
+streaming; its at-rest format is the ingester's JSONL. At 100 TB the
+at-rest layout IS the query plan: date-partitioned Parquet turns time
+slicing (the reference's directory-pointing, q7:64) into dynamic
+partition pruning, and bucketing turns repeated equi-joins/aggs on a
+key into shuffle-free scans. Both are plain public Spark APIs; the
+helpers here just pin the engine's conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write date/dimension-partitioned Parquet. Readers filtering on
+    ``partition_cols`` scan only matching directories (partition
+    pruning — visible as PartitionFilters in the scan node)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def add_date_partition(df: DataFrame, ts_col: str = "ts", out: str = "ds") -> DataFrame:
+    """Derive the engine's standard partition column: yyyy-MM-dd of an
+    event-time column. Low cardinality, monotone with ingest — the
+    layout the reference approximated with per-range directories."""
+    return df.withColumn(out, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed on their join key with the same bucket count
+    join with ZERO Exchange on either side — the shuffle is paid once at
+    write time and amortized over every later join/aggregate. This is
+    the engine's answer to "co-located joins" at 100 TB.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL export — the reference's interchange format (q1:250)."""
+    df.write.mode(mode).json(path)

@@ -9,12 +9,19 @@ from big_data_analysis_of_twitter_emoji_usage_spark.core import get_spark  # noq
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     spark = get_spark(
         app_name="big_data_analysis_of_twitter_emoji_usage_spark-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # static conf: managed-table tests (bucketing) need a
+            # session-scoped scratch warehouse
+            "spark.sql.warehouse.dir": str(
+                tmp_path_factory.mktemp("spark_warehouse")
+            ),
+        },
     )
     yield spark
     spark.stop()

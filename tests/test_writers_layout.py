@@ -1,0 +1,68 @@
+"""At-rest layout tests (SURVEY §4): the writers must actually buy the
+plans they promise — partition pruning for date-partitioned Parquet,
+shuffle-free joins for bucketed tables. Asserted on the physical plan,
+not just on results.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_twitter_emoji_usage_spark.core import load_events
+from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+    add_date_partition,
+    write_bucketed_table,
+    write_jsonl,
+    write_parquet_partitioned,
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    ev = add_date_partition(load_events(spark, sf_dir))
+    out = str(tmp_path / "events_by_day")
+    write_parquet_partitioned(ev, out, ["ds"])
+    # one directory per day, hive-style
+    days = [d for d in os.listdir(out) if d.startswith("ds=")]
+    assert len(days) > 5
+
+    back = spark.read.parquet(out).filter(F.col("ds") == "2024-01-03")
+    plan = back.queryExecution if False else back._jdf.queryExecution().toString()
+    assert "PartitionFilters: [isnotnull(ds" in plan and "ds#" in plan
+    # the pruned read returns exactly that day's rows
+    expected = ev.filter(F.col("ds") == "2024-01-03").count()
+    assert back.count() == expected > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    write_bucketed_table(ev.select("event_id", "user_id", "value"),
+                         "ev_bucketed", "user_id", num_buckets=8)
+    write_bucketed_table(users, "users_bucketed", "user_id", num_buckets=8)
+
+    joined = spark.table("ev_bucketed").join(
+        spark.table("users_bucketed"), "user_id"
+    )
+    # co-located: SortMergeJoin with zero shuffles on either side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert joined.count() == ev.count()
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = str(tmp_path / "export")
+    write_jsonl(ev, out)
+    back = spark.read.json(out)
+    assert back.count() == ev.count()
+    assert set(back.columns) == set(ev.columns)
