@@ -246,6 +246,66 @@ def near_dup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node ends up labeled with the smallest node id reachable from it.
+    This turns near-dup *pairs* into dedup *clusters* (keep min id per
+    cluster, drop the rest) — the step after any pairwise dedup.
+
+    The genuinely iterative operator in the engine (the class of
+    algorithm SQL can't express non-recursively): a driver-coordinated
+    loop of distributed steps. Each iteration is one join + one
+    aggregate on (node, label); ``localCheckpoint`` truncates the plan
+    lineage so iteration N doesn't replan/recompute iterations 0..N-1
+    — without it the DAG doubles per round. Converges in O(diameter)
+    rounds; near-dup graphs have tiny diameters, so the loop exits on
+    the no-change check almost immediately.
+    """
+    sym = edges.select(
+        F.col(src).alias("n"), F.col(dst).alias("m")
+    ).unionAll(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+    labels = (
+        sym.groupBy("n").agg(F.min("m").alias("lbl"))
+        .select("n", F.least("n", "lbl").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        lbl_of_m = labels.select(
+            F.col("n").alias("_mn"), F.col("lbl").alias("_mlbl")
+        )
+        neighbor_min = (
+            sym.join(lbl_of_m, sym["m"] == F.col("_mn"))
+            .groupBy("n")
+            .agg(F.min("_mlbl").alias("_nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "n", "left")
+            .select(
+                "n",
+                F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select("n", F.col("lbl").alias("_new"))
+            .join(labels, "n")
+            .filter(F.col("_new") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

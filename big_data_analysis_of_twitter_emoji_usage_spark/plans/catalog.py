@@ -38,6 +38,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.plans.queries import (
     token_counts,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+    connected_components,
     exact_duplicates,
     near_dup_pairs,
     simhash_fingerprints,
@@ -67,6 +68,8 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import 
 from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
     run_stream_to_memory,
     stateful_sessionize,
+    stream_dedup,
+    stream_stream_interval_join,
     windowed_event_counts,
 )
 
@@ -439,6 +442,49 @@ def rollup_doc_counts(spark, sf):
     )
 
 
+def cube_doc_counts(spark, sf):
+    """CUBE: all four grouping sets of (lang, source) in one pass."""
+    return (
+        _docs(spark, sf)
+        .cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_events_by_day(spark, sf):
+    """PIVOT: per-day event counts spread into one column per event
+    type. The pivot values are declared (not discovered), so the plan is
+    a single conditional aggregate — no extra distinct-scan job and a
+    deterministic schema."""
+    ev = load_events(spark, sf).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    pivoted = ev.groupBy("day").pivot("event_type", EVENT_TYPES).count()
+    return pivoted.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    ).orderBy("day")
+
+
+def event_value_percentiles(spark, sf):
+    """Exact interpolated percentiles of value per event type (p50/p90/
+    p99). Spark's ``percentile`` matches DuckDB's ``quantile_cont``
+    bit-for-bit on doubles given identical inputs."""
+    ev = load_events(spark, sf)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def asof_join_events(spark, sf):
     """As-of join (point-in-time correlate): each click event picks up
     the user's most recent purchase at or before it. See
@@ -467,6 +513,63 @@ def asof_join_events(spark, sf):
 def sessionize_events(spark, sf):
     """Gap sessionization via native session_window (30-min gap)."""
     return sessionize(load_events(spark, sf), gap="30 minutes")
+
+
+def _event_stream(spark, sf):
+    schema = spark.read.parquet(table_path(sf, "events")).schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(stream_table_path(sf, "events"))
+        .withColumn("ts", nanos_to_timestamp("ts"))
+    )
+
+
+def stream_stream_join_events(spark, sf):
+    """Watermarked stream-stream interval join: each click pairs with
+    the same user's purchases in the preceding hour. Driven to
+    completion, the inner join equals the batch range join — which is
+    exactly what the oracle computes."""
+    clicks = _event_stream(spark, sf).filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    purchases = _event_stream(spark, sf).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", within="1 hour", watermark="2 hours"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_event_id",
+        F.col("r_ts").alias("purchase_ts"),
+    )
+    return run_stream_to_memory(
+        spark, joined, "stream_stream_join_sink", output_mode="append"
+    )
+
+
+def stream_dedup_events(spark, sf):
+    """Streaming exact dedup: first occurrence of each (user_id,
+    event_type) wins; final key set equals batch SELECT DISTINCT."""
+    dedup = stream_dedup(
+        _event_stream(spark, sf).select("user_id", "event_type"),
+        ["user_id", "event_type"],
+    )
+    return run_stream_to_memory(
+        spark, dedup, "stream_dedup_sink", output_mode="append"
+    )
+
+
+def dedup_clusters(spark, sf):
+    """Near-dup pairs -> dedup clusters via iterative connected
+    components (min-label propagation)."""
+    pairs = near_dup_pairs(_docs(spark, sf), threshold=0.2)
+    return connected_components(pairs).orderBy("doc_id")
 
 
 def stream_sessionize_events(spark, sf):
@@ -686,6 +789,48 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT lang, source, count(*) AS cnt FROM documents"
         " GROUP BY ROLLUP (lang, source)"
     ),
+    "cube_doc_counts": (
+        "SELECT lang, source, count(*) AS cnt FROM documents"
+        " GROUP BY CUBE (lang, source)"
+    ),
+    "pivot_events_by_day": (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+        + ", ".join(
+            f"count(*) FILTER (event_type = '{t}') AS {t}"
+            for t in EVENT_TYPES
+        )
+        + " FROM events GROUP BY day ORDER BY day"
+    ),
+    "event_value_percentiles": (
+        "SELECT event_type,"
+        " round(quantile_cont(value, 0.5), 6) AS p50,"
+        " round(quantile_cont(value, 0.9), 6) AS p90,"
+        " round(quantile_cont(value, 0.99), 6) AS p99"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "stream_stream_join_events": (
+        "WITH c AS (SELECT event_id, user_id, ts FROM events"
+        " WHERE event_type = 'click'),"
+        " p AS (SELECT event_id AS purchase_event_id, user_id,"
+        " ts AS purchase_ts FROM events WHERE event_type = 'purchase')"
+        " SELECT c.event_id, c.user_id, c.ts, p.purchase_event_id,"
+        " p.purchase_ts FROM c JOIN p ON c.user_id = p.user_id"
+        " AND p.purchase_ts <= c.ts"
+        " AND p.purchase_ts > c.ts - INTERVAL '1 hour'"
+    ),
+    "stream_dedup_events": (
+        "SELECT DISTINCT user_id, event_type FROM events"
+    ),
+    "dedup_clusters": (
+        "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ("
+        + _near_dup_sql(_SHINGLES_CTE, 0.2)
+        + ")), edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs),"
+        " reach AS (SELECT a AS n, b AS m FROM edges"
+        "  UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)"
+        " SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach"
+        " GROUP BY n ORDER BY doc_id"
+    ),
     "asof_join_events": (
         "WITH clicks AS (SELECT event_id, user_id, ts FROM events"
         " WHERE event_type = 'click'),"
@@ -860,9 +1005,15 @@ QUERIES = {
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
     "rollup_doc_counts": rollup_doc_counts,
+    "cube_doc_counts": cube_doc_counts,
+    "pivot_events_by_day": pivot_events_by_day,
+    "event_value_percentiles": event_value_percentiles,
     "asof_join_events": asof_join_events,
     "sessionize_events": sessionize_events,
     "stream_sessionize_events": stream_sessionize_events,
+    "stream_stream_join_events": stream_stream_join_events,
+    "stream_dedup_events": stream_dedup_events,
+    "dedup_clusters": dedup_clusters,
     "dedup_exact": dedup_exact_q,
     "dedup_minhash_pairs": dedup_minhash_pairs_q,
     "dedup_simhash": dedup_simhash_q,

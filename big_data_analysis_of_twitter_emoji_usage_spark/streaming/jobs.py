@@ -158,6 +158,52 @@ def stateful_sessionize(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: left rows pair with right
+    rows of the same key whose timestamp lies in (left_ts - within,
+    left_ts]. The event-time bound + watermarks let Spark drop buffered
+    state once no future match is possible — without them a
+    stream-stream join buffers both streams forever.
+
+    Run to completion (availableNow) the inner join equals the
+    equivalent batch range join, which is how the oracle checks it.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(f"_r_{key}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(
+        r.withColumnRenamed(key, f"_r_{key}"), cond, "inner"
+    ).drop(f"_r_{key}")
+
+
+def stream_dedup(
+    stream: DataFrame,
+    subset: list[str],
+    watermark_col: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each ``subset`` key
+    wins. With a watermark column the per-key state is dropped once the
+    watermark passes (bounded state); without one state grows with key
+    cardinality (the reference's complete-mode tradeoff, documented)."""
+    if watermark_col is not None:
+        stream = stream.withWatermark(watermark_col, watermark)
+        return stream.dropDuplicatesWithinWatermark(subset)
+    return stream.dropDuplicates(subset)
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
