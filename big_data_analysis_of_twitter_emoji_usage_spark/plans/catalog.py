@@ -469,6 +469,45 @@ def pivot_events_by_day(spark, sf):
     ).orderBy("day")
 
 
+def events_json_props(spark, sf):
+    """Semi-structured access: parse the JSON ``props`` string with a
+    declared schema (``from_json`` — typed, codegen'd, no inference
+    scan) and aggregate on the extracted field."""
+    ev = load_events(spark, sf)
+    k = F.from_json("props", "k int").getField("k")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def window_running_value(spark, sf):
+    """Analytic window breadth: per-user running sum of value and the
+    previous event's type (cumsum + lag over one event-time window —
+    a single shuffle on the user key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_events(spark, sf)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.round("value", 6)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            4,
+        ).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
 def event_value_percentiles(spark, sf):
     """Exact interpolated percentiles of value per event type (p50/p90/
     p99). Spark's ``percentile`` matches DuckDB's ``quantile_cont``
@@ -801,6 +840,21 @@ ORACLE_SQL: dict[str, str] = {
         )
         + " FROM events GROUP BY day ORDER BY day"
     ),
+    "events_json_props": (
+        "SELECT event_type, count(*) AS n,"
+        " sum(json_extract_string(props, '$.k')::INT) AS sum_k,"
+        " max(json_extract_string(props, '$.k')::INT) AS max_k"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "window_running_value": (
+        "SELECT user_id, event_id,"
+        " round(sum(round(value, 6)) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id"
+        "  ROWS UNBOUNDED PRECEDING), 4) AS running_value,"
+        " lag(event_type) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id) AS prev_type"
+        " FROM events"
+    ),
     "event_value_percentiles": (
         "SELECT event_type,"
         " round(quantile_cont(value, 0.5), 6) AS p50,"
@@ -1008,6 +1062,8 @@ QUERIES = {
     "cube_doc_counts": cube_doc_counts,
     "pivot_events_by_day": pivot_events_by_day,
     "event_value_percentiles": event_value_percentiles,
+    "events_json_props": events_json_props,
+    "window_running_value": window_running_value,
     "asof_join_events": asof_join_events,
     "sessionize_events": sessionize_events,
     "stream_sessionize_events": stream_sessionize_events,
