@@ -1,18 +1,33 @@
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (  # noqa: F401
-    exact_duplicates,
+    connected_components,
+    doc_shingle_arrays,
     doc_shingles,
-    minhash_signatures,
+    exact_duplicates,
     lsh_candidate_pairs,
+    minhash_signatures,
     near_dup_pairs,
     simhash_fingerprints,
 )
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import (  # noqa: F401
+    attach_binary_payload,
+    binary_metadata,
+    decode_batch,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import (  # noqa: F401
+    asof_join,
+    sessionize,
+)
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (  # noqa: F401
+    cosine,
     cosine_knn_bruteforce,
     cosine_knn_sign_lsh,
+    embedding_near_dup_pairs,
+    sign_bucket,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (  # noqa: F401
+    bpe_token_stats,
+    doc_fingerprints,
     language_id,
     quality_scores,
     token_stats,
-    doc_fingerprints,
 )

@@ -900,7 +900,7 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize_events": (
         "WITH b AS (SELECT user_id, ts,"
         " CASE WHEN lag(ts) OVER w IS NULL"
-        "  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'"
+        "  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'"
         " THEN 1 ELSE 0 END AS brk FROM events"
         " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
         " s AS (SELECT user_id, ts, sum(brk) OVER ("

@@ -127,7 +127,8 @@ def stateful_sessionize(
                 t = int(ts.value) // 1000  # pandas ns -> us
                 if start is None:
                     start, end, n = t, t, 1
-                elif t - end >= gap_us:
+                elif t - end > gap_us:  # strict: session_window merges
+                    # events exactly `gap` apart (window end inclusive)
                     closed.append((start, end, n))
                     start, end, n = t, t, 1
                 else:

@@ -1,0 +1,100 @@
+"""Unit tests for the relational extension operators: as-of join edge
+semantics and sessionization gap boundaries.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import asof_join, sessionize
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def make(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def run_asof(spark, left_rows, right_rows):
+    left = make(spark, left_rows, "k long, lts timestamp, lid long")
+    right = make(spark, right_rows, "k long, rts timestamp, payload string")
+    out = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["payload"],
+    )
+    return {r.lid: r.payload for r in out.collect()}
+
+
+def test_asof_basic_latest_at_or_before(spark):
+    got = run_asof(
+        spark,
+        [(1, ts("2024-01-01T10:00:00"), 1), (1, ts("2024-01-01T12:00:00"), 2)],
+        [(1, ts("2024-01-01T09:00:00"), "a"), (1, ts("2024-01-01T11:00:00"), "b")],
+    )
+    assert got == {1: "a", 2: "b"}
+
+
+def test_asof_exact_timestamp_matches(spark):
+    # equality counts: right row AT the left timestamp is taken
+    got = run_asof(
+        spark,
+        [(1, ts("2024-01-01T10:00:00"), 1)],
+        [(1, ts("2024-01-01T10:00:00"), "exact")],
+    )
+    assert got == {1: "exact"}
+
+
+def test_asof_no_prior_row_yields_null(spark):
+    got = run_asof(
+        spark,
+        [(1, ts("2024-01-01T08:00:00"), 1)],
+        [(1, ts("2024-01-01T09:00:00"), "later")],
+    )
+    assert got == {1: None}
+
+
+def test_asof_key_isolation(spark):
+    got = run_asof(
+        spark,
+        [(1, ts("2024-01-01T10:00:00"), 1), (2, ts("2024-01-01T10:00:00"), 2)],
+        [(1, ts("2024-01-01T09:00:00"), "k1")],
+    )
+    assert got == {1: "k1", 2: None}
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    # two right rows at the same (key, ts): max_by on the first payload
+    # column wins — deterministic across runs/partitionings
+    got = run_asof(
+        spark,
+        [(1, ts("2024-01-01T10:00:00"), 1)],
+        [(1, ts("2024-01-01T09:00:00"), "x"), (1, ts("2024-01-01T09:00:00"), "z"),
+         (1, ts("2024-01-01T09:00:00"), "y")],
+    )
+    assert got == {1: "z"}
+
+
+def test_sessionize_gap_boundary(spark):
+    """session_window's boundary is INCLUSIVE: an event exactly `gap`
+    after the previous one merges into the same session; only a
+    strictly-greater gap starts a new session. (The SQL oracle and the
+    stateful streaming variant mirror this strict-> break.)"""
+    rows = [
+        (1, ts("2024-01-01T10:00:00")),
+        (1, ts("2024-01-01T10:30:00")),   # exactly 30m -> same session
+        (1, ts("2024-01-01T11:00:00.000001")),  # 30m + 1us -> new session
+        (2, ts("2024-01-01T10:00:00")),
+    ]
+    df = make(spark, rows, "user_id long, ts timestamp")
+    out = sessionize(df, gap="30 minutes")
+    got = sorted(
+        (r.user_id, r.session_start.isoformat(), r.n_events)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "2024-01-01T10:00:00", 2),
+        (1, "2024-01-01T11:00:00.000001", 1),
+        (2, "2024-01-01T10:00:00", 1),
+    ]
