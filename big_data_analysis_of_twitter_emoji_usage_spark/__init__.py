@@ -8,14 +8,18 @@ package re-expresses every capability Spark-first on PySpark 4:
 - ``core``              session factory tuned for large-cluster defaults
 - ``schemas``           declared StructType schemas for the six tweet shapes
 - ``functions.emoji``   the emoji-extraction kernel (reference q1:97-113)
-- ``functions.text``    word tokenizer, language-ID, quality, fingerprints
-- ``functions.vectors`` cosine/dot-product column expressions
-- ``sources``           batch/stream readers + the rolling-JSONL ingester
-- ``operators``         dedup (exact/MinHash/SimHash/Jaccard), ANN search,
+- ``functions.text``    the q3 word tokenizer (portable + compat modes)
+- ``sources``           batch/stream readers, rolling-JSONL ingester, and
+                        partitioned/bucketed Parquet writers
+- ``operators``         dedup (exact/MinHash-LSH/SimHash/n-gram/embedding,
+                        connected-component clusters), ANN search (cosine),
+                        as-of join, sessionization, text analysis,
                         multimodal binary-column plumbing
-- ``plans``             the seven reference question builders + relational
-                        extensions (joins/windows the reference lacks)
-- ``streaming``         the same builders on unbounded sources
+- ``plans``             the seven reference question builders + the full
+                        query catalog (44 queries, DuckDB oracles)
+- ``streaming``         the same builders on unbounded sources, plus
+                        watermarked windows, stream-stream joins, streaming
+                        dedup, and applyInPandasWithState sessionization
 """
 
 __version__ = "0.1.0"

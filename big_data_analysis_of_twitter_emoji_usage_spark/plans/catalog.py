@@ -202,6 +202,21 @@ def q1_top_emojis(spark, sf):
     )
 
 
+def word_position_counts(spark, sf):
+    """posexplode coverage (G1 with ordinality): word frequency by token
+    position for the first three positions — e.g. sentence-opener
+    distribution. Same one-shuffle shape as token_counts."""
+    toks = tokenize_words("text")
+    return (
+        _docs(spark, sf)
+        .select(F.posexplode(toks).alias("pos", "word"))
+        .filter(F.col("pos") < 3)
+        .groupBy("pos", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("pos", F.desc("cnt"), "word")
+    )
+
+
 def q3_corpus_counts(spark, sf):
     """q3 grand totals (q3:104-113/170-176): words, docs, words-per-doc."""
     toks = _docs(spark, sf).select(
@@ -732,6 +747,15 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT text AS Emoji, count(*) AS cnt FROM documents"
         " WHERE regexp_matches(text, '{pat}') GROUP BY 1 ORDER BY 2 DESC"
     ).format(pat=PORTABLE_EMOJI),
+    "word_position_counts": (
+        "WITH t AS (SELECT list_filter(string_split(text, ' '),"
+        " w -> regexp_matches(w, {w})) AS wl FROM documents),"
+        " pw AS (SELECT unnest(list_transform(range(1, len(wl) + 1),"
+        "  i -> {{'pos': i - 1, 'word': wl[i]}})) AS s FROM t)"
+        " SELECT s.pos AS pos, s.word AS word, count(*) AS cnt FROM pw"
+        " WHERE s.pos < 3 GROUP BY s.pos, s.word"
+        " ORDER BY pos, cnt DESC, word"
+    ).format(w=_W),
     "q2_stream_top_words": _WORDS_CTE
     + " SELECT word, count(*) AS cnt FROM w GROUP BY word"
     " ORDER BY cnt DESC, word",
@@ -1043,6 +1067,7 @@ QUERIES = {
     "q1_rare_words": q1_rare_words,
     "q1_word_search": q1_word_search,
     "q1_top_emojis": q1_top_emojis,
+    "word_position_counts": word_position_counts,
     "q2_stream_top_words": q2_stream_top_words,
     "q3_corpus_counts": q3_corpus_counts,
     "q4_words_by_source": q4_words_by_source,
