@@ -75,7 +75,7 @@ def cosine_knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            "rank",
+            F.col("rank").cast("long").alias("rank"),
             F.round("_cos", 6).alias("cosine"),
         )
     )
@@ -166,6 +166,9 @@ def cosine_knn_sign_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("_cos", 6).alias("cosine"),
         )
     )

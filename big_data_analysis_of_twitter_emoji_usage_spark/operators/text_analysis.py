@@ -71,7 +71,7 @@ def quality_scores(
     n_distinct = F.size(F.array_distinct(toks))
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.round(n_distinct / n, 6).alias("distinct_ratio"),
         F.round(
             (F.length(F.col(text_col)) - (n - 1)) / n, 6
@@ -133,8 +133,8 @@ def bpe_token_stats(
     bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0))
     return df.select(
         F.col(id_col),
-        ws.alias("n_ws_tokens"),
-        bpe.alias("n_bpe_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
         F.round(bpe / ws.cast("double"), 6).alias("bpe_per_ws"),
     )
 

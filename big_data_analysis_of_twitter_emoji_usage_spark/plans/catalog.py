@@ -211,7 +211,7 @@ def word_position_counts(spark, sf):
         _docs(spark, sf)
         .select(F.posexplode(toks).alias("pos", "word"))
         .filter(F.col("pos") < 3)
-        .groupBy("pos", "word")
+        .groupBy(F.col("pos").cast("long").alias("pos"), F.col("word"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("pos", F.desc("cnt"), "word")
     )
@@ -866,7 +866,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "events_json_props": (
         "SELECT event_type, count(*) AS n,"
-        " sum(json_extract_string(props, '$.k')::INT) AS sum_k,"
+        " sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,"
         " max(json_extract_string(props, '$.k')::INT) AS max_k"
         " FROM events GROUP BY event_type ORDER BY event_type"
     ),
