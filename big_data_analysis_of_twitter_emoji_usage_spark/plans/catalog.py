@@ -217,6 +217,33 @@ def word_position_counts(spark, sf):
     )
 
 
+def q1_emoji_kernel_synth(spark, sf):
+    """The VERBATIM reference emoji kernel (Java char-class bug, surrogate
+    space pattern, metachar filter — functions.emoji.extract_emojis)
+    under a value-bearing differential oracle.
+
+    The fixture corpus is emoji-free, so emoji text is synthesized
+    deterministically from doc_id: two Emoticons-range emoji per doc,
+    wrapped in parens and doubled into an unseparated run so the strip /
+    space-insertion / metachar-filter branches all execute. The oracle
+    reproduces the EXPECTED tokens from the same arithmetic (chr()) with
+    no regex at all — ground truth, not a reimplementation."""
+    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
+    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
+    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    text = F.concat(
+        F.lit("lorem ("), e1, F.lit(") ipsum | "), e2, e2, F.lit(" end")
+    )
+    toks = _docs(spark, sf).select(
+        F.explode(extract_emojis(text)).alias("Emoji")
+    )
+    return (
+        toks.groupBy("Emoji")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "Emoji")
+    )
+
+
 def q3_corpus_counts(spark, sf):
     """q3 grand totals (q3:104-113/170-176): words, docs, words-per-doc."""
     toks = _docs(spark, sf).select(
@@ -747,6 +774,14 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT text AS Emoji, count(*) AS cnt FROM documents"
         " WHERE regexp_matches(text, '{pat}') GROUP BY 1 ORDER BY 2 DESC"
     ).format(pat=PORTABLE_EMOJI),
+    "q1_emoji_kernel_synth": (
+        "WITH e AS (SELECT chr((128512 + doc_id % 80)::INT) AS e1,"
+        " chr((128512 + (doc_id * 7) % 80)::INT) AS e2 FROM documents),"
+        " t AS (SELECT e1 AS Emoji FROM e"
+        " UNION ALL SELECT e2 FROM e UNION ALL SELECT e2 FROM e)"
+        " SELECT Emoji, count(*) AS cnt FROM t GROUP BY Emoji"
+        " ORDER BY cnt DESC, Emoji"
+    ),
     "word_position_counts": (
         "WITH t AS (SELECT list_filter(string_split(text, ' '),"
         " w -> regexp_matches(w, {w})) AS wl FROM documents),"
@@ -1067,6 +1102,7 @@ QUERIES = {
     "q1_rare_words": q1_rare_words,
     "q1_word_search": q1_word_search,
     "q1_top_emojis": q1_top_emojis,
+    "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
     "word_position_counts": word_position_counts,
     "q2_stream_top_words": q2_stream_top_words,
     "q3_corpus_counts": q3_corpus_counts,
