@@ -244,6 +244,30 @@ def q1_emoji_kernel_synth(spark, sf):
     )
 
 
+def q4_emoji_by_user_synth(spark, sf):
+    """The q4 double-explode cross product (G3, q4:116-117) under a
+    value-bearing oracle: synthesized username *arrays* and emoji text,
+    every (mention, emoji) pair per row emitted through the same
+    chained-explode plan the reference uses. The oracle rebuilds the
+    cross product with UNION ALL + a doc_id join — no arrays, no regex."""
+    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
+    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
+    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    users = F.array(
+        F.concat(F.lit("user"), (F.col("doc_id") % 5).cast("string")),
+        F.concat(F.lit("user"), ((F.col("doc_id") + 1) % 5).cast("string")),
+    )
+    prep = _docs(spark, sf).select(
+        F.concat(e1, F.lit(" mid "), e2, e2).alias("text"),
+        users.alias("users"),
+    )
+    return token_by_dimension(
+        prep, "text", "users", "Username",
+        explode_dim=True, tokens_fn=extract_emojis, pre_rlike=None,
+        out="Emoji", count_alias="cnt",
+    )
+
+
 def q3_corpus_counts(spark, sf):
     """q3 grand totals (q3:104-113/170-176): words, docs, words-per-doc."""
     toks = _docs(spark, sf).select(
@@ -782,6 +806,21 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT Emoji, count(*) AS cnt FROM t GROUP BY Emoji"
         " ORDER BY cnt DESC, Emoji"
     ),
+    "q4_emoji_by_user_synth": (
+        "WITH e AS (SELECT doc_id,"
+        " chr((128512 + doc_id % 80)::INT) AS e1,"
+        " chr((128512 + (doc_id * 7) % 80)::INT) AS e2,"
+        " 'user' || (doc_id % 5) AS u1,"
+        " 'user' || ((doc_id + 1) % 5) AS u2 FROM documents),"
+        " t AS (SELECT doc_id, e1 AS em FROM e"
+        "  UNION ALL SELECT doc_id, e2 FROM e"
+        "  UNION ALL SELECT doc_id, e2 FROM e),"
+        " u AS (SELECT doc_id, u1 AS username FROM e"
+        "  UNION ALL SELECT doc_id, u2 FROM e)"
+        " SELECT username AS Username, em AS Emoji, count(*) AS cnt"
+        " FROM t JOIN u USING (doc_id) GROUP BY 1, 2"
+        " ORDER BY cnt DESC, Username, Emoji"
+    ),
     "word_position_counts": (
         "WITH t AS (SELECT list_filter(string_split(text, ' '),"
         " w -> regexp_matches(w, {w})) AS wl FROM documents),"
@@ -1103,6 +1142,7 @@ QUERIES = {
     "q1_word_search": q1_word_search,
     "q1_top_emojis": q1_top_emojis,
     "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
+    "q4_emoji_by_user_synth": q4_emoji_by_user_synth,
     "word_position_counts": word_position_counts,
     "q2_stream_top_words": q2_stream_top_words,
     "q3_corpus_counts": q3_corpus_counts,
