@@ -268,6 +268,27 @@ def q4_emoji_by_user_synth(spark, sf):
     )
 
 
+def q3_ratio_synth(spark, sf):
+    """q3's emoji-per-word ratio (two global aggregates + cross join —
+    the division the reference did on a slide, deck slide 10) with BOTH
+    verbatim kernels on synthesized text whose expected counts are pure
+    doc_id arithmetic: per doc, 2 + (doc_id % 4) word tokens and 3 emoji
+    tokens (one parenthesized, two as an unseparated run)."""
+    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
+    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
+    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    pad = F.repeat(F.lit("pad "), (F.col("doc_id") % 4).cast("int"))
+    text = F.concat(pad, F.lit("alpha ("), e1, F.lit(") beta "), e2, e2)
+    prep = _docs(spark, sf).select(text.alias("text"))
+    emojis = global_token_counts(prep, "text", extract_emojis, "emoji_count")
+    words = global_token_counts(prep, "text", tokenize_words, "word_count")
+    return emojis.crossJoin(words).select(
+        "emoji_count",
+        "word_count",
+        F.round(F.col("emoji_count") / F.col("word_count"), 6).alias("ratio"),
+    )
+
+
 def q3_corpus_counts(spark, sf):
     """q3 grand totals (q3:104-113/170-176): words, docs, words-per-doc."""
     toks = _docs(spark, sf).select(
@@ -806,6 +827,12 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT Emoji, count(*) AS cnt FROM t GROUP BY Emoji"
         " ORDER BY cnt DESC, Emoji"
     ),
+    "q3_ratio_synth": (
+        "WITH c AS (SELECT sum(2 + doc_id % 4)::BIGINT AS word_count,"
+        " (3 * count(*))::BIGINT AS emoji_count FROM documents)"
+        " SELECT emoji_count, word_count,"
+        " round(emoji_count / word_count, 6) AS ratio FROM c"
+    ),
     "q4_emoji_by_user_synth": (
         "WITH e AS (SELECT doc_id,"
         " chr((128512 + doc_id % 80)::INT) AS e1,"
@@ -1142,6 +1169,7 @@ QUERIES = {
     "q1_word_search": q1_word_search,
     "q1_top_emojis": q1_top_emojis,
     "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
+    "q3_ratio_synth": q3_ratio_synth,
     "q4_emoji_by_user_synth": q4_emoji_by_user_synth,
     "word_position_counts": word_position_counts,
     "q2_stream_top_words": q2_stream_top_words,
