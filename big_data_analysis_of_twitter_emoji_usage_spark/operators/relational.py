@@ -1,5 +1,5 @@
 """Relational extension operators the reference lacks (SURVEY §2.7):
-as-of join and sessionization.
+as-of join, range (interval) join, and sessionization.
 
 The reference correlates dimensions with explode cross-products and has
 zero joins; a complete analytics engine needs the time-series join
@@ -76,6 +76,50 @@ def asof_join(
         *[F.col("_match")[c].alias(c) for c in right_payload],
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    window_seconds: int,
+) -> DataFrame:
+    """Interval (range) join: all pairs with equal ``key`` and
+    ``right_ts`` in ``[left_ts - window_seconds, left_ts]`` (both ends
+    inclusive). Returns every left column plus ``right_payload``.
+
+    A naive non-equi join on (key, range) degenerates into a per-key
+    cross product under skew (one hot key joins all its rows against
+    all its rows). Instead the time axis is bucketed at the window
+    width: each right row lands in exactly one bucket, each left row
+    probes its two covering buckets (``explode`` of {b-1, b}), and the
+    join becomes an equi-join on (key, bucket) with the exact range as
+    a residual filter. Per-pair output is emitted exactly once because
+    a right row's bucket is unique. This is the standard scalable range
+    join shape (cf. Spark's range-join hints in Databricks runtime and
+    Flink's interval join), built from open primitives.
+    """
+    width = int(window_seconds)
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / F.lit(width)).cast("long")
+    r2 = right.select(
+        F.col(key).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        F.floor(F.unix_timestamp(F.col(right_ts)) / F.lit(width))
+        .cast("long")
+        .alias("_rb"),
+        *[F.col(c) for c in right_payload],
+    )
+    l2 = left.withColumn("_lb", F.explode(F.array(lb - 1, lb)))
+    cond = (
+        (l2[key] == r2["_rk"])
+        & (l2["_lb"] == r2["_rb"])
+        & (r2["_rts"] <= l2[left_ts])
+        & (r2["_rts"] >= l2[left_ts] - F.expr(f"INTERVAL {width} SECONDS"))
+    )
+    return l2.join(r2, cond, "inner").drop("_lb", "_rk", "_rb", "_rts")
 
 
 def sessionize(

@@ -45,6 +45,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import (
     asof_join,
+    range_join,
     sessionize,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
@@ -636,6 +637,40 @@ def asof_join_events(spark, sf):
     )
 
 
+def range_join_events(spark, sf):
+    """Range (interval) join: for each click, the same user's purchases
+    in the preceding hour (inclusive), aggregated per click. See
+    operators.relational.range_join for the bucketed equi-join design
+    (no per-key cross-product blowup). Money goes through DECIMAL so
+    the sum is order-independent across engines."""
+    ev = load_events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round("value", 6).cast("decimal(18,6)").alias("purchase_value"),
+    )
+    pairs = range_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_value"],
+        window_seconds=3600,
+    )
+    return (
+        pairs.groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("purchase_value").cast("double").alias("sum_purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def sessionize_events(spark, sf):
     """Gap sessionization via native session_window (30-min gap)."""
     return sessionize(load_events(spark, sf), gap="30 minutes")
@@ -1022,6 +1057,16 @@ ORACLE_SQL: dict[str, str] = {
         " FROM clicks c ASOF LEFT JOIN p"
         " ON c.user_id = p.user_id AND c.ts >= p.ts"
     ),
+    "range_join_events": (
+        "SELECT c.event_id, c.user_id, count(*) AS n_purchases,"
+        " (sum(CAST(round(p.value, 6) AS DECIMAL(18,6))))::DOUBLE"
+        "  AS sum_purchase_value"
+        " FROM events c JOIN events p"
+        " ON c.event_type = 'click' AND p.event_type = 'purchase'"
+        " AND c.user_id = p.user_id"
+        " AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL '1 hour'"
+        " GROUP BY c.event_id, c.user_id ORDER BY c.event_id"
+    ),
     "sessionize_events": (
         "WITH b AS (SELECT user_id, ts,"
         " CASE WHEN lag(ts) OVER w IS NULL"
@@ -1194,6 +1239,7 @@ QUERIES = {
     "events_json_props": events_json_props,
     "window_running_value": window_running_value,
     "asof_join_events": asof_join_events,
+    "range_join_events": range_join_events,
     "sessionize_events": sessionize_events,
     "stream_sessionize_events": stream_sessionize_events,
     "stream_stream_join_events": stream_stream_join_events,

@@ -98,3 +98,55 @@ def test_sessionize_gap_boundary(spark):
         (1, "2024-01-01T11:00:00.000001", 1),
         (2, "2024-01-01T10:00:00", 1),
     ]
+
+
+def run_range(spark, left_rows, right_rows, window_seconds=3600):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import range_join
+
+    left = make(spark, left_rows, "k long, lts timestamp, lid long")
+    right = make(spark, right_rows, "k long, rts timestamp, payload string")
+    out = range_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["payload"], window_seconds=window_seconds,
+    )
+    pairs = [(r.lid, r.payload) for r in out.collect()]
+    assert len(pairs) == len(set(pairs)), "pair emitted more than once"
+    return sorted(pairs)
+
+
+def test_range_join_window_bounds_inclusive(spark):
+    # exactly window-seconds before is IN; one second earlier is OUT;
+    # exactly at the left timestamp is IN; after it is OUT
+    got = run_range(
+        spark,
+        [(1, ts("2024-01-01T12:00:00"), 1)],
+        [
+            (1, ts("2024-01-01T11:00:00"), "at-lower"),
+            (1, ts("2024-01-01T10:59:59"), "below"),
+            (1, ts("2024-01-01T12:00:00"), "at-left"),
+            (1, ts("2024-01-01T12:00:01"), "after"),
+        ],
+    )
+    assert got == [(1, "at-left"), (1, "at-lower")]
+
+
+def test_range_join_match_across_bucket_boundary(spark):
+    # left at 12:30 has window [11:30, 12:30] spanning buckets 11 and 12;
+    # a right row in the previous hour-bucket must still match once
+    got = run_range(
+        spark,
+        [(1, ts("2024-01-01T12:30:00"), 1)],
+        [(1, ts("2024-01-01T11:45:00"), "prev-bucket"),
+         (1, ts("2024-01-01T12:10:00"), "same-bucket")],
+    )
+    assert got == [(1, "prev-bucket"), (1, "same-bucket")]
+
+
+def test_range_join_key_isolation_and_multi_left(spark):
+    got = run_range(
+        spark,
+        [(1, ts("2024-01-01T12:00:00"), 1), (2, ts("2024-01-01T12:00:00"), 2)],
+        [(1, ts("2024-01-01T11:30:00"), "k1"),
+         (2, ts("2024-01-01T11:30:00"), "k2")],
+    )
+    assert got == [(1, "k1"), (2, "k2")]
