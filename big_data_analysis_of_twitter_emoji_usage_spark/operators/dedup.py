@@ -315,20 +315,36 @@ def simhash_fingerprints(
     fingerprint bit is the sign of the +1/-1 vote sum. String encoding
     (rather than an int) keeps the operator portable to the SQL oracle.
     Returns (doc_id, simhash). Group equal fingerprints to find near-dups.
+
+    Computed as a PURE PROJECTION: a single ``aggregate`` folds each
+    token's md5 into a ``bits``-wide vote array (``zip_with`` add), so
+    the whole fingerprint is one map-side pass with NO shuffle — vs. the
+    naive explode → groupBy(16 sums), which shuffles every (doc, token)
+    row. The vote array is threaded through one lambda accumulator so
+    each token's hash is computed exactly once, not once per bit.
     """
     assert bits <= 32
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
-    ).select(id_col, F.md5("w").alias("hx"))
-    votes = [
-        F.when(F.substring("hx", i + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)
-        for i in range(bits)
-    ]
-    agg = tok.groupBy(id_col).agg(
-        *[F.sum(v).alias(f"v{i}") for i, v in enumerate(votes)]
+    hashes = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda w: F.md5(w)
     )
-    bit_chars = [
-        F.when(F.col(f"v{i}") > 0, "1").otherwise("0") for i in range(bits)
-    ]
-    return agg.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bits)),
+                lambda i: F.when(
+                    F.substring(h, i, F.lit(1)).isin(*HEX_HIGH), F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    simhash = F.concat_ws(
+        "",
+        F.transform(
+            votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+    )
+    return df.select(F.col(id_col), simhash.alias("simhash"))

@@ -81,16 +81,17 @@ def cosine_knn_bruteforce(
     )
 
 
-def sign_bucket(vec: Column, bits: int = 6) -> Column:
-    """Axis-hyperplane LSH bucket: the sign pattern of the leading
-    ``bits`` dimensions, as a '0'/'1' string.
+def sign_bucket(vec: Column, bits: int = 6, offset: int = 0) -> Column:
+    """Axis-hyperplane LSH bucket: the sign pattern of ``bits``
+    dimensions starting at ``offset``, as a '0'/'1' string.
 
     A production variant uses random hyperplanes (dot with seeded
     gaussian vectors); axis-aligned planes keep the operator portable to
-    the SQL oracle while exercising the identical plan shape.
+    the SQL oracle while exercising the identical plan shape. Distinct
+    ``offset`` slices give independent hash tables (band-style LSH).
     """
     chars = [
-        F.when(F.element_at(vec, i + 1) > 0, "1").otherwise("0")
+        F.when(F.element_at(vec, offset + i + 1) > 0, "1").otherwise("0")
         for i in range(bits)
     ]
     return F.concat(*chars)
@@ -102,28 +103,73 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     bits: int = 4,
+    tables: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
-    pairs in the same sign-LSH bucket with cosine >= ``threshold``.
+    pairs sharing a sign-LSH bucket in ANY of ``tables`` hash tables,
+    with cosine >= ``threshold``.
 
-    The dedup variant of similarity search: a *self*-join restricted to
-    LSH buckets, so the pair space is sum(bucket²) instead of n² — the
-    same two-phase recall/precision shape as MinHash dedup, with the
-    bucket join as the only shuffle. Fewer ``bits`` → bigger buckets →
-    higher recall at more compute.
+    The dedup variant of similarity search, shaped exactly like MinHash
+    banding: each vector emits one (table, bucket) row per hash table
+    (table t keys on dimensions [t*bits, (t+1)*bits)); the self-join on
+    that compound key is the only shuffle, and the pair space is
+    sum(bucket²) per table instead of n². Scale knobs (all mirrored by
+    the SQL oracle):
+
+    - ``bits`` sets bucket granularity: 2^bits buckets per table. Size
+      it so the expected bucket is O(corpus / 2^bits) rows — at 100 TB,
+      bits must GROW with the corpus or per-bucket self-joins go
+      quadratic (the r1 default of 4 bits = 16 buckets was flagged
+      exactly for this).
+    - ``tables`` buys back the recall that finer buckets cost: a true
+      near-dup pair (cosine near 1) agrees on most sign patterns, so
+      the probability it shares at least one of T independent tables
+      approaches 1 — the classic multi-table LSH S-curve.
+    - ``max_bucket`` is the skew guard (mirrors dedup.lsh_candidate_pairs):
+      degenerate buckets — e.g. an all-positive head region of the
+      embedding space — are dropped before the join, capping any single
+      bucket's contribution at O(max_bucket²) pairs.
+
+    Candidate pairs are distinct-ed, then scored by joining each side
+    back to its vector — two hash joins on ids, same verified-candidates
+    shape as near_dup_pairs.
     """
     e = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_bucket", sign_bucket(F.col("_v"), bits))
-    a = e.select(
-        F.col("_bucket"), F.col("_id").alias("id_a"), F.col("_v").alias("_va")
     )
-    b = e.select(
-        F.col("_bucket"), F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    table_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sign_bucket(F.col("_v"), bits, offset=t * bits).alias("b"),
+            )
+            for t in range(tables)
+        ]
     )
-    return (
-        a.join(b, ["_bucket"])
+    buckets = e.select(
+        F.col("_id"), F.explode(table_structs).alias("_tb")
+    ).select("_id", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    if max_bucket is not None:
+        w = Window.partitionBy("_t", "_b")
+        buckets = (
+            buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
+    a = buckets.select("_t", "_b", F.col("_id").alias("id_a"))
+    b = buckets.select("_t", "_b", F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, ["_t", "_b"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))

@@ -27,6 +27,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.core import (
     load_events,
     load_table,
     nanos_to_timestamp,
+    read_parquet_schema,
     stream_table_path,
     table_path,
 )
@@ -153,6 +154,48 @@ def _near_dup_sql(
 _MINHASH_CTE = _minhash_cand_sql(_SHINGLES_CTE)
 
 
+def _sign_lsh_near_dup_sql(
+    bits: int, tables: int, max_bucket: int | None, threshold: float
+) -> str:
+    """DuckDB mirror of similarity.embedding_near_dup_pairs: per-table
+    sign buckets (table t keys on dims [t*bits, (t+1)*bits)), optional
+    bucket-size guard, distinct candidate pairs, cosine verification."""
+    tbl_selects = " UNION ALL ".join(
+        "SELECT vec_id, {t} AS t, concat({chars}) AS bk FROM embeddings".format(
+            t=t,
+            chars=", ".join(
+                f"CASE WHEN embedding[{t * bits + i + 1}] > 0"
+                " THEN '1' ELSE '0' END"
+                for i in range(bits)
+            ),
+        )
+        for t in range(tables)
+    )
+    src = "b"
+    guard = ""
+    if max_bucket is not None:
+        guard = (
+            ", bf AS (SELECT vec_id, t, bk FROM ("
+            " SELECT *, count(*) OVER (PARTITION BY t, bk) AS bc FROM b)"
+            f" WHERE bc <= {max_bucket})"
+        )
+        src = "bf"
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        f" b AS ({tbl_selects})"
+        + guard
+        + ", cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b"
+        f" FROM {src} a JOIN {src} b2"
+        " ON a.t = b2.t AND a.bk = b2.bk AND a.vec_id < b2.vec_id),"
+        " p AS (SELECT id_a, id_b, list_dot_product(ea.v, eb.v) /"
+        " sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v))"
+        " AS cos FROM cand JOIN e ea ON ea.vec_id = id_a"
+        " JOIN e eb ON eb.vec_id = id_b)"
+        " SELECT id_a, id_b, round(cos, 6) AS cosine FROM p"
+        f" WHERE cos >= {threshold}"
+    )
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return load_table(spark, sf, "documents")
 
@@ -188,13 +231,26 @@ def q1_word_search(spark, sf):
 
 
 def q1_top_emojis(spark, sf):
-    """The emoji kernel itself against the oracle, on the portable
-    pattern subset (SURVEY §7.3). The fixture corpus is emoji-free, so
-    both engines must return an empty frequency table — the match is on
-    emptiness, schema included; the kernel's value behavior is covered by
-    PySpark-only unit tests over tweet fixtures."""
+    """q1 flagship 'most popular emoji' (q1:101-113) through the full
+    ``token_counts`` plan — rlike pre-filter, strip, tokenize, group,
+    sort — on the portable kernel subset (SURVEY §7.3).
+
+    Value-bearing: the fixture corpus is emoji-free, so emoji text is
+    synthesized from doc_id arithmetic (two Emoticons-range emoji per
+    doc, one parenthesized so the strip branch executes, one repeated as
+    a separate token). The oracle reproduces the expected frequency
+    table from the same chr() arithmetic with no regex at all — ground
+    truth, not a reimplementation. The verbatim Java-regex kernel is
+    covered by q1_emoji_kernel_synth + PySpark-only unit tests."""
+    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
+    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
+    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    text = F.concat(
+        F.lit("lorem ("), e1, F.lit(") ipsum "), e2, F.lit(" "), e2, F.lit(" end")
+    )
+    prep = _docs(spark, sf).select(text.alias("text"))
     return token_counts(
-        _docs(spark, sf), "text",
+        prep, "text",
         tokens_fn=lambda c: F.filter(
             F.split(F.regexp_replace(c, f"[^{PORTABLE_EMOJI[1:-1]} ]", ""), " "),
             lambda t: t.rlike(PORTABLE_EMOJI),
@@ -371,7 +427,7 @@ def q7_events_late(spark, sf):
 def q2_stream_top_words(spark, sf):
     """q2: the q1 plan on a file-source stream, complete mode (q2:96-120),
     driven with availableNow into a memory sink; result equals q1's."""
-    schema = spark.read.parquet(table_path(sf, "documents")).schema
+    schema = read_parquet_schema(spark, sf, "documents")
     stream = (
         spark.readStream.schema(schema).parquet(stream_table_path(sf, "documents"))
     )
@@ -385,7 +441,7 @@ def q2_stream_top_words(spark, sf):
 def stream_windowed_events(spark, sf):
     """Watermarked tumbling-day counts (SURVEY §7.6 modernization),
     complete mode so every window lands in the memory sink."""
-    schema = spark.read.parquet(table_path(sf, "events")).schema
+    schema = read_parquet_schema(spark, sf, "events")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_table_path(sf, "events"))
@@ -677,7 +733,7 @@ def sessionize_events(spark, sf):
 
 
 def _event_stream(spark, sf):
-    schema = spark.read.parquet(table_path(sf, "events")).schema
+    schema = read_parquet_schema(spark, sf, "events")
     return (
         spark.readStream.schema(schema)
         .parquet(stream_table_path(sf, "events"))
@@ -742,7 +798,7 @@ def stream_sessionize_events(spark, sf):
     stream (the trailing open session per user stays in state). The
     equivalence against batch ``sessionize`` minus trailing sessions is
     asserted in tests/test_stateful_streaming.py."""
-    schema = spark.read.parquet(table_path(sf, "events")).schema
+    schema = read_parquet_schema(spark, sf, "events")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_table_path(sf, "events"))
@@ -786,9 +842,16 @@ def dedup_ngram_jaccard_q(spark, sf):
 
 
 def dedup_embedding_q(spark, sf):
-    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
+    """Embedding-cosine near-dup pairs, multi-table sign-LSH.
+
+    8-bit buckets (256/table — scale-appropriate granularity) across two
+    independent hash tables for recall, with the degenerate-bucket skew
+    guard on. See operators.similarity.embedding_near_dup_pairs for the
+    knob/scale discussion and SCALE.md for the measured recall curve."""
     emb = load_table(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.3, bits=4)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.3, bits=8, tables=2, max_bucket=100
+    )
 
 
 def knn_brute_q(spark, sf):
@@ -851,9 +914,13 @@ ORACLE_SQL: dict[str, str] = {
     + " SELECT word, count(*) AS cnt FROM w WHERE regexp_matches(word, '^s')"
     " GROUP BY word ORDER BY cnt DESC, word",
     "q1_top_emojis": (
-        "SELECT text AS Emoji, count(*) AS cnt FROM documents"
-        " WHERE regexp_matches(text, '{pat}') GROUP BY 1 ORDER BY 2 DESC"
-    ).format(pat=PORTABLE_EMOJI),
+        "WITH e AS (SELECT chr((128512 + doc_id % 80)::INT) AS e1,"
+        " chr((128512 + (doc_id * 7) % 80)::INT) AS e2 FROM documents),"
+        " t AS (SELECT e1 AS Emoji FROM e"
+        " UNION ALL SELECT e2 FROM e UNION ALL SELECT e2 FROM e)"
+        " SELECT Emoji, count(*) AS cnt FROM t GROUP BY Emoji"
+        " ORDER BY cnt DESC, Emoji"
+    ),
     "q1_emoji_kernel_synth": (
         "WITH e AS (SELECT chr((128512 + doc_id % 80)::INT) AS e1,"
         " chr((128512 + (doc_id * 7) % 80)::INT) AS e2 FROM documents),"
@@ -1068,30 +1135,25 @@ ORACLE_SQL: dict[str, str] = {
         " GROUP BY c.event_id, c.user_id ORDER BY c.event_id"
     ),
     "sessionize_events": (
-        "WITH b AS (SELECT user_id, ts,"
+        # The cumulative sum must scan in the SAME (ts, event_id) order
+        # as the lag window that computed brk — ordering it by (ts, brk)
+        # would sort a tied-timestamp session opener (brk=1) after its
+        # brk=0 peers and assign tied boundary events to the previous
+        # session, diverging from Spark's session_window.
+        "WITH b AS (SELECT user_id, ts, event_id,"
         " CASE WHEN lag(ts) OVER w IS NULL"
         "  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'"
         " THEN 1 ELSE 0 END AS brk FROM events"
         " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
         " s AS (SELECT user_id, ts, sum(brk) OVER ("
-        "  PARTITION BY user_id ORDER BY ts, brk"
+        "  PARTITION BY user_id ORDER BY ts, event_id"
         "  ROWS UNBOUNDED PRECEDING) AS sid FROM b)"
         " SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
         " count(*) AS n_events FROM s GROUP BY user_id, sid"
     ),
     "dedup_ngram_jaccard": _near_dup_sql(_CHAR_SHINGLES_CTE, 0.5, max_bucket=50),
-    "dedup_embedding": (
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, concat("
-        + ", ".join(
-            f"CASE WHEN embedding[{i+1}] > 0 THEN '1' ELSE '0' END"
-            for i in range(4)
-        )
-        + ") AS bucket FROM embeddings),"
-        " p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
-        "  list_dot_product(a.v, b.v) /"
-        "  sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos"
-        "  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)"
-        " SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.3"
+    "dedup_embedding": _sign_lsh_near_dup_sql(
+        bits=8, tables=2, max_bucket=100, threshold=0.3
     ),
     "text_bpe_tokens": (
         "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,"

@@ -132,7 +132,10 @@ def stateful_sessionize(
                     closed.append((start, end, n))
                     start, end, n = t, t, 1
                 else:
-                    end, n = t, n + 1
+                    # min/max merge: an out-of-order event arriving in a
+                    # later micro-batch (sorted only within its batch)
+                    # must widen the open session, never shrink it.
+                    start, end, n = min(start, t), max(end, t), n + 1
         state.update((start, end, n))
         if closed:
             yield pd.DataFrame(
