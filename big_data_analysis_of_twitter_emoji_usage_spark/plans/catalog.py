@@ -21,6 +21,8 @@ Cross-engine determinism rules used throughout (SURVEY §7.3):
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from big_data_analysis_of_twitter_emoji_usage_spark.core import (
@@ -34,6 +36,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.core import (
 from big_data_analysis_of_twitter_emoji_usage_spark.functions.text import WORD_KEEP, tokenize_words
 from big_data_analysis_of_twitter_emoji_usage_spark.functions.emoji import PORTABLE_EMOJI, extract_emojis
 from big_data_analysis_of_twitter_emoji_usage_spark.plans.queries import (
+    emoji_by_dimension,
     global_token_counts,
     token_by_dimension,
     token_counts,
@@ -415,6 +418,106 @@ def q7_events_late(spark, sf):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+def q4_tweets_end_to_end(spark, sf):
+    """The reference's ACTUAL q4 entry path, end-to-end under a value
+    oracle (q4:102-123): tweet-shaped nested JSON → rolling-JSONL
+    ingester (atomic tmp→rename, S3; ingest.py mirrors q1:240-246) →
+    batch read with the declared TWEETS_MENTIONS schema (S1; the engine's
+    replacement for the reference's inference pass, SURVEY §1.3) →
+    ``emoji_by_dimension('username')``: nested-struct projection (P1),
+    array-of-struct username pull-up (P2, q4:110), F3 null guard on the
+    ``includes`` expansion (q4:111), verbatim emoji kernel, and the
+    double-explode (mention × emoji) cross product (G3, q4:116-117).
+
+    Tweets are synthesized deterministically from the documents table's
+    doc_ids (same chr() arithmetic as the other synth oracles); one doc
+    in ten omits the entities/includes expansions so the null guard is
+    value-bearing, not a pass-through. Synthesis is driver-side by
+    design — it replaces the reference's HTTP ingester thread, not a
+    query stage — and is cached per fixture dir across calls.
+    """
+    import hashlib
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from big_data_analysis_of_twitter_emoji_usage_spark import schemas
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.ingest import (
+        RollingJsonlWriter,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        read_tweets,
+    )
+
+    src = table_path(sf, "documents")
+    doc_ids = sorted(
+        pq.read_table(src, columns=["doc_id"]).column("doc_id").to_pylist()
+    )
+    dirname = _os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_tweets_"
+        + hashlib.md5(_os.path.abspath(src).encode()).hexdigest()[:10],
+    )
+    marker = _os.path.join(dirname, "_SYNTH_DONE")
+    want = f"{len(doc_ids)}"
+    done = (
+        _os.path.isfile(marker)
+        and open(marker, encoding="utf-8").read() == want
+    )
+    if not done:
+        if _os.path.isdir(dirname):  # partial prior attempt: start clean
+            shutil.rmtree(dirname)
+
+        def records():
+            for d in doc_ids:
+                e1, e2 = chr(0x1F600 + d % 80), chr(0x1F600 + d * 7 % 80)
+                data = {"id": str(d), "text": f"lorem ({e1}) ipsum | {e2}{e2} end"}
+                rec = {"data": data}
+                if d % 10 != 0:
+                    data["entities"] = {
+                        "mentions": [
+                            {"username": f"user{d % 5}"},
+                            {"username": f"user{(d + 1) % 5}"},
+                        ]
+                    }
+                    rec["includes"] = {
+                        "users": [{"id": str(d), "username": f"user{d % 5}"}]
+                    }
+                yield _json.dumps(rec)
+
+        RollingJsonlWriter(dirname, lines_per_file=1000).drain(records())
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(want)
+    tweets = read_tweets(spark, dirname, schemas.TWEETS_MENTIONS)
+    return emoji_by_dimension(tweets, "username", out="Emoji", count_alias="cnt")
+
+
+def event_value_percentiles_approx(spark, sf):
+    """Sketch percentiles (``approx_percentile``) next to the exact
+    ``event_value_percentiles``: exact ``percentile()`` buffers every
+    value of a group in one aggregation buffer — a per-group memory
+    hazard at 100 TB — while the sketch folds values into a bounded
+    digest that merges map-side like any partial aggregate. Rows-only
+    check by design: sketch outputs are within-tolerance of the exact
+    quantiles, not bit-equal, so no hash oracle can pair them (the exact
+    query next door carries the value oracle; COVERAGE.md §perf)."""
+    ev = load_events(spark, sf)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"approx_percentile(value, {q}, 10000)"), 6
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.5, 0.9, 0.99)
+            ]
+        )
+        .orderBy("event_type")
     )
 
 
@@ -991,6 +1094,26 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'"
         " GROUP BY event_type ORDER BY cnt DESC, event_type"
     ),
+    # Ground truth for the end-to-end tweet pipeline: same chr()
+    # arithmetic as the synthesis, restricted to docs that carry the
+    # mentions/includes expansions (one in ten does not — the F3 null
+    # guard drops it). No regex, no JSON: pure expected-value algebra.
+    "q4_tweets_end_to_end": (
+        "WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),"
+        " e AS (SELECT doc_id,"
+        " chr((128512 + doc_id % 80)::INT) AS e1,"
+        " chr((128512 + (doc_id * 7) % 80)::INT) AS e2,"
+        " 'user' || (doc_id % 5) AS u1,"
+        " 'user' || ((doc_id + 1) % 5) AS u2 FROM d),"
+        " t AS (SELECT doc_id, e1 AS em FROM e"
+        "  UNION ALL SELECT doc_id, e2 FROM e"
+        "  UNION ALL SELECT doc_id, e2 FROM e),"
+        " u AS (SELECT doc_id, u1 AS username FROM e"
+        "  UNION ALL SELECT doc_id, u2 FROM e)"
+        " SELECT username AS Username, em AS Emoji, count(*) AS cnt"
+        " FROM t JOIN u USING (doc_id) GROUP BY 1, 2"
+        " ORDER BY cnt DESC, Username, Emoji"
+    ),
     "stream_windowed_events": (
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
         " event_type, count(*) AS n FROM events GROUP BY 1, 2"
@@ -1287,6 +1410,8 @@ QUERIES = {
     "q6_word_search_by_lang": q6_word_search_by_lang,
     "q7_events_early": q7_events_early,
     "q7_events_late": q7_events_late,
+    "q4_tweets_end_to_end": q4_tweets_end_to_end,
+    "event_value_percentiles_approx": event_value_percentiles_approx,
     "stream_windowed_events": stream_windowed_events,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_topk": tpch_q3_topk,

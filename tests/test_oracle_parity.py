@@ -71,10 +71,42 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
 
 
-# Genuinely non-SQL-expressible ops: custom stateful streaming (per-key
-# mutable state with custom emit logic). Their correctness is asserted
-# against batch equivalents in dedicated tests instead of the oracle.
-ROWS_ONLY_ALLOWED = {"stream_sessionize_events"}
+# Genuinely non-oracle-able ops: custom stateful streaming (per-key
+# mutable state with custom emit logic; checked against the batch
+# equivalent in test_stateful_streaming.py) and sketch aggregates
+# (approx_percentile is within-tolerance, not bit-equal — checked for
+# tolerance below instead of by hash).
+ROWS_ONLY_ALLOWED = {
+    "stream_sessionize_events",
+    "event_value_percentiles_approx",
+}
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir, duck):
+    """The sketch percentiles can't hash-match an oracle (they return a
+    data sample, not an interpolated value), but each must land inside a
+    ±2-percentile bracket of the exact distribution."""
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["event_value_percentiles_approx"](spark, sf_dir).collect()
+    }
+    quantiles = (0.5, 0.9, 0.99)
+    brackets = {}
+    for etype in approx:
+        brackets[etype] = [
+            duck.sql(
+                "SELECT quantile_cont(value, {lo}), quantile_cont(value, {hi})"
+                " FROM events WHERE event_type = '{t}'".format(
+                    lo=max(q - 0.02, 0.0), hi=min(q + 0.02, 1.0), t=etype
+                )
+            ).fetchone()
+            for q in quantiles
+        ]
+    for etype, vals in approx.items():
+        for (a, (lo, hi)), q in zip(zip(vals, brackets[etype]), quantiles):
+            assert lo - 1e-6 <= a <= hi + 1e-6, (
+                f"{etype} p{int(q*100)}: approx {a} outside [{lo}, {hi}]"
+            )
 
 
 def test_every_query_has_oracle_or_reason():
