@@ -421,37 +421,62 @@ def q7_events_late(spark, sf):
     )
 
 
-def q4_tweets_end_to_end(spark, sf):
-    """The reference's ACTUAL q4 entry path, end-to-end under a value
-    oracle (q4:102-123): tweet-shaped nested JSON → rolling-JSONL
-    ingester (atomic tmp→rename, S3; ingest.py mirrors q1:240-246) →
-    batch read with the declared TWEETS_MENTIONS schema (S1; the engine's
-    replacement for the reference's inference pass, SURVEY §1.3) →
-    ``emoji_by_dimension('username')``: nested-struct projection (P1),
-    array-of-struct username pull-up (P2, q4:110), F3 null guard on the
-    ``includes`` expansion (q4:111), verbatim emoji kernel, and the
-    double-explode (mention × emoji) cross product (G3, q4:116-117).
+def _tweet_records(doc_ids, shape: str):
+    """Deterministic tweet-shaped JSON records from doc_id arithmetic.
 
-    Tweets are synthesized deterministically from the documents table's
-    doc_ids (same chr() arithmetic as the other synth oracles); one doc
-    in ten omits the entities/includes expansions so the null guard is
-    value-bearing, not a pass-through. Synthesis is driver-side by
-    design — it replaces the reference's HTTP ingester thread, not a
-    query stage — and is cached per fixture dir across calls.
+    Every record carries the emoji text (two Emoticons-range emoji: one
+    parenthesized, one doubled into an unseparated run — all kernel
+    branches execute); one doc in ten omits the shape's expansion fields
+    so the reference's F3 null guards (q4:111, q5:100, q6:110) filter
+    real rows. Shapes mirror SURVEY §1.2's Twitter-v2 query strings.
     """
-    import hashlib
     import json as _json
+
+    for d in doc_ids:
+        e1, e2 = chr(0x1F600 + d % 80), chr(0x1F600 + d * 7 % 80)
+        data = {"id": str(d), "text": f"lorem ({e1}) ipsum | {e2}{e2} end"}
+        rec = {"data": data}
+        if d % 10 != 0:
+            if shape == "mentions":
+                data["entities"] = {
+                    "mentions": [
+                        {"username": f"user{d % 5}"},
+                        {"username": f"user{(d + 1) % 5}"},
+                    ]
+                }
+                rec["includes"] = {
+                    "users": [{"id": str(d), "username": f"user{d % 5}"}]
+                }
+            elif shape == "categories":
+                data["context_annotations"] = [
+                    {"domain": {"id": str(d % 7), "name": f"cat{d % 7}"}},
+                    {"domain": {"id": str((d + 2) % 7), "name": f"cat{(d + 2) % 7}"}},
+                ]
+            elif shape == "geo":
+                data["geo"] = {"place_id": f"place{d}"}
+                rec["includes"] = {
+                    "places": [{"id": f"place{d}", "country": f"C{d % 6}"}]
+                }
+            else:  # pragma: no cover
+                raise ValueError(shape)
+        yield _json.dumps(rec)
+
+
+def _synth_tweet_dir(sf: str, shape: str) -> str:
+    """Materialize the ``shape`` tweet corpus for this fixture dir via
+    the rolling-JSONL ingester (atomic tmp→rename, S3 — ingest.py
+    mirrors q1:240-246), cached across calls. Driver-side by design: it
+    replaces the reference's HTTP ingester thread, not a query stage.
+    The ``_SYNTH_DONE`` marker doubles as the cache key and is invisible
+    to Spark readers (underscore-prefixed files are ignored)."""
+    import hashlib
     import shutil
     import tempfile
 
     import pyarrow.parquet as pq
 
-    from big_data_analysis_of_twitter_emoji_usage_spark import schemas
     from big_data_analysis_of_twitter_emoji_usage_spark.sources.ingest import (
         RollingJsonlWriter,
-    )
-    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
-        read_tweets,
     )
 
     src = table_path(sf, "documents")
@@ -460,41 +485,95 @@ def q4_tweets_end_to_end(spark, sf):
     )
     dirname = _os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_tweets_"
+        f"spark_graft_tweets_{shape}_"
         + hashlib.md5(_os.path.abspath(src).encode()).hexdigest()[:10],
     )
     marker = _os.path.join(dirname, "_SYNTH_DONE")
     want = f"{len(doc_ids)}"
-    done = (
+    if not (
         _os.path.isfile(marker)
         and open(marker, encoding="utf-8").read() == want
-    )
-    if not done:
+    ):
         if _os.path.isdir(dirname):  # partial prior attempt: start clean
             shutil.rmtree(dirname)
-
-        def records():
-            for d in doc_ids:
-                e1, e2 = chr(0x1F600 + d % 80), chr(0x1F600 + d * 7 % 80)
-                data = {"id": str(d), "text": f"lorem ({e1}) ipsum | {e2}{e2} end"}
-                rec = {"data": data}
-                if d % 10 != 0:
-                    data["entities"] = {
-                        "mentions": [
-                            {"username": f"user{d % 5}"},
-                            {"username": f"user{(d + 1) % 5}"},
-                        ]
-                    }
-                    rec["includes"] = {
-                        "users": [{"id": str(d), "username": f"user{d % 5}"}]
-                    }
-                yield _json.dumps(rec)
-
-        RollingJsonlWriter(dirname, lines_per_file=1000).drain(records())
+        RollingJsonlWriter(dirname, lines_per_file=1000).drain(
+            _tweet_records(doc_ids, shape)
+        )
         with open(marker, "w", encoding="utf-8") as f:
             f.write(want)
-    tweets = read_tweets(spark, dirname, schemas.TWEETS_MENTIONS)
+    return dirname
+
+
+def q4_tweets_end_to_end(spark, sf):
+    """The reference's ACTUAL q4 entry path, end-to-end under a value
+    oracle (q4:102-123): tweet-shaped nested JSON → rolling-JSONL
+    ingester → batch read with the declared TWEETS_MENTIONS schema (S1;
+    the engine's replacement for the reference's inference pass, SURVEY
+    §1.3) → ``emoji_by_dimension('username')``: nested-struct projection
+    (P1), array-of-struct username pull-up (P2, q4:110), F3 null guard
+    on the ``includes`` expansion (q4:111), verbatim emoji kernel, and
+    the double-explode (mention × emoji) cross product (G3, q4:116-117).
+    """
+    from big_data_analysis_of_twitter_emoji_usage_spark import schemas
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        read_tweets,
+    )
+
+    tweets = read_tweets(
+        spark, _synth_tweet_dir(sf, "mentions"), schemas.TWEETS_MENTIONS
+    )
     return emoji_by_dimension(tweets, "username", out="Emoji", count_alias="cnt")
+
+
+def q5_tweets_categories(spark, sf):
+    """q5's entry path (q5:91-112): emoji × topic category over the
+    TWEETS_CATEGORIES shape — ``data.context_annotations.domain.name``
+    pulled up through the array-of-struct (P2, q5:99), null-guarded
+    (q5:100), double-exploded against the kernel tokens."""
+    from big_data_analysis_of_twitter_emoji_usage_spark import schemas
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        read_tweets,
+    )
+
+    tweets = read_tweets(
+        spark, _synth_tweet_dir(sf, "categories"), schemas.TWEETS_CATEGORIES
+    )
+    return emoji_by_dimension(tweets, "category", out="Emoji", count_alias="cnt")
+
+
+def q6_tweets_geo(spark, sf):
+    """q6's entry path (q6:102-126): emoji × country over the TWEETS_GEO
+    shape — ``includes.places.country`` pull-up (q6:109), includes null
+    guard (q6:110)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark import schemas
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        read_tweets,
+    )
+
+    tweets = read_tweets(
+        spark, _synth_tweet_dir(sf, "geo"), schemas.TWEETS_GEO
+    )
+    return emoji_by_dimension(tweets, "country", out="Emoji", count_alias="cnt")
+
+
+def q2_tweets_stream_top_emojis(spark, sf):
+    """q2's entry path (q2:96-120): the q1 emoji-frequency plan on an
+    UNBOUNDED file-source scan of the tweet directory — declared schema
+    (the reference borrowed a batch inference pass, q2:96-97), verbatim
+    kernel, complete-mode sorted aggregate — driven with availableNow
+    into a memory sink. Batch/stream duality made oracle-checkable: the
+    final table equals the batch q1 result, which is what the SQL
+    computes."""
+    from big_data_analysis_of_twitter_emoji_usage_spark import schemas
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        stream_tweets,
+    )
+
+    stream = stream_tweets(
+        spark, _synth_tweet_dir(sf, "mentions"), schemas.TWEETS_MENTIONS
+    )
+    counted = token_counts(stream, "data.text", out="Emoji", count_alias="cnt")
+    return run_stream_to_memory(spark, counted, "q2_tweets_stream_sink")
 
 
 def event_value_percentiles_approx(spark, sf):
@@ -1053,6 +1132,43 @@ ORACLE_SQL: dict[str, str] = {
         " FROM t JOIN u USING (doc_id) GROUP BY 1, 2"
         " ORDER BY cnt DESC, Username, Emoji"
     ),
+    "q5_tweets_categories": (
+        "WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),"
+        " e AS (SELECT doc_id,"
+        " chr((128512 + doc_id % 80)::INT) AS e1,"
+        " chr((128512 + (doc_id * 7) % 80)::INT) AS e2,"
+        " 'cat' || (doc_id % 7) AS c1,"
+        " 'cat' || ((doc_id + 2) % 7) AS c2 FROM d),"
+        " t AS (SELECT doc_id, e1 AS em FROM e"
+        "  UNION ALL SELECT doc_id, e2 FROM e"
+        "  UNION ALL SELECT doc_id, e2 FROM e),"
+        " c AS (SELECT doc_id, c1 AS name FROM e"
+        "  UNION ALL SELECT doc_id, c2 FROM e)"
+        " SELECT name AS Name, em AS Emoji, count(*) AS cnt"
+        " FROM t JOIN c USING (doc_id) GROUP BY 1, 2"
+        " ORDER BY cnt DESC, Name, Emoji"
+    ),
+    "q6_tweets_geo": (
+        "WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),"
+        " e AS (SELECT doc_id,"
+        " chr((128512 + doc_id % 80)::INT) AS e1,"
+        " chr((128512 + (doc_id * 7) % 80)::INT) AS e2,"
+        " 'C' || (doc_id % 6) AS country FROM d),"
+        " t AS (SELECT doc_id, e1 AS em FROM e"
+        "  UNION ALL SELECT doc_id, e2 FROM e"
+        "  UNION ALL SELECT doc_id, e2 FROM e)"
+        " SELECT country AS Country, em AS Emoji, count(*) AS cnt"
+        " FROM t JOIN e USING (doc_id) GROUP BY 1, 2"
+        " ORDER BY cnt DESC, Country, Emoji"
+    ),
+    "q2_tweets_stream_top_emojis": (
+        "WITH e AS (SELECT chr((128512 + doc_id % 80)::INT) AS e1,"
+        " chr((128512 + (doc_id * 7) % 80)::INT) AS e2 FROM documents),"
+        " t AS (SELECT e1 AS Emoji FROM e"
+        " UNION ALL SELECT e2 FROM e UNION ALL SELECT e2 FROM e)"
+        " SELECT Emoji, count(*) AS cnt FROM t GROUP BY Emoji"
+        " ORDER BY cnt DESC, Emoji"
+    ),
     "word_position_counts": (
         "WITH t AS (SELECT list_filter(string_split(text, ' '),"
         " w -> regexp_matches(w, {w})) AS wl FROM documents),"
@@ -1411,6 +1527,9 @@ QUERIES = {
     "q7_events_early": q7_events_early,
     "q7_events_late": q7_events_late,
     "q4_tweets_end_to_end": q4_tweets_end_to_end,
+    "q5_tweets_categories": q5_tweets_categories,
+    "q6_tweets_geo": q6_tweets_geo,
+    "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
     "event_value_percentiles_approx": event_value_percentiles_approx,
     "stream_windowed_events": stream_windowed_events,
     "tpch_q1_pricing": tpch_q1_pricing,
