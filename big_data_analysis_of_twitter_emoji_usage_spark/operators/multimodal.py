@@ -96,3 +96,110 @@ def decode_batch(
             )
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, resized_width int, "
+    "resized_height int, resized_hash string"
+)
+
+
+def resize_batch(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_side: int = 32,
+    fake: bool = True,
+) -> DataFrame:
+    """Aspect-preserving resize-to-fit as an Arrow-batched pandas stage.
+
+    The pixel work is the codec stub (a real deployment calls
+    PIL.Image.resize here); the *geometry* is pure integer arithmetic —
+    ``(side * max_side) // longest`` — so the stage is deterministic and
+    oracle-checkable end-to-end. Output carries the original and target
+    dimensions plus a content-addressed hash of the (payload, geometry)
+    pair, the convention downstream training pipelines key caches on.
+    """
+    import hashlib
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                m = decode_image_stub(p, fake=fake)
+                w, h = m["width"], m["height"]
+                longest = max(w, h)
+                if longest > max_side:
+                    rw = max(1, (w * max_side) // longest)
+                    rh = max(1, (h * max_side) // longest)
+                else:
+                    rw, rh = w, h
+                digest = hashlib.md5(
+                    f"{hashlib.md5(p).hexdigest()}:{rw}:{rh}".encode()
+                ).hexdigest()
+                rows.append((doc_id, w, h, rw, rh, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height",
+                    "resized_width", "resized_height", "resized_hash",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, n_frames int, frame_hash string"
+
+
+def frame_sample_batch(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_samples: int = 4,
+    bytes_per_frame: int = 16,
+    fake: bool = True,
+) -> DataFrame:
+    """Uniform frame sampling over a 'video' payload — the one-to-many
+    pandas stage (each input row yields up to ``n_samples`` frame rows;
+    ``mapInPandas`` is the UDTF-shaped escape hatch the way ``explode``
+    is the built-in one).
+
+    Frame count and stride are deterministic byte arithmetic standing in
+    for container parsing (ffprobe in a real deployment): ``n_frames =
+    max(1, n_bytes // bytes_per_frame)``, stride ``max(1, n_frames //
+    n_samples)``, sampled indexes ``0, s, 2s, ...`` while < n_frames.
+    Frame 'content' is hashed from (payload hash, index) — the cache-key
+    convention again.
+    """
+    import hashlib
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                decode_image_stub(p, fake=fake)  # codec gate, parity with decode
+                n_frames = max(1, len(p) // bytes_per_frame)
+                stride = max(1, n_frames // n_samples)
+                chash = hashlib.md5(p).hexdigest()
+                for i in range(n_samples):
+                    idx = i * stride
+                    if idx >= n_frames:
+                        break
+                    rows.append(
+                        (
+                            doc_id,
+                            idx,
+                            n_frames,
+                            hashlib.md5(f"{chash}:{idx}".encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "n_frames", "frame_hash"]
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -36,36 +36,44 @@ def asof_join(
     ``right_ts`` <= ``left_ts`` for the same ``key`` (DuckDB/pandas
     ``ASOF JOIN`` semantics; unmatched left rows keep nulls).
 
-    Right rows are first reduced to one per (key, ts) with ``max_by`` on
-    the first payload column, making the result deterministic under
-    duplicate timestamps. The union sorts right rows before left rows at
-    equal timestamps, so an exact-timestamp match is taken.
+    ONE shuffle total: the union is hash-partitioned on the key once and
+    the window resolves the match in-partition. Determinism under
+    duplicate right timestamps comes from the window *order* — right
+    rows sort by (ts, side=0, first-payload-column), so the running
+    ``last`` picks the max first-payload value among ties, the same row
+    ``max_by`` would pick (and the same the DuckDB oracle's ``arg_max``
+    picks). An earlier revision pre-aggregated the right side to one row
+    per (key, ts) first, which cost a second full shuffle of the right
+    stream for no semantic gain (timestamps are near-unique, so the
+    map-side partial agg shrank nothing). Right rows sort before left
+    rows at equal timestamps (side 0 < 1), so exact-timestamp matches
+    are taken (inclusive as-of).
     """
-    payload_struct = F.struct(*[F.col(c) for c in right_payload])
-    r0 = right.groupBy(F.col(key).alias("_k"), F.col(right_ts).alias("_ts")).agg(
-        F.max_by(payload_struct, right_payload[0]).alias("_payload")
-    )
     left_cols = left.columns
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
     lrow_type = left.select(
         F.struct(*[F.col(c) for c in left_cols]).alias("_lrow")
     ).schema["_lrow"].dataType
-    r1 = r0.select(
-        "_k",
-        "_ts",
+    tie_type = right.schema[right_payload[0]].dataType
+    r1 = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
+        F.col(right_payload[0]).cast(tie_type).alias("_tie"),
         F.lit(None).cast(lrow_type).alias("_lrow"),
-        "_payload",
+        payload_struct.alias("_payload"),
     )
     l1 = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
+        F.lit(None).cast(tie_type).alias("_tie"),
         F.struct(*[F.col(c) for c in left_cols]).alias("_lrow"),
-        F.lit(None).cast(r0.schema["_payload"].dataType).alias("_payload"),
+        F.lit(None).cast(r1.schema["_payload"].dataType).alias("_payload"),
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r1.unionByName(l1).withColumn(

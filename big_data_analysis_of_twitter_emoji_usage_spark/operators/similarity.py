@@ -176,6 +176,130 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: pick ``n_lists`` centroids and assign
+    every corpus vector to its nearest (by cosine) — the inverted-list
+    structure under IVF-flat ANN indexes (FAISS-style), built from open
+    DataFrame primitives.
+
+    Centroid choice is deterministic and engine-portable: the corpus
+    rows with the ``n_lists`` smallest ``md5(id)`` values — an unbiased
+    uniform sample that both Spark and a SQL oracle can reproduce
+    bit-for-bit (a k-means refinement would drop in here as an
+    iterative loop, same shape as ``dedup.connected_components``;
+    selection is kept closed-form so the structure stays oracle-checkable).
+
+    The centroid set is tiny by construction (n_lists rows), so the
+    assignment is a broadcast nested-loop + per-row argmax: the corpus
+    never shuffles. Returns (centroids, assignments) where assignments
+    = (id, list_id) — one row per corpus vector.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    e = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    scored = e.join(F.broadcast(c)).select(
+        "_id",
+        F.struct(
+            cosine(F.col("_v"), F.col("_cv")).alias("_cos"),
+            (-F.col("_cid")).alias("_neg_cid"),  # tie-break: smaller cid wins
+            F.col("_cid").alias("cid"),
+        ).alias("_scored"),
+    )
+    assign = scored.groupBy("_id").agg(
+        F.max("_scored").getField("cid").alias("_list")
+    )
+    return c, assign
+
+
+def select_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+) -> DataFrame:
+    """The deterministic centroid sample: rows whose md5(id) ranks in
+    the smallest ``n_lists``. ``orderBy().limit()`` plans as
+    TakeOrderedAndProject — per-partition k-row heaps merged on the
+    driver, never a global sort (a single-partition window here would
+    serialize the whole corpus through one task)."""
+    return corpus.orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    ).limit(n_lists)
+
+
+def cosine_knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF-flat: score each query only against the
+    inverted lists of its ``nprobe`` nearest centroids.
+
+    Scale shape: centroids are O(n_lists) and broadcast everywhere;
+    corpus rows are assigned map-side (one aggregate on the corpus id —
+    the only corpus-wide shuffle, and it shrinks to one row per vector);
+    the probe is an equi-join on ``_list`` between the (small,
+    broadcast) query probe set and the assigned corpus, so each corpus
+    row is examined by at most the queries probing its list — at 100 TB
+    the search cost is |query| × (nprobe/n_lists) × corpus, against the
+    brute-force |query| × corpus. Recall is the standard IVF trade:
+    nprobe/n_lists. Returns (query_id, neighbor_id, rank, cosine).
+    """
+    cents = select_ivf_centroids(corpus, id_col, n_lists)
+    c, assign = ivf_assignments(corpus, cents, id_col, vec_col, n_lists)
+    e = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    # nprobe nearest centroids per query → (query, probed list) pairs.
+    q_scored = q.join(F.broadcast(c)).select(
+        "query_id",
+        "qv",
+        F.col("_cid"),
+        cosine(F.col("qv"), F.col("_cv")).alias("_ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("_cid"))
+    probes = (
+        q_scored.withColumn("_prk", F.row_number().over(wq))
+        .filter(F.col("_prk") <= nprobe)
+        .select("query_id", "qv", F.col("_cid").alias("_list"))
+    )
+    scored = (
+        e.join(F.broadcast(probes), "_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("_cos", 6).alias("cosine"),
+        )
+    )
+
+
 def cosine_knn_sign_lsh(
     corpus: DataFrame,
     queries: DataFrame,

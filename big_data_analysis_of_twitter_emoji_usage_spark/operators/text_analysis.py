@@ -7,7 +7,7 @@ scan → tokenize (higher-order array fns) → one aggregate. No UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Real pipelines plug in fastText-style models via mapInPandas (see
@@ -137,6 +137,61 @@ def bpe_token_stats(
         bpe.cast("long").alias("n_bpe_tokens"),
         F.round(bpe / ws.cast("double"), 6).alias("bpe_per_ws"),
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    min_distinct_ratio: float = 0.2,
+    keep_langs: list[str] | None = None,
+) -> DataFrame:
+    """The training-data curation pipeline composed END-TO-END in one
+    plan: exact dedup → quality gate → language ID → curated corpus.
+
+    Scale shape — exactly ONE shuffle for the whole pipeline:
+
+    - Exact-dedup keeper selection is a ``row_number`` window partitioned
+      by content (smallest id wins), NOT a groupBy + join-back: the
+      window needs the same hash-by-text shuffle the groupBy would, but
+      skips the second corpus-wide join shuffle entirely.
+    - The quality gate and stopword language-ID are pure projections on
+      the survivors (same expressions as ``quality_scores`` /
+      ``language_id``), fused by Catalyst into the post-shuffle stage.
+
+    Returns (doc_id, pred_lang, n_tokens, distinct_ratio) for documents
+    that are their duplicate-group keeper, pass the quality thresholds,
+    and (optionally) classify into ``keep_langs``.
+    """
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    keepers = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    toks = _tokens(text_col)
+    n = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks))
+    scores = {
+        lang: F.round(F.size(F.filter(toks, lambda t: t.isin(*words))) / n, 6)
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, "und")
+    for lang in LANG_ORDER:  # first max in LANG_ORDER wins ties
+        pred = pred.when(scores[lang] == best, lang)
+    out = keepers.filter(
+        (F.size(toks) >= min_tokens) & ((n_distinct / n) >= min_distinct_ratio)
+    ).select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(n_distinct / n, 6).alias("distinct_ratio"),
+    )
+    if keep_langs:
+        out = out.filter(F.col("pred_lang").isin(*keep_langs))
+    return out.orderBy(id_col)
 
 
 def doc_fingerprints(

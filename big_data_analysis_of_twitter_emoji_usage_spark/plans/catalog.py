@@ -54,6 +54,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import 
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
     cosine_knn_bruteforce,
+    cosine_knn_ivf,
     cosine_knn_sign_lsh,
     embedding_near_dup_pairs,
 )
@@ -61,6 +62,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis impo
     BPE_ISH_RE,
     STOPWORDS,
     bpe_token_stats,
+    curate_corpus,
     doc_fingerprints,
     language_id,
     quality_scores,
@@ -69,6 +71,8 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis impo
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import (
     attach_binary_payload,
     decode_batch,
+    frame_sample_batch,
+    resize_batch,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
     run_stream_to_memory,
@@ -1046,6 +1050,17 @@ def knn_lsh_q(spark, sf):
     return cosine_knn_sign_lsh(emb, emb.filter(F.col("vec_id") < 10), k=3, bits=6)
 
 
+def knn_ivf_q(spark, sf):
+    """IVF-flat ANN: deterministic md5-sampled coarse centroids,
+    broadcast assignment (corpus never shuffles for the quantization),
+    nprobe-list probe join. The FAISS-style inverted-list structure from
+    open DataFrame primitives; search cost |q| * (nprobe/n_lists) * n."""
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_knn_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, n_lists=16, nprobe=4
+    )
+
+
 def text_langid_q(spark, sf):
     return language_id(_docs(spark, sf))
 
@@ -1066,10 +1081,29 @@ def text_bpe_tokens_q(spark, sf):
     return bpe_token_stats(_docs(spark, sf))
 
 
+def corpus_curation_q(spark, sf):
+    """End-to-end curation pipeline (dedup keeper → quality gate →
+    langid) in one plan with one shuffle. See
+    operators.text_analysis.curate_corpus."""
+    return curate_corpus(_docs(spark, sf))
+
+
 def multimodal_decode_q(spark, sf):
     """Binary payload → Arrow-batched mapInPandas decode (stubbed codec,
-    real plumbing). The only Python-side operator in the catalog."""
+    real plumbing)."""
     return decode_batch(attach_binary_payload(_docs(spark, sf)))
+
+
+def multimodal_resize_q(spark, sf):
+    """Aspect-preserving resize geometry + cache-key hash over
+    mapInPandas (integer arithmetic — fully oracle-checked)."""
+    return resize_batch(attach_binary_payload(_docs(spark, sf)))
+
+
+def multimodal_frames_q(spark, sf):
+    """One-to-many frame sampling over mapInPandas (each payload yields
+    up to 4 frame rows — the Python UDTF shape)."""
+    return frame_sample_batch(attach_binary_payload(_docs(spark, sf)))
 
 
 # --------------------------------------------------------------------------
@@ -1443,6 +1477,32 @@ ORACLE_SQL: dict[str, str] = {
         "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
         " WHERE rank <= 5"
     ),
+    "knn_ivf": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " cent AS (SELECT vec_id AS cid, v AS cv FROM e"
+        "  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),"
+        " asg AS (SELECT vec_id, cid AS list FROM ("
+        "  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id"
+        "   ORDER BY list_dot_product(e.v, c.cv) /"
+        "   sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv))"
+        "   DESC, c.cid ASC) AS rk FROM e CROSS JOIN cent c) WHERE rk = 1),"
+        " q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),"
+        " probes AS (SELECT query_id, qv, cid AS list FROM ("
+        "  SELECT q.query_id, q.qv, c.cid, row_number() OVER ("
+        "   PARTITION BY q.query_id"
+        "   ORDER BY list_dot_product(q.qv, c.cv) /"
+        "   sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))"
+        "   DESC, c.cid ASC) AS prk FROM q CROSS JOIN cent c) WHERE prk <= 4),"
+        " scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,"
+        "  list_dot_product(p.qv, e.v) /"
+        "  sqrt(list_dot_product(p.qv, p.qv) * list_dot_product(e.v, e.v)) AS cos"
+        "  FROM probes p JOIN asg a ON a.list = p.list"
+        "  JOIN e ON e.vec_id = a.vec_id WHERE e.vec_id <> p.query_id)"
+        " SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
+        " WHERE rank <= 3"
+    ),
     "knn_lsh": (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, concat("
         + ", ".join(
@@ -1498,6 +1558,30 @@ ORACLE_SQL: dict[str, str] = {
         "WITH " + _SHINGLES_CTE
         + " SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"
     ),
+    "corpus_curation": (
+        "WITH k AS (SELECT doc_id, text FROM ("
+        "  SELECT doc_id, text, row_number() OVER ("
+        "   PARTITION BY text ORDER BY doc_id) AS rn FROM documents)"
+        "  WHERE rn = 1),"
+        " base AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM k),"
+        " q AS (SELECT doc_id, len(t) AS n_tokens,"
+        "  round(len(list_distinct(t)) / len(t), 6) AS distinct_ratio"
+        "  FROM base WHERE len(t) >= 10"
+        "  AND len(list_distinct(t)) / len(t) >= 0.2),"
+        " tok AS (SELECT doc_id, unnest(t) AS word FROM base),"
+        " s AS (SELECT doc_id,\n  "
+        + _LANG_SCORE
+        + "\n FROM tok GROUP BY doc_id),"
+        " l AS (SELECT doc_id,"
+        " CASE WHEN greatest(en_score, de_score, es_score, fr_score) <= 0"
+        " THEN 'und'"
+        " WHEN en_score = greatest(en_score, de_score, es_score, fr_score) THEN 'en'"
+        " WHEN de_score = greatest(en_score, de_score, es_score, fr_score) THEN 'de'"
+        " WHEN es_score = greatest(en_score, de_score, es_score, fr_score) THEN 'es'"
+        " ELSE 'fr' END AS pred_lang FROM s)"
+        " SELECT q.doc_id, l.pred_lang, q.n_tokens, q.distinct_ratio"
+        " FROM q JOIN l USING (doc_id) ORDER BY doc_id"
+    ),
     "multimodal_decode": (
         "SELECT doc_id, octet_length(encode(text))::INTEGER AS n_bytes,"
         " md5(text) AS content_hash,"
@@ -1505,6 +1589,34 @@ ORACLE_SQL: dict[str, str] = {
         " (1 + ascii(substr(text, length(text), 1)) % 64)::INTEGER AS height,"
         " CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'RGB' ELSE 'L' END"
         "  AS mode FROM documents"
+    ),
+    "multimodal_resize": (
+        "WITH b AS (SELECT doc_id,"
+        " (1 + ascii(substr(text, 1, 1)) % 64) AS w,"
+        " (1 + ascii(substr(text, length(text), 1)) % 64) AS h,"
+        " md5(text) AS chash FROM documents),"
+        " g AS (SELECT *,"
+        " CASE WHEN greatest(w, h) > 32"
+        "  THEN greatest(1, (w * 32) // greatest(w, h)) ELSE w END AS rw,"
+        " CASE WHEN greatest(w, h) > 32"
+        "  THEN greatest(1, (h * 32) // greatest(w, h)) ELSE h END AS rh"
+        " FROM b)"
+        " SELECT doc_id, w::INTEGER AS width, h::INTEGER AS height,"
+        " rw::INTEGER AS resized_width, rh::INTEGER AS resized_height,"
+        " md5(chash || ':' || rw || ':' || rh) AS resized_hash FROM g"
+    ),
+    "multimodal_frames": (
+        "WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb,"
+        " md5(text) AS chash FROM documents),"
+        " f AS (SELECT doc_id, chash,"
+        " greatest(1, nb // 16) AS n_frames,"
+        " greatest(1, greatest(1, nb // 16) // 4) AS stride FROM b)"
+        " SELECT doc_id, idx::INTEGER AS frame_idx,"
+        " n_frames::INTEGER AS n_frames,"
+        " md5(chash || ':' || idx) AS frame_hash FROM ("
+        "  SELECT doc_id, chash, n_frames,"
+        "  unnest(list_filter(list_transform(range(0, 4), i -> i * stride),"
+        "   x -> x < n_frames)) AS idx FROM f)"
     ),
 }
 
@@ -1558,10 +1670,14 @@ QUERIES = {
     "dedup_embedding": dedup_embedding_q,
     "knn_brute": knn_brute_q,
     "knn_lsh": knn_lsh_q,
+    "knn_ivf": knn_ivf_q,
     "text_langid": text_langid_q,
     "text_quality": text_quality_q,
     "text_token_stats": text_token_stats_q,
     "text_fingerprint": text_fingerprint_q,
     "text_bpe_tokens": text_bpe_tokens_q,
+    "corpus_curation": corpus_curation_q,
     "multimodal_decode": multimodal_decode_q,
+    "multimodal_resize": multimodal_resize_q,
+    "multimodal_frames": multimodal_frames_q,
 }
