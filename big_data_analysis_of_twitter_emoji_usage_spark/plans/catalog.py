@@ -68,6 +68,12 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis impo
     quality_scores,
     token_stats,
 )
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
+    chunk_documents,
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+)
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import (
     attach_binary_payload,
     decode_batch,
@@ -1081,6 +1087,36 @@ def text_bpe_tokens_q(spark, sf):
     return bpe_token_stats(_docs(spark, sf))
 
 
+def sample_hash_q(spark, sf):
+    """Deterministic ~25% Bernoulli sample by md5 threshold — stable
+    across partitionings/engines, filter pushed to the scan."""
+    return hash_sample(_docs(spark, sf), "4000").select(
+        "doc_id", "lang", "source"
+    ).orderBy("doc_id")
+
+
+def sample_stratified_q(spark, sf):
+    """20 docs per language by md5-hash order (map-side
+    WindowGroupLimit keeps the shuffle at top-k per partition)."""
+    return stratified_sample(_docs(spark, sf), "lang", 20).select(
+        "doc_id", "lang"
+    ).orderBy("lang", "doc_id")
+
+
+def chunk_docs_q(spark, sf):
+    """Overlapping token-window chunking (20-token chunks, 5 overlap) —
+    pure map-side generator, no shuffle."""
+    return chunk_documents(_docs(spark, sf)).orderBy("doc_id", "chunk_idx")
+
+
+def pack_sequences_q(spark, sf):
+    """Greedy contiguous sequence packing into 256-token batches across
+    8 independent shards (per-shard cumsum window — no global order)."""
+    return pack_sequences(
+        _docs(spark, sf), target_tokens=256, n_shards=8
+    ).orderBy("doc_id")
+
+
 def corpus_curation_q(spark, sf):
     """End-to-end curation pipeline (dedup keeper → quality gate →
     langid) in one plan with one shuffle. See
@@ -1558,6 +1594,34 @@ ORACLE_SQL: dict[str, str] = {
         "WITH " + _SHINGLES_CTE
         + " SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"
     ),
+    "sample_hash": (
+        "SELECT doc_id, lang, source FROM documents"
+        " WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '4000' ORDER BY doc_id"
+    ),
+    "sample_stratified": (
+        "SELECT doc_id, lang FROM ("
+        " SELECT doc_id, lang, row_number() OVER (PARTITION BY lang"
+        "  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM documents)"
+        " WHERE rk <= 20 ORDER BY lang, doc_id"
+    ),
+    "chunk_docs": (
+        "WITH b AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents),"
+        " s AS (SELECT doc_id, t,"
+        "  unnest(range(0, greatest(len(t), 1), 15)) AS st FROM b)"
+        " SELECT doc_id, (st // 15)::BIGINT AS chunk_idx,"
+        " len(t[st + 1 : st + 20])::BIGINT AS n_chunk_tokens,"
+        " array_to_string(t[st + 1 : st + 20], ' ') AS chunk_text"
+        " FROM s ORDER BY doc_id, chunk_idx"
+    ),
+    "pack_sequences": (
+        "WITH b AS (SELECT doc_id, doc_id % 8 AS shard,"
+        " len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),"
+        " w AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard"
+        "  ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS fill FROM b)"
+        " SELECT doc_id, shard, ((fill - n_tokens) // 256)::BIGINT AS batch_id,"
+        " n_tokens, fill AS batch_fill FROM w ORDER BY doc_id"
+    ),
     "corpus_curation": (
         "WITH k AS (SELECT doc_id, text FROM ("
         "  SELECT doc_id, text, row_number() OVER ("
@@ -1677,6 +1741,10 @@ QUERIES = {
     "text_fingerprint": text_fingerprint_q,
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
+    "sample_hash": sample_hash_q,
+    "sample_stratified": sample_stratified_q,
+    "chunk_docs": chunk_docs_q,
+    "pack_sequences": pack_sequences_q,
     "multimodal_decode": multimodal_decode_q,
     "multimodal_resize": multimodal_resize_q,
     "multimodal_frames": multimodal_frames_q,
