@@ -1,0 +1,103 @@
+"""Physical-plan regression tests: pin the shuffle/plan shapes the
+engine's 100 TB design claims (SCALE.md). A refactor that silently adds
+an Exchange or turns a top-k into a global sort should fail HERE, not in
+a benchmark three rounds later.
+
+Plans are inspected on raw reads (no ``spread()``) so the assertions see
+only the operator's own exchanges, not the local-parallelism repartition.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+    minhash_signatures,
+    doc_shingle_arrays,
+    simhash_fingerprints,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import asof_join
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
+    chunk_documents,
+    hash_sample,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
+    curate_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def data_exchanges(plan: str) -> int:
+    """Hash/range exchanges (real shuffles); broadcast exchanges and
+    explicit round-robin repartitions are not data-movement regressions
+    in the sense these tests pin."""
+    return len(re.findall(r"Exchange (hash|range)partitioning", plan))
+
+
+def test_simhash_is_pure_projection(docs):
+    assert data_exchanges(plan_of(simhash_fingerprints(docs))) == 0
+
+
+def test_minhash_signatures_map_side(docs):
+    sigs = minhash_signatures(doc_shingle_arrays(docs))
+    assert data_exchanges(plan_of(sigs)) == 0
+
+
+def test_chunking_is_map_side(docs):
+    assert data_exchanges(plan_of(chunk_documents(docs))) == 0
+
+
+def test_hash_sample_pushed_to_scan(docs):
+    assert data_exchanges(plan_of(hash_sample(docs, "4000"))) == 0
+
+
+def test_curation_is_single_shuffle(docs):
+    plan = plan_of(curate_corpus(docs).drop("doc_id"))  # drop final sort col
+    # one hash exchange for the keeper window; the trailing orderBy adds
+    # a range exchange over the (tiny) survivor set — allow exactly those
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # keeper selection must prune map-side, not shuffle the full corpus
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["p_id"],
+    )
+    assert data_exchanges(plan_of(out)) == 1
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import tpch_q3_topk
+
+    plan = plan_of(tpch_q3_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_centroids_take_ordered(docs, spark, sf_dir):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        select_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(select_ivf_centroids(emb))
+    assert "TakeOrderedAndProject" in plan
