@@ -139,6 +139,39 @@ def bpe_token_stats(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked vocabulary (tokenizer prep): the ``vocab_size``
+    most frequent whitespace tokens with contiguous ids assigned by
+    (count desc, token) rank.
+
+    Plan: explode → one hash-agg shuffle (partial map-side) →
+    ``orderBy().limit()`` = TakeOrderedAndProject (per-partition heaps,
+    never a global sort of the token distribution) → id assignment via a
+    rank window that only ever sees the already-limited ``vocab_size``
+    rows, so its single-partition execution is O(vocab), not O(corpus).
+    Returns (token_id, token, cnt).
+    """
+    counts = (
+        df.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), "token")
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return counts.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "token",
+        "cnt",
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     text_col: str = "text",

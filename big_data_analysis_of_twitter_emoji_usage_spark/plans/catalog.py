@@ -62,6 +62,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis impo
     BPE_ISH_RE,
     STOPWORDS,
     bpe_token_stats,
+    build_vocab,
     curate_corpus,
     doc_fingerprints,
     language_id,
@@ -1087,6 +1088,12 @@ def text_bpe_tokens_q(spark, sf):
     return bpe_token_stats(_docs(spark, sf))
 
 
+def vocab_top_tokens_q(spark, sf):
+    """Tokenizer-prep vocabulary: top-100 tokens with rank-contiguous
+    ids (TakeOrdered top-k; the id window sees only the k survivors)."""
+    return build_vocab(_docs(spark, sf), vocab_size=100)
+
+
 def sample_hash_q(spark, sf):
     """Deterministic ~25% Bernoulli sample by md5 threshold — stable
     across partitionings/engines, filter pushed to the scan."""
@@ -1594,6 +1601,14 @@ ORACLE_SQL: dict[str, str] = {
         "WITH " + _SHINGLES_CTE
         + " SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"
     ),
+    "vocab_top_tokens": (
+        "WITH t AS (SELECT unnest(string_split(text, ' ')) AS token"
+        " FROM documents),"
+        " c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token"
+        "  ORDER BY cnt DESC, token LIMIT 100)"
+        " SELECT (row_number() OVER (ORDER BY cnt DESC, token) - 1)::BIGINT"
+        "  AS token_id, token, cnt FROM c"
+    ),
     "sample_hash": (
         "SELECT doc_id, lang, source FROM documents"
         " WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '4000' ORDER BY doc_id"
@@ -1741,6 +1756,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint_q,
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
+    "vocab_top_tokens": vocab_top_tokens_q,
     "sample_hash": sample_hash_q,
     "sample_stratified": sample_stratified_q,
     "chunk_docs": chunk_docs_q,
