@@ -1,0 +1,202 @@
+"""Data-safety operators for training pipelines: PII detection /
+redaction, benchmark decontamination, and intra-document repetition
+filters (Gopher-style).
+
+The reference has no safety surface (its corpus is public tweets);
+these are the §7-extension operators every pre-training pipeline runs
+before (and after) curation. Design rules:
+
+- **Regexes live in the Java∩RE2 subset** (no lookarounds, no unicode
+  property classes) so the *identical* pattern string runs in Spark's
+  Java regex engine and the DuckDB (RE2) oracle — the same discipline
+  as ``text_analysis.BPE_ISH_RE``.
+- **Per-document ops are pure projections** — PII counts, redaction,
+  and repetition scores never shuffle; they run at scan speed on
+  100 TB.
+- **Decontamination broadcasts the benchmark, never the corpus**: the
+  benchmark n-gram set (the small side — 1e5..1e7 n-grams for every
+  published eval suite) is aggregated to one array row and broadcast;
+  the corpus side stays a zero-shuffle projection + array_intersect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# PII patterns (Java∩RE2-portable). Each deliberately simple and anchored
+# on structure, not context — the distributed baseline; model-based NER
+# plugs in via mapInPandas (see operators/multimodal.py for the plumbing).
+# ---------------------------------------------------------------------------
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the common-subset email shape
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # +CC-AAA-EEE-NNNN international-ish phone
+    "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    # 3-2-4 SSN (cannot match inside the phone shape: group widths differ)
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    # dotted-quad IPv4 (no octet-range check — structural detector)
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+# Redaction must run email first (its local part could otherwise be
+# clipped by an earlier digit-pattern replacement); the rest are
+# mutually exclusive by structure.
+PII_REDACT_ORDER = ["email", "phone", "ssn", "ipv4"]
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts, one column per pattern class plus a
+    total. ``regexp_extract_all`` → ``size`` per class — a pure
+    projection, no shuffle, whole-stage codegen end to end.
+
+    Returns (doc_id, n_email, n_phone, n_ssn, n_ipv4, n_pii).
+    """
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        ).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    }
+    out = df.select(F.col(id_col), *counts.values())
+    total = sum(
+        (F.col(f"n_{n}") for n in PII_PATTERNS), F.lit(0).cast("long")
+    )
+    return out.select(
+        id_col, *[f"n_{n}" for n in PII_PATTERNS], total.alias("n_pii")
+    )
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace every PII match with a typed placeholder
+    (``<EMAIL>``/``<PHONE>``/``<SSN>``/``<IPV4>``) and count the
+    redactions. A chain of four ``regexp_replace`` calls — still one
+    projection, no shuffle; Catalyst fuses the chain into one codegen
+    stage.
+
+    Returns (doc_id, n_redactions, redacted).
+    """
+    redacted = F.col(text_col)
+    for name in PII_REDACT_ORDER:
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[name], f"<{name.upper()}>"
+        )
+    total = sum(
+        (
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), 0))
+            for p in PII_PATTERNS.values()
+        ),
+        F.lit(0),
+    )
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_redactions"),
+        redacted.alias("redacted"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination by exact n-gram overlap (the standard
+    13-gram rule): flag every corpus document sharing ≥1 word n-gram
+    with the benchmark corpus.
+
+    Scale shape — the corpus NEVER shuffles:
+
+    - Each side's n-grams are md5-hashed per row with
+      ``transform``/``array_to_string`` (map-side, compact fixed-width
+      keys).
+    - The benchmark side — the small side, by construction — collapses
+      to a single ``collect_set`` row and is **broadcast**; the corpus
+      side cross-joins that one row and probes with
+      ``array_intersect``. Zero corpus-side exchange; cost is a scan.
+    - For benchmark suites too big for one broadcast array, the same
+      hashes feed a broadcast hash join on the exploded corpus side
+      instead — flip, not rewrite.
+
+    Documents with fewer than ``n`` tokens have no n-grams and are
+    excluded (they cannot be contaminated under this rule).
+
+    Returns (doc_id, n_ngrams, n_contaminated_ngrams, contaminated).
+    """
+    def ngram_hashes(c):
+        toks = F.split(F.col(c), " ")
+        starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        return F.array_distinct(
+            F.transform(
+                starts,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+            )
+        )
+
+    docs = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).select(
+        F.col(id_col), ngram_hashes(text_col).alias("_sh")
+    )
+    bench = (
+        bench_df.filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(F.explode(ngram_hashes(text_col)).alias("_h"))
+        .agg(F.collect_set("_h").alias("_bench"))
+    )
+    hits = F.size(F.array_intersect("_sh", "_bench"))
+    return docs.crossJoin(F.broadcast(bench)).select(
+        id_col,
+        F.size("_sh").cast("long").alias("n_ngrams"),
+        hits.cast("long").alias("n_contaminated_ngrams"),
+        (hits > 0).alias("contaminated"),
+    )
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.6,
+    max_dup_2gram_frac: float = 0.4,
+) -> DataFrame:
+    """Gopher-style intra-document repetition filters: fraction of
+    duplicated words, most-frequent-word share, and fraction of
+    duplicated 2-grams, plus a keep/flag label at the given thresholds.
+
+    All computed with higher-order array functions inside one
+    projection — no explode, no shuffle. The top-word share does an
+    O(distinct × total) nested ``filter`` per document; documents are
+    KB-scale so this stays cheap, and nothing leaves the scan stage.
+
+    Returns (doc_id, dup_word_frac, top_word_frac, dup_2gram_frac,
+    label).
+    """
+    toks = F.split(F.col(text_col), " ")
+    nd = F.size(F.array_distinct(toks))
+    n = F.size(toks).cast("double")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    grams2 = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    n2 = F.size(grams2).cast("double")
+    nd2 = F.size(F.array_distinct(grams2))
+    dup_w = F.round(1 - nd / n, 6)
+    dup_2 = F.round(1 - nd2 / n2, 6)
+    return df.filter(F.size(toks) >= 2).select(
+        F.col(id_col),
+        dup_w.alias("dup_word_frac"),
+        F.round(top / n, 6).alias("top_word_frac"),
+        dup_2.alias("dup_2gram_frac"),
+        F.when(
+            (dup_w <= max_dup_word_frac) & (dup_2 <= max_dup_2gram_frac),
+            "keep",
+        ).otherwise("flag").alias("label"),
+    )

@@ -101,6 +101,63 @@ def chunk_documents(
     )
 
 
+def mix_sources(
+    df: DataFrame,
+    weights_hex4: dict[str, str],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_hex4: str = "0000",
+) -> DataFrame:
+    """Weighted domain mixing: down-sample each source to its target
+    rate (the "mixture weights" step between curation and
+    tokenization). Rates are 4-hex-digit md5 thresholds per source —
+    ``'ffff'`` ≈ keep all, ``'8000'`` ≈ 50%, ``'2000'`` ≈ 12.5% — the
+    same deterministic device as ``hash_sample``, so the kept set is a
+    function of the data alone.
+
+    The per-source threshold is a ``create_map`` literal probed with
+    ``element_at`` — JVM-side, no UDF, no join; the whole operator is a
+    filter fused into the scan. Sources absent from ``weights_hex4``
+    fall back to ``default_hex4`` (drop, by default).
+    """
+    thr_map = F.create_map(
+        *[F.lit(x) for kv in weights_hex4.items() for x in kv]
+    )
+    thr = F.coalesce(
+        F.element_at(thr_map, F.col(source_col)), F.lit(default_hex4)
+    )
+    digest = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return df.filter(digest < thr)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row
+    gets a (shard, pos) such that reading shards in order of pos yields
+    an md5-permuted order of the corpus — the "shuffle the dataset
+    before training" step, reproducible across cluster sizes.
+
+    Shard assignment is multiplicative-hash modular arithmetic (Knuth
+    constant) — portable integer math, no hex decoding — and the
+    in-shard position is a ``row_number`` ordered by ``md5(id)``. ONE
+    shuffle (the window's hash partition by shard); each task orders
+    only corpus/n_shards rows, so no global sort ever materializes.
+
+    Returns input columns + (shard, pos).
+    """
+    shard = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("shard", shard.cast("long"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",

@@ -72,8 +72,17 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis impo
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
     chunk_documents,
     hash_sample,
+    mix_sources,
     pack_sequences,
+    shuffle_shards,
     stratified_sample,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.safety import (
+    PII_PATTERNS,
+    decontaminate,
+    pii_redact,
+    pii_scan,
+    repetition_scores,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import (
     attach_binary_payload,
@@ -1149,6 +1158,98 @@ def multimodal_frames_q(spark, sf):
     return frame_sample_batch(attach_binary_payload(_docs(spark, sf)))
 
 
+def _pii_synth(spark, sf):
+    """The fixture corpus is PII-free, so PII strings are synthesized
+    deterministically from doc_id arithmetic (same device as the emoji
+    synth kernels): ~1/3 of docs get an email, 1/4 a phone, 1/5 an SSN,
+    1/7 an IPv4 — overlapping, so multi-hit docs exist."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    def inject(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    email = inject(
+        i % 3 == 0, F.lit(" user"), s(i % 50), F.lit("@ex"), s(i % 7),
+        F.lit(".com"),
+    )
+    phone = inject(
+        i % 4 == 0, F.lit(" +1-555-"), s(100 + i % 900), F.lit("-"),
+        s(1000 + i % 9000),
+    )
+    ssn = inject(
+        i % 5 == 0, F.lit(" "), s(100 + i % 900), F.lit("-"),
+        s(10 + i % 90), F.lit("-"), s(1000 + i % 9000),
+    )
+    ip = inject(
+        i % 7 == 0, F.lit(" 10."), s(i % 256), F.lit("."),
+        s((i * 3) % 256), F.lit("."), s((i * 7) % 256),
+    )
+    return _docs(spark, sf).select(
+        "doc_id", F.concat("text", email, phone, ssn, ip).alias("text")
+    )
+
+
+def pii_scan_q(spark, sf):
+    """Per-class PII hit counts over synthesized PII text — pure
+    projection (operators.safety.pii_scan)."""
+    return pii_scan(_pii_synth(spark, sf)).orderBy("doc_id")
+
+
+def pii_redact_q(spark, sf):
+    """Typed-placeholder PII redaction; only docs that had PII are
+    returned (value-bearing on both the count and the rewritten
+    text)."""
+    return (
+        pii_redact(_pii_synth(spark, sf))
+        .filter(F.col("n_redactions") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def decontam_docs_q(spark, sf):
+    """13-gram benchmark decontamination: benchmark = every 17th doc's
+    text; corpus side never shuffles (broadcast benchmark set +
+    array_intersect probe)."""
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return decontaminate(docs, bench).orderBy("doc_id")
+
+
+def repetition_scores_q(spark, sf):
+    """Gopher-style repetition filters over the raw corpus (the fixture
+    text is genuinely repetitive — value-bearing without synthesis)."""
+    return repetition_scores(_docs(spark, sf)).orderBy("doc_id")
+
+
+#: Mixture weights for the mix_sources demo: a few sources kept at
+#: graded rates, the long tail dropped (default threshold '0000').
+MIX_WEIGHTS = {
+    "src0": "ffff", "src1": "c000", "src2": "8000",
+    "src3": "4000", "src4": "2000", "src5": "1000",
+}
+
+
+def mix_sources_q(spark, sf):
+    """Deterministic weighted domain mixing — per-source md5-threshold
+    rates via a create_map literal, filter fused into the scan."""
+    return (
+        mix_sources(_docs(spark, sf), MIX_WEIGHTS)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def shuffle_shards_q(spark, sf):
+    """Deterministic training-shard shuffle: multiplicative-hash shard
+    + md5-ordered in-shard position; one shuffle, no global sort."""
+    return (
+        shuffle_shards(_docs(spark, sf), n_shards=16)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect), keyed identically.
 # --------------------------------------------------------------------------
@@ -1160,6 +1261,28 @@ _LANG_SCORE = ",\n  ".join(
     "round(sum(CASE WHEN word IN ({lst}) THEN 1 ELSE 0 END) / count(*), 6)"
     " AS {lang}_score".format(lst=_STOP_IN[lang], lang=lang)
     for lang in ["en", "de", "es", "fr"]
+)
+
+# PII patterns verbatim from operators.safety (Java∩RE2-portable; no
+# single quotes, safe to embed in SQL literals).
+_PII_SQL = PII_PATTERNS
+
+# DuckDB side of _pii_synth: the same doc_id-arithmetic injection.
+_PII_SYNTH_CTE = (
+    "WITH p AS (SELECT doc_id, text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' user' || (doc_id % 50)::VARCHAR"
+    " || '@ex' || (doc_id % 7)::VARCHAR || '.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' +1-555-'"
+    " || (100 + doc_id % 900)::VARCHAR || '-'"
+    " || (1000 + doc_id % 9000)::VARCHAR ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' '"
+    " || (100 + doc_id % 900)::VARCHAR || '-'"
+    " || (10 + doc_id % 90)::VARCHAR || '-'"
+    " || (1000 + doc_id % 9000)::VARCHAR ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' 10.' || (doc_id % 256)::VARCHAR"
+    " || '.' || ((doc_id * 3) % 256)::VARCHAR"
+    " || '.' || ((doc_id * 7) % 256)::VARCHAR ELSE '' END"
+    " AS text FROM documents)"
 )
 
 ORACLE_SQL: dict[str, str] = {
@@ -1697,6 +1820,84 @@ ORACLE_SQL: dict[str, str] = {
         "  unnest(list_filter(list_transform(range(0, 4), i -> i * stride),"
         "   x -> x < n_frames)) AS idx FROM f)"
     ),
+    "pii_scan": (
+        _PII_SYNTH_CTE
+        + " SELECT doc_id, "
+        + ", ".join(
+            "len(regexp_extract_all(text, '{p}'))::BIGINT AS n_{n}".format(
+                p=_PII_SQL[n], n=n
+            )
+            for n in ["email", "phone", "ssn", "ipv4"]
+        )
+        + ", ("
+        + " + ".join(
+            f"len(regexp_extract_all(text, '{_PII_SQL[n]}'))"
+            for n in ["email", "phone", "ssn", "ipv4"]
+        )
+        + ")::BIGINT AS n_pii FROM p ORDER BY doc_id"
+    ),
+    "pii_redact": (
+        _PII_SYNTH_CTE
+        + ", r AS (SELECT doc_id, ("
+        + " + ".join(
+            f"len(regexp_extract_all(text, '{_PII_SQL[n]}'))"
+            for n in ["email", "phone", "ssn", "ipv4"]
+        )
+        + ")::BIGINT AS n_redactions, "
+        + "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "text, '{email}', '<EMAIL>', 'g'), '{phone}', '<PHONE>', 'g'),"
+        " '{ssn}', '<SSN>', 'g'), '{ipv4}', '<IPV4>', 'g')"
+        " AS redacted FROM p)".format(**_PII_SQL)
+        + " SELECT doc_id, n_redactions, redacted FROM r"
+        " WHERE n_redactions > 0 ORDER BY doc_id"
+    ),
+    "decontam_docs": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents),"
+        " sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, len(t) - 11), i -> md5(array_to_string(t[i:i+12], ' ')"
+        ")))) AS h FROM toks WHERE len(t) >= 13),"
+        " bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0),"
+        " cnt AS (SELECT s.doc_id, count(*) AS n_ngrams, count(b.h) AS hit"
+        " FROM sh s LEFT JOIN bench b ON s.h = b.h GROUP BY s.doc_id)"
+        " SELECT doc_id, n_ngrams::BIGINT AS n_ngrams,"
+        " hit::BIGINT AS n_contaminated_ngrams, hit > 0 AS contaminated"
+        " FROM cnt ORDER BY doc_id"
+    ),
+    "repetition_scores": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents),"
+        " w AS (SELECT doc_id, unnest(t) AS word FROM toks),"
+        " wc AS (SELECT doc_id, word, count(*) AS c FROM w"
+        " GROUP BY doc_id, word),"
+        " a AS (SELECT doc_id, sum(c)::DOUBLE AS n, count(*) AS nd,"
+        " max(c) AS mx FROM wc GROUP BY doc_id),"
+        " g AS (SELECT doc_id, (len(t) - 1)::DOUBLE AS n2,"
+        " len(list_distinct(list_transform(range(1, len(t)),"
+        " i -> t[i] || ' ' || t[i+1])))::DOUBLE AS nd2"
+        " FROM toks WHERE len(t) >= 2)"
+        " SELECT a.doc_id, round(1 - nd / n, 6) AS dup_word_frac,"
+        " round(mx / n, 6) AS top_word_frac,"
+        " round(1 - nd2 / n2, 6) AS dup_2gram_frac,"
+        " CASE WHEN round(1 - nd / n, 6) <= 0.6"
+        "  AND round(1 - nd2 / n2, 6) <= 0.4"
+        " THEN 'keep' ELSE 'flag' END AS label"
+        " FROM a JOIN g ON a.doc_id = g.doc_id ORDER BY a.doc_id"
+    ),
+    "mix_sources": (
+        "SELECT doc_id, source FROM documents"
+        " WHERE substr(md5(doc_id::VARCHAR), 1, 4) < CASE source"
+        + "".join(
+            f" WHEN '{s}' THEN '{t}'" for s, t in MIX_WEIGHTS.items()
+        )
+        + " ELSE '0000' END ORDER BY doc_id"
+    ),
+    "shuffle_shards": (
+        "SELECT doc_id, (doc_id * 2654435761) % 16 AS shard,"
+        " (row_number() OVER (PARTITION BY (doc_id * 2654435761) % 16"
+        "  ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos"
+        " FROM documents ORDER BY doc_id"
+    ),
 }
 
 
@@ -1764,4 +1965,10 @@ QUERIES = {
     "multimodal_decode": multimodal_decode_q,
     "multimodal_resize": multimodal_resize_q,
     "multimodal_frames": multimodal_frames_q,
+    "pii_scan": pii_scan_q,
+    "pii_redact": pii_redact_q,
+    "decontam_docs": decontam_docs_q,
+    "repetition_scores": repetition_scores_q,
+    "mix_sources": mix_sources_q,
+    "shuffle_shards": shuffle_shards_q,
 }

@@ -1,0 +1,111 @@
+"""Semantic unit tests for operators.safety — hand-computed small
+inputs pinning behaviors the DuckDB oracle can't isolate (exact
+redacted strings, per-class overlap rules, shard permutation laws)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.safety import (
+    decontaminate,
+    pii_redact,
+    pii_scan,
+    repetition_scores,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
+    mix_sources,
+    shuffle_shards,
+)
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_pii_scan_counts_per_class(spark):
+    df = docs_df(spark, [
+        "mail a@b.com and c.d+x@e-f.org end",          # 2 emails
+        "call +1-555-123-4567 or +44-202-555-0123",     # 2 phones
+        "ssn 123-45-6789 ip 10.0.255.1",                # 1 ssn, 1 ipv4
+        "clean text only",
+    ])
+    rows = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert (rows[0]["n_email"], rows[0]["n_pii"]) == (2, 2)
+    assert (rows[1]["n_phone"], rows[1]["n_pii"]) == (2, 2)
+    assert (rows[2]["n_ssn"], rows[2]["n_ipv4"], rows[2]["n_pii"]) == (1, 1, 2)
+    assert rows[3]["n_pii"] == 0
+
+
+def test_pii_phone_not_double_counted_as_ssn(spark):
+    df = docs_df(spark, ["num +1-555-123-4567 ok"])
+    r = pii_scan(df).collect()[0]
+    assert r["n_phone"] == 1 and r["n_ssn"] == 0
+
+
+def test_pii_redact_exact_output(spark):
+    df = docs_df(spark, ["hi a@b.com ssn 123-45-6789 at 10.1.2.3 done"])
+    r = pii_redact(df).collect()[0]
+    assert r["redacted"] == "hi <EMAIL> ssn <SSN> at <IPV4> done"
+    assert r["n_redactions"] == 3
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    words = [f"w{i}" for i in range(20)]
+    bench_text = " ".join(words)
+    # doc1 shares a 13-gram window with bench; doc2 shuffles word order
+    overlap = " ".join(words[2:15]) + " zz yy xx"
+    disjoint = " ".join(reversed(words))
+    df = docs_df(spark, [bench_text, overlap, disjoint])
+    bench = df.filter(F.col("doc_id") == 0).select("text")
+    out = {r["doc_id"]: r for r in decontaminate(df, bench).collect()}
+    assert out[0]["contaminated"] and out[1]["contaminated"]
+    assert not out[2]["contaminated"]
+    assert out[1]["n_contaminated_ngrams"] == 1
+
+
+def test_decontaminate_short_docs_excluded(spark):
+    df = docs_df(spark, ["only five words right here now", " ".join(
+        f"w{i}" for i in range(15)
+    )])
+    out = decontaminate(df, df.limit(0)).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_repetition_thresholds(spark):
+    df = docs_df(spark, [
+        "a a a a a a a a a b",            # dup_word_frac 0.8 -> flag
+        "one two three four five six",    # all distinct -> keep
+    ])
+    out = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert out[0]["label"] == "flag" and out[0]["top_word_frac"] == 0.9
+    assert out[1]["label"] == "keep" and out[1]["dup_2gram_frac"] == 0.0
+
+
+def test_mix_sources_rates_and_default_drop(spark):
+    df = spark.createDataFrame(
+        [(i, "keep_all" if i % 2 else "tail") for i in range(200)],
+        "doc_id long, source string",
+    )
+    kept = mix_sources(df, {"keep_all": "ffff"}).collect()
+    # 'ffff' keeps (md5 prefix < 'ffff' — all but a 1/65536 sliver);
+    # unlisted 'tail' drops entirely
+    assert {r["source"] for r in kept} == {"keep_all"}
+    assert len(kept) >= 99
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    out = shuffle_shards(df, n_shards=8).collect()
+    assert len(out) == 500
+    assert {r["shard"] for r in out} == set(range(8))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..k-1
+    # deterministic across invocations
+    again = shuffle_shards(df, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

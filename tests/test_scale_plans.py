@@ -22,6 +22,16 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
     chunk_documents,
     hash_sample,
 )
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.safety import (
+    decontaminate,
+    pii_redact,
+    pii_scan,
+    repetition_scores,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
+    mix_sources,
+    shuffle_shards,
+)
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
     curate_corpus,
 )
@@ -58,6 +68,32 @@ def test_chunking_is_map_side(docs):
 
 def test_hash_sample_pushed_to_scan(docs):
     assert data_exchanges(plan_of(hash_sample(docs, "4000"))) == 0
+
+
+def test_pii_ops_are_pure_projections(docs):
+    assert data_exchanges(plan_of(pii_scan(docs))) == 0
+    assert data_exchanges(plan_of(pii_redact(docs))) == 0
+
+
+def test_repetition_scores_pure_projection(docs):
+    assert data_exchanges(plan_of(repetition_scores(docs))) == 0
+
+
+def test_mix_sources_pushed_to_scan(docs):
+    assert data_exchanges(plan_of(mix_sources(docs, {"src0": "ffff"}))) == 0
+
+
+def test_decontaminate_corpus_never_shuffles(docs):
+    """The 100 TB side must see zero hash/range exchanges — the
+    benchmark side collapses to one broadcast row (SinglePartition +
+    BroadcastExchange, both allowed)."""
+    plan = plan_of(decontaminate(docs, docs.limit(20)))
+    assert data_exchanges(plan) == 0
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_shuffle_shards_single_exchange(docs):
+    assert data_exchanges(plan_of(shuffle_shards(docs, 16))) == 1
 
 
 def test_curation_is_single_shuffle(docs):
