@@ -342,3 +342,73 @@ def cosine_knn_sign_lsh(
             F.round("_cos", 6).alias("cosine"),
         )
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, emitted as
+    (label, pos, centroid) rows with 1-based dimension positions.
+
+    Plan: ``posexplode`` the vectors and hash-aggregate the mean per
+    (label, pos). The explode multiplies rows by the dimension count,
+    but partial (map-side) aggregation collapses them to
+    |labels| x dims rows per task before the ONE shuffle — at 100 TB the
+    exchange carries kilobytes per partition, not the corpus.
+    """
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("_p", "_v"),
+        )
+        .groupBy("label", (F.col("_p") + 1).alias("pos"))
+        .agg(F.round(F.avg("_v"), 6).alias("centroid"))
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    min_cosine: float = 0.2,
+) -> DataFrame:
+    """Embedding-space QA for labeled training data: each vector's
+    cosine to its OWN label's centroid; rows below ``min_cosine`` are
+    flagged as probable label noise / outliers.
+
+    The centroid table is |labels| rows — reassembled to arrays with
+    ``array_sort(collect_list(struct(pos, v)))`` and **broadcast**, so
+    the corpus side is one map-side hash join + JVM ``zip_with``
+    arithmetic: zero corpus shuffle, scan-speed at any scale.
+
+    Returns (vec_id, label, cos_centroid, is_outlier).
+    """
+    cents = (
+        embedding_centroids(df, vec_col, label_col)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("_cv")
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            _as_double(F.col(vec_col)).alias("_ev"),
+        )
+        .join(F.broadcast(cents), ["label"])
+        .select(
+            id_col,
+            "label",
+            F.round(cosine(F.col("_ev"), F.col("_cv")), 6).alias(
+                "cos_centroid"
+            ),
+        )
+        .withColumn("is_outlier", F.col("cos_centroid") < min_cosine)
+    )

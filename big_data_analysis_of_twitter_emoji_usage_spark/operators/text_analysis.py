@@ -245,3 +245,76 @@ def doc_fingerprints(
         F.col(id_col),
         F.array_min(F.transform("shingles", F.md5)).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document (smoothed:
+    ``tf * (ln((N+1)/(df+1)) + 1)``), with the corpus side kept at scan
+    speed.
+
+    Scale shape — the corpus NEVER shuffles on doc or term:
+
+    - Document frequencies need one aggregation: explode the per-doc
+      DISTINCT term arrays and hash-agg by term (map-side partials make
+      the exchange vocabulary-sized, not corpus-sized).
+    - The top-``vocab_size`` terms (by df desc, term — deterministic)
+      collapse to a single ``map_from_entries`` row, broadcast alongside
+      a 1-row corpus count. Terms outside the capped vocab score with
+      df=0 (max idf) — the documented approximation that bounds the
+      broadcast at any corpus size.
+    - Per-document tf, scoring, and top-k selection are higher-order
+      array expressions (nested filter counts, struct-sort, slice) — a
+      pure projection; the per-doc sort sees ≤ distinct-terms elements,
+      never a window over the corpus.
+
+    Returns (doc_id, rank, term, tf, tfidf).
+    """
+    toks = F.split(F.col(text_col), " ")
+    dw = df.select(F.explode(F.array_distinct(toks)).alias("term"))
+    vocab = (
+        dw.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .orderBy(F.desc("dfc"), "term")
+        .limit(vocab_size)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "dfc"))
+            ).alias("_vocab")
+        )
+    )
+    ndocs = df.agg(F.count(F.lit(1)).alias("_n"))
+    idf = lambda dfc: (  # noqa: E731
+        F.log((F.col("_n") + 1) / (dfc + 1)) + 1
+    )
+    entries = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            (
+                -F.round(
+                    F.size(F.filter(toks, lambda x: x == t))
+                    * idf(F.coalesce(F.element_at("_vocab", t), F.lit(0))),
+                    6,
+                )
+            ).alias("ns"),
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
+        ),
+    )
+    top = F.slice(F.array_sort(entries), 1, k)
+    return df.crossJoin(F.broadcast(vocab)).crossJoin(
+        F.broadcast(ndocs)
+    ).select(
+        F.col(id_col), F.posexplode(top).alias("_p", "_e")
+    ).select(
+        id_col,
+        (F.col("_p") + 1).cast("long").alias("rank"),
+        F.col("_e.term").alias("term"),
+        F.col("_e.tf").cast("long").alias("tf"),
+        (-F.col("_e.ns")).alias("tfidf"),
+    )

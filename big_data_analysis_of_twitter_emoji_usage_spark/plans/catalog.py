@@ -56,7 +56,9 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import 
     cosine_knn_bruteforce,
     cosine_knn_ivf,
     cosine_knn_sign_lsh,
+    embedding_centroids,
     embedding_near_dup_pairs,
+    embedding_outliers,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
     BPE_ISH_RE,
@@ -67,6 +69,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis impo
     doc_fingerprints,
     language_id,
     quality_scores,
+    tfidf_top_terms,
     token_stats,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
@@ -1250,6 +1253,28 @@ def shuffle_shards_q(spark, sf):
     )
 
 
+def embedding_centroids_q(spark, sf):
+    """Per-label embedding centroids as (label, pos, centroid) rows —
+    posexplode + ONE map-side-partial aggregation."""
+    return embedding_centroids(load_table(spark, sf, "embeddings")).orderBy(
+        "label", "pos"
+    )
+
+
+def embedding_outliers_q(spark, sf):
+    """Label-noise QA: cosine of each vector to its own label centroid,
+    flagged below 0.0 — centroids broadcast, zero corpus shuffle."""
+    return embedding_outliers(
+        load_table(spark, sf, "embeddings"), min_cosine=0.0
+    ).orderBy("vec_id")
+
+
+def tfidf_top_terms_q(spark, sf):
+    """Top-3 TF-IDF keywords per doc; vocabulary + corpus count
+    broadcast as single rows, corpus side pure projection."""
+    return tfidf_top_terms(_docs(spark, sf)).orderBy("doc_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect), keyed identically.
 # --------------------------------------------------------------------------
@@ -1898,6 +1923,53 @@ ORACLE_SQL: dict[str, str] = {
         "  ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos"
         " FROM documents ORDER BY doc_id"
     ),
+    "embedding_centroids": (
+        "WITH d AS (SELECT label, unnest(generate_series(1,"
+        " len(embedding))) AS pos, embedding::DOUBLE[] AS v"
+        " FROM embeddings)"
+        " SELECT label, pos, round(avg(v[pos]), 6) AS centroid"
+        " FROM d GROUP BY label, pos ORDER BY label, pos"
+    ),
+    "embedding_outliers": (
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v"
+        " FROM embeddings),"
+        " d AS (SELECT label, unnest(generate_series(1, len(v))) AS pos,"
+        " v FROM e),"
+        " c AS (SELECT label, pos, round(avg(v[pos]), 6) AS centroid"
+        " FROM d GROUP BY label, pos),"
+        " cv AS (SELECT label, list(centroid ORDER BY pos) AS cvec"
+        " FROM c GROUP BY label)"
+        " SELECT e.vec_id, e.label,"
+        " round(list_dot_product(e.v, cv.cvec) /"
+        "  sqrt(list_dot_product(e.v, e.v)"
+        "   * list_dot_product(cv.cvec, cv.cvec)), 6) AS cos_centroid,"
+        " round(list_dot_product(e.v, cv.cvec) /"
+        "  sqrt(list_dot_product(e.v, e.v)"
+        "   * list_dot_product(cv.cvec, cv.cvec)), 6) < 0.0 AS is_outlier"
+        " FROM e JOIN cv ON e.label = cv.label ORDER BY e.vec_id"
+    ),
+    "tfidf_top_terms": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents),"
+        " dw AS (SELECT doc_id, unnest(list_distinct(t)) AS term"
+        " FROM toks),"
+        " dfreq AS (SELECT term, count(*) AS dfc FROM dw GROUP BY term),"
+        " vocab AS (SELECT term, dfc FROM dfreq"
+        " ORDER BY dfc DESC, term LIMIT 500),"
+        " nd AS (SELECT count(*) AS n FROM documents),"
+        " tf AS (SELECT dw.doc_id, dw.term,"
+        " len(list_filter(toks.t, x -> x = dw.term)) AS tfc"
+        " FROM dw JOIN toks ON dw.doc_id = toks.doc_id),"
+        " scored AS (SELECT tf.doc_id, tf.term, tf.tfc,"
+        " round(tf.tfc * (ln((nd.n + 1) / (coalesce(vocab.dfc, 0) + 1))"
+        " + 1), 6) AS tfidf"
+        " FROM tf CROSS JOIN nd LEFT JOIN vocab ON tf.term = vocab.term)"
+        " SELECT doc_id, rank::BIGINT AS rank, term, tfc::BIGINT AS tf,"
+        " tfidf FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY doc_id"
+        "   ORDER BY tfidf DESC, term) AS rank FROM scored)"
+        " WHERE rank <= 3 ORDER BY doc_id, rank"
+    ),
 }
 
 
@@ -1971,4 +2043,7 @@ QUERIES = {
     "repetition_scores": repetition_scores_q,
     "mix_sources": mix_sources_q,
     "shuffle_shards": shuffle_shards_q,
+    "embedding_centroids": embedding_centroids_q,
+    "embedding_outliers": embedding_outliers_q,
+    "tfidf_top_terms": tfidf_top_terms_q,
 }

@@ -32,8 +32,13 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
     mix_sources,
     shuffle_shards,
 )
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+    embedding_centroids,
+    embedding_outliers,
+)
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
     curate_corpus,
+    tfidf_top_terms,
 )
 
 
@@ -94,6 +99,32 @@ def test_decontaminate_corpus_never_shuffles(docs):
 
 def test_shuffle_shards_single_exchange(docs):
     assert data_exchanges(plan_of(shuffle_shards(docs, 16))) == 1
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_embedding_centroids_single_exchange(embs):
+    assert data_exchanges(plan_of(embedding_centroids(embs))) == 1
+
+
+def test_embedding_outliers_corpus_broadcast_joined(embs):
+    """The corpus side must meet the (tiny) centroid table in a
+    broadcast hash join — the only hash exchanges allowed are inside
+    the |labels|-sized centroid sub-plan."""
+    plan = plan_of(embedding_outliers(embs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_tfidf_corpus_never_shuffles(docs):
+    """One hash exchange total (the vocabulary df-count agg); corpus
+    scoring/top-k is a projection fed by broadcast 1-row joins."""
+    plan = plan_of(tfidf_top_terms(docs))
+    assert data_exchanges(plan) == 1
+    assert "SortMergeJoin" not in plan
 
 
 def test_curation_is_single_shuffle(docs):
