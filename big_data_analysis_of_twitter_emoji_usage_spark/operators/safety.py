@@ -104,23 +104,29 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    strategy: str = "join",
 ) -> DataFrame:
     """Benchmark decontamination by exact n-gram overlap (the standard
     13-gram rule): flag every corpus document sharing ≥1 word n-gram
     with the benchmark corpus.
 
-    Scale shape — the corpus NEVER shuffles:
+    Both sides md5-hash their n-grams map-side (``transform`` +
+    ``concat_ws`` over token slices — compact fixed-width keys). Two
+    probe strategies, both broadcasting ONLY the benchmark:
 
-    - Each side's n-grams are md5-hashed per row with
-      ``transform``/``array_to_string`` (map-side, compact fixed-width
-      keys).
-    - The benchmark side — the small side, by construction — collapses
-      to a single ``collect_set`` row and is **broadcast**; the corpus
-      side cross-joins that one row and probes with
-      ``array_intersect``. Zero corpus-side exchange; cost is a scan.
-    - For benchmark suites too big for one broadcast array, the same
-      hashes feed a broadcast hash join on the exploded corpus side
-      instead — flip, not rewrite.
+    - ``strategy='join'`` (default, the scale path): explode the
+      corpus n-grams and LEFT-join the **broadcast** benchmark hash
+      table, then count per doc. The broadcast hash table is built
+      once per task and probed O(1) per n-gram; partial aggregation
+      collapses the exploded rows map-side, so the single exchange
+      carries one counter row per document. Cost: corpus_ngrams × O(1).
+    - ``strategy='array'``: collapse the benchmark to one
+      ``collect_set`` row, cross-join it, probe with
+      ``array_intersect``. ZERO corpus exchanges — but Spark rebuilds
+      the intersect hash set per corpus row, so cost is
+      corpus_rows × |bench|. Measured 10× blowup at |bench|≈9e4
+      (SCALE.md); only right when the benchmark list is tiny (≲1e3
+      n-grams) and the shuffle-free plan matters more than the probe.
 
     Documents with fewer than ``n`` tokens have no n-grams and are
     excluded (they cannot be contaminated under this rule).
@@ -128,29 +134,53 @@ def decontaminate(
     Returns (doc_id, n_ngrams, n_contaminated_ngrams, contaminated).
     """
     def ngram_hashes(c):
+        # total expression: short docs yield an EMPTY array rather than
+        # relying on the upstream filter (optimizers may evaluate the
+        # projection on pre-filter rows, and sequence(1, k<1) would
+        # generate a descending range and crash slice())
         toks = F.split(F.col(c), " ")
         starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-        return F.array_distinct(
-            F.transform(
-                starts,
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-            )
-        )
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    starts,
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     docs = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).select(
         F.col(id_col), ngram_hashes(text_col).alias("_sh")
     )
-    bench = (
+    bench_grams = (
         bench_df.filter(F.size(F.split(F.col(text_col), " ")) >= n)
         .select(F.explode(ngram_hashes(text_col)).alias("_h"))
-        .agg(F.collect_set("_h").alias("_bench"))
     )
-    hits = F.size(F.array_intersect("_sh", "_bench"))
-    return docs.crossJoin(F.broadcast(bench)).select(
-        id_col,
-        F.size("_sh").cast("long").alias("n_ngrams"),
-        hits.cast("long").alias("n_contaminated_ngrams"),
-        (hits > 0).alias("contaminated"),
+    if strategy == "array":
+        bench = bench_grams.agg(F.collect_set("_h").alias("_bench"))
+        hits = F.size(F.array_intersect("_sh", "_bench"))
+        return docs.crossJoin(F.broadcast(bench)).select(
+            id_col,
+            F.size("_sh").cast("long").alias("n_ngrams"),
+            hits.cast("long").alias("n_contaminated_ngrams"),
+            (hits > 0).alias("contaminated"),
+        )
+    bench = bench_grams.distinct().withColumnRenamed("_h", "_bh")
+    grams = docs.select(F.col(id_col), F.explode("_sh").alias("_h"))
+    return (
+        grams.join(F.broadcast(bench), grams["_h"] == bench["_bh"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_bh").alias("n_contaminated_ngrams"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_contaminated_ngrams",
+            (F.col("n_contaminated_ngrams") > 0).alias("contaminated"),
+        )
     )
 
 

@@ -88,11 +88,26 @@ def test_mix_sources_pushed_to_scan(docs):
     assert data_exchanges(plan_of(mix_sources(docs, {"src0": "ffff"}))) == 0
 
 
-def test_decontaminate_corpus_never_shuffles(docs):
-    """The 100 TB side must see zero hash/range exchanges — the
-    benchmark side collapses to one broadcast row (SinglePartition +
-    BroadcastExchange, both allowed)."""
+def test_decontaminate_join_probes_broadcast_table(docs):
+    """Default strategy: benchmark meets the corpus in a broadcast hash
+    join (probe table built once per task, O(1) probes); exactly two
+    hash exchanges — the benchmark-side distinct and the per-doc
+    partial-agg count — and only the latter touches corpus-derived
+    rows (one counter row per doc)."""
     plan = plan_of(decontaminate(docs, docs.limit(20)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # corpus-derived rows shuffle exactly once, pre-collapsed to
+    # per-doc counters ("partial_count" before the exchange)
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert data_exchanges(plan) <= 2
+    assert "partial_count" in plan
+
+
+def test_decontaminate_array_strategy_never_shuffles(docs):
+    """The tiny-benchmark strategy keeps the corpus side at zero
+    hash/range exchanges (per-row intersect cost — see SCALE.md)."""
+    plan = plan_of(decontaminate(docs, docs.limit(20), strategy="array"))
     assert data_exchanges(plan) == 0
     assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
 
