@@ -705,6 +705,55 @@ def join_revenue_by_nation(spark, sf):
     )
 
 
+def tpch_q5_local_supply(spark, sf):
+    """TPC-H Q5 shape: the 6-table join with a same-nation correlation
+    (customer and supplier share a nation) — the canonical
+    join-ordering + dimension-broadcast workload.
+
+    Scale plan: region filters nation FIRST (5→~5 rows), and the
+    region⋈nation product is **broadcast** — the fact-side joins
+    (customer⋈orders on custkey, ⋈lineitem on orderkey, ⋈supplier on
+    suppkey) are the only shuffles, each on its natural key, and the
+    same-nation predicate rides the supplier join as a residual
+    condition instead of a fourth shuffle. AQE re-plans the supplier
+    side to broadcast when it fits (it does at test SFs)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier", spread_scan=False)
+    nation = load_table(spark, sf, "nation", spread_scan=False)
+    region = load_table(spark, sf, "region", spread_scan=False)
+    dims = F.broadcast(
+        nation.join(
+            region,
+            (F.col("n_regionkey") == F.col("r_regionkey"))
+            & (F.col("r_name") == "ASIA"),
+        ).select("n_nationkey", "n_name")
+    )
+    lo = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    hi = F.to_timestamp(F.lit("1997-01-01 00:00:00"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        cust.join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def window_top_customer_per_nation(spark, sf):
     """Top-1 spender per nation: join + window row_number (O5's top-k
     made explicit, per-group)."""
@@ -1923,6 +1972,22 @@ ORACLE_SQL: dict[str, str] = {
         "  ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos"
         " FROM documents ORDER BY doc_id"
     ),
+    "tpch_q5_local_supply": (
+        "SELECT n_name,"
+        " sum(l_extendedprice::DECIMAL(18,2)"
+        "  * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE"
+        " AS revenue, count(*) AS n_items"
+        " FROM customer"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'"
+        " JOIN orders ON c_custkey = o_custkey"
+        " JOIN lineitem ON o_orderkey = l_orderkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        "  AND s_nationkey = c_nationkey"
+        " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+        "  AND o_orderdate < TIMESTAMP '1997-01-01'"
+        " GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
     "embedding_centroids": (
         "WITH d AS (SELECT label, unnest(generate_series(1,"
         " len(embedding))) AS pos, embedding::DOUBLE[] AS v"
@@ -2046,4 +2111,5 @@ QUERIES = {
     "embedding_centroids": embedding_centroids_q,
     "embedding_outliers": embedding_outliers_q,
     "tfidf_top_terms": tfidf_top_terms_q,
+    "tpch_q5_local_supply": tpch_q5_local_supply,
 }
