@@ -1210,11 +1210,12 @@ def multimodal_frames_q(spark, sf):
     return frame_sample_batch(attach_binary_payload(_docs(spark, sf)))
 
 
-def _pii_synth(spark, sf):
+def _pii_inject(df):
     """The fixture corpus is PII-free, so PII strings are synthesized
     deterministically from doc_id arithmetic (same device as the emoji
     synth kernels): ~1/3 of docs get an email, 1/4 a phone, 1/5 an SSN,
-    1/7 an IPv4 — overlapping, so multi-hit docs exist."""
+    1/7 an IPv4 — overlapping, so multi-hit docs exist. Works on batch
+    and streaming DataFrames alike (pure column expressions)."""
     i = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
 
@@ -1237,7 +1238,7 @@ def _pii_synth(spark, sf):
         i % 7 == 0, F.lit(" 10."), s(i % 256), F.lit("."),
         s((i * 3) % 256), F.lit("."), s((i * 7) % 256),
     )
-    return _docs(spark, sf).select(
+    return df.select(
         "doc_id", F.concat("text", email, phone, ssn, ip).alias("text")
     )
 
@@ -1245,7 +1246,7 @@ def _pii_synth(spark, sf):
 def pii_scan_q(spark, sf):
     """Per-class PII hit counts over synthesized PII text — pure
     projection (operators.safety.pii_scan)."""
-    return pii_scan(_pii_synth(spark, sf)).orderBy("doc_id")
+    return pii_scan(_pii_inject(_docs(spark, sf))).orderBy("doc_id")
 
 
 def pii_redact_q(spark, sf):
@@ -1253,10 +1254,29 @@ def pii_redact_q(spark, sf):
     returned (value-bearing on both the count and the rewritten
     text)."""
     return (
-        pii_redact(_pii_synth(spark, sf))
+        pii_redact(_pii_inject(_docs(spark, sf)))
         .filter(F.col("n_redactions") > 0)
         .orderBy("doc_id")
     )
+
+
+def stream_pii_redact(spark, sf):
+    """The SAME pii_redact projection under Structured Streaming: a
+    stateless operator needs no watermark or state store — it runs in
+    append mode at source rate, demonstrating the batch/stream
+    unification the engine's projection operators all share. The
+    bounded file stream drains via availableNow into a memory sink, so
+    the result equals the batch query and carries the same oracle."""
+    schema = read_parquet_schema(spark, sf, "documents")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_table_path(sf, "documents"))
+        .select("doc_id", "text")
+    )
+    red = pii_redact(_pii_inject(stream)).filter(F.col("n_redactions") > 0)
+    return run_stream_to_memory(
+        spark, red, "stream_pii_redact_sink", output_mode="append"
+    ).orderBy("doc_id")
 
 
 def decontam_docs_q(spark, sf):
@@ -1925,6 +1945,23 @@ ORACLE_SQL: dict[str, str] = {
         + " SELECT doc_id, n_redactions, redacted FROM r"
         " WHERE n_redactions > 0 ORDER BY doc_id"
     ),
+    # identical semantics to pii_redact: a stateless projection drained
+    # through availableNow equals its batch run on the same files
+    "stream_pii_redact": (
+        _PII_SYNTH_CTE
+        + ", r AS (SELECT doc_id, ("
+        + " + ".join(
+            f"len(regexp_extract_all(text, '{_PII_SQL[n]}'))"
+            for n in ["email", "phone", "ssn", "ipv4"]
+        )
+        + ")::BIGINT AS n_redactions, "
+        + "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "text, '{email}', '<EMAIL>', 'g'), '{phone}', '<PHONE>', 'g'),"
+        " '{ssn}', '<SSN>', 'g'), '{ipv4}', '<IPV4>', 'g')"
+        " AS redacted FROM p)".format(**_PII_SQL)
+        + " SELECT doc_id, n_redactions, redacted FROM r"
+        " WHERE n_redactions > 0 ORDER BY doc_id"
+    ),
     "decontam_docs": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
         " FROM documents),"
@@ -2104,6 +2141,7 @@ QUERIES = {
     "multimodal_frames": multimodal_frames_q,
     "pii_scan": pii_scan_q,
     "pii_redact": pii_redact_q,
+    "stream_pii_redact": stream_pii_redact,
     "decontam_docs": decontam_docs_q,
     "repetition_scores": repetition_scores_q,
     "mix_sources": mix_sources_q,
