@@ -46,6 +46,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
     exact_duplicates,
     near_dup_pairs,
     simhash_fingerprints,
+    simhash_near_dup_pairs,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import (
     asof_join,
@@ -1084,6 +1085,12 @@ def dedup_simhash_q(spark, sf):
     return simhash_fingerprints(_docs(spark, sf))
 
 
+def dedup_simhash_pairs_q(spark, sf):
+    """SimHash near-dup pairs: 2×8-bit bands, bucket join with the
+    max_bucket skew guard, Hamming ≤ 1 verify."""
+    return simhash_near_dup_pairs(_docs(spark, sf)).orderBy("id_a", "id_b")
+
+
 def dedup_ngram_jaccard_q(spark, sf):
     """Char-4-gram Jaccard near-dups (the n-gram variant of MinHash).
 
@@ -1377,6 +1384,22 @@ _PII_SYNTH_CTE = (
     " || '.' || ((doc_id * 3) % 256)::VARCHAR"
     " || '.' || ((doc_id * 7) % 256)::VARCHAR ELSE '' END"
     " AS text FROM documents)"
+)
+
+# 16-bit SimHash fingerprints (DuckDB side of dedup.simhash_fingerprints),
+# shared by the fingerprint and near-dup-pair oracles.
+_SIMHASH_FP_CTE = (
+    "tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))"
+    " AS w FROM documents),"
+    " h AS (SELECT doc_id, md5(w) AS hx FROM tk),"
+    " fp AS (SELECT doc_id, concat("
+    + ", ".join(
+        "CASE WHEN sum(CASE WHEN substr(hx, {p}, 1) IN"
+        " ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0"
+        " THEN '1' ELSE '0' END".format(p=i + 1)
+        for i in range(16)
+    )
+    + ") AS simhash FROM h GROUP BY doc_id)"
 )
 
 ORACLE_SQL: dict[str, str] = {
@@ -1713,17 +1736,27 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE i / (na.n + nb.n - i) >= 0.2"
     ),
     "dedup_simhash": (
-        "WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))"
-        " AS w FROM documents),"
-        " h AS (SELECT doc_id, md5(w) AS hx FROM tk)"
-        " SELECT doc_id, concat("
-        + ", ".join(
-            "CASE WHEN sum(CASE WHEN substr(hx, {p}, 1) IN"
-            " ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0"
-            " THEN '1' ELSE '0' END".format(p=i + 1)
-            for i in range(16)
-        )
-        + ") AS simhash FROM h GROUP BY doc_id"
+        "WITH " + _SIMHASH_FP_CTE + " SELECT doc_id, simhash FROM fp"
+    ),
+    "dedup_simhash_pairs": (
+        "WITH " + _SIMHASH_FP_CTE + ","
+        " bands AS (SELECT doc_id, 0 AS band, substr(simhash, 1, 8) AS sig"
+        " FROM fp UNION ALL SELECT doc_id, 1, substr(simhash, 9, 8)"
+        " FROM fp),"
+        " bf AS (SELECT doc_id, band, sig FROM ("
+        "  SELECT *, count(*) OVER (PARTITION BY band, sig) AS bc"
+        "  FROM bands) WHERE bc <= 64),"
+        " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+        "  FROM bf a JOIN bf b ON a.band = b.band AND a.sig = b.sig"
+        "  AND a.doc_id < b.doc_id)"
+        " SELECT c.id_a, c.id_b, len(list_filter(range(1, 17),"
+        "  i -> substr(fa.simhash, i, 1) != substr(fb.simhash, i, 1)"
+        " ))::BIGINT AS hamming"
+        " FROM cand c JOIN fp fa ON fa.doc_id = c.id_a"
+        " JOIN fp fb ON fb.doc_id = c.id_b"
+        " WHERE len(list_filter(range(1, 17),"
+        "  i -> substr(fa.simhash, i, 1) != substr(fb.simhash, i, 1)"
+        " )) <= 1 ORDER BY c.id_a, c.id_b"
     ),
     "knn_brute": (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
@@ -2120,6 +2153,7 @@ QUERIES = {
     "dedup_exact": dedup_exact_q,
     "dedup_minhash_pairs": dedup_minhash_pairs_q,
     "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_embedding": dedup_embedding_q,
     "knn_brute": knn_brute_q,
