@@ -157,3 +157,85 @@ def sessionize(
         )
         .select(user_col, "session_start", "session_end", "n_events")
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users reach step k having
+    passed steps 1..k-1 in time order (simultaneous timestamps count —
+    ``>=`` — matching the SQL oracle exactly).
+
+    Plan: one chained window per step over the SAME user partitioning —
+    step k's reach time is ``min(ts WHERE type=step_k AND ts >=
+    t_{k-1})`` over the user's rows. Spark plans consecutive windows
+    with an identical partitionBy into ONE exchange; the final global
+    count is a second (single-row) aggregation. No joins, no per-step
+    pass over the fact table.
+
+    Returns one row: (n_users, n_step1..n_stepK).
+    """
+    w = Window.partitionBy(user_col)
+    cur = df.select(user_col, ts_col, type_col)
+    prev = None
+    for idx, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        name = f"_t{idx}"
+        cur = cur.withColumn(
+            name, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = name
+    return cur.agg(
+        F.countDistinct(user_col).alias("n_users"),
+        *[
+            F.countDistinct(
+                F.when(F.col(f"_t{i}").isNotNull(), F.col(user_col))
+            ).alias(f"n_step{i}")
+            for i in range(1, len(steps) + 1)
+        ],
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of their
+    first event; for every (cohort_week, weeks-since-first) cell, the
+    count of distinct active users.
+
+    Plan: the per-user first-event time is a window min (one shuffle on
+    user), the cohort/offset derivation is a projection, and the cell
+    counts are one more hash aggregation on the (low-cardinality)
+    cell key — the canonical two-exchange retention query, with no
+    self-join of the fact table (the common O(n²)-prone formulation).
+
+    Returns (cohort_week, week_offset, n_active) sorted by cell.
+    """
+    w = Window.partitionBy(user_col)
+    base = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.min(ts_col).over(w).alias("_first"),
+    )
+    return (
+        base.select(
+            F.date_format(F.date_trunc("week", "_first"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(
+                F.datediff(F.col(ts_col), F.col("_first")) / 7
+            ).alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

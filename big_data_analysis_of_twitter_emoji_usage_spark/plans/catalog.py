@@ -50,6 +50,8 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import (
     asof_join,
+    cohort_retention,
+    funnel,
     range_join,
     sessionize,
 )
@@ -753,6 +755,18 @@ def tpch_q5_local_supply(spark, sf):
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+def funnel_events(spark, sf):
+    """view→click→purchase ordered funnel over events — chained window
+    minima on one user partitioning, then a single-row count."""
+    return funnel(load_events(spark, sf), ["view", "click", "purchase"])
+
+
+def cohort_retention_events(spark, sf):
+    """Weekly cohort × week-offset retention matrix (two exchanges, no
+    fact self-join)."""
+    return cohort_retention(load_events(spark, sf))
 
 
 def window_top_customer_per_nation(spark, sf):
@@ -2042,6 +2056,34 @@ ORACLE_SQL: dict[str, str] = {
         "  ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos"
         " FROM documents ORDER BY doc_id"
     ),
+    "funnel_events": (
+        "WITH t1 AS (SELECT user_id, ts, event_type,"
+        " min(CASE WHEN event_type = 'view' THEN ts END)"
+        "  OVER (PARTITION BY user_id) AS s1 FROM events),"
+        " t2 AS (SELECT *, min(CASE WHEN event_type = 'click'"
+        "  AND ts >= s1 THEN ts END)"
+        "  OVER (PARTITION BY user_id) AS s2 FROM t1),"
+        " t3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'"
+        "  AND ts >= s2 THEN ts END)"
+        "  OVER (PARTITION BY user_id) AS s3 FROM t2)"
+        " SELECT count(DISTINCT user_id) AS n_users,"
+        " count(DISTINCT CASE WHEN s1 IS NOT NULL THEN user_id END)"
+        "  AS n_step1,"
+        " count(DISTINCT CASE WHEN s2 IS NOT NULL THEN user_id END)"
+        "  AS n_step2,"
+        " count(DISTINCT CASE WHEN s3 IS NOT NULL THEN user_id END)"
+        "  AS n_step3 FROM t3"
+    ),
+    "cohort_retention_events": (
+        "WITH f AS (SELECT user_id, ts,"
+        " min(ts) OVER (PARTITION BY user_id) AS first FROM events)"
+        " SELECT strftime(date_trunc('week', first), '%Y-%m-%d')"
+        "  AS cohort_week,"
+        " (date_diff('day', first::DATE, ts::DATE) // 7)::BIGINT"
+        "  AS week_offset,"
+        " count(DISTINCT user_id) AS n_active"
+        " FROM f GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     "tpch_q5_local_supply": (
         "SELECT n_name,"
         " sum(l_extendedprice::DECIMAL(18,2)"
@@ -2184,4 +2226,6 @@ QUERIES = {
     "embedding_outliers": embedding_outliers_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "tpch_q5_local_supply": tpch_q5_local_supply,
+    "funnel_events": funnel_events,
+    "cohort_retention_events": cohort_retention_events,
 }
