@@ -239,3 +239,53 @@ def cohort_retention(
         .agg(F.countDistinct(user_col).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation for hot-key groupBys: counts and
+    DECIMAL-exact sums per key, computed skew-free.
+
+    A direct ``groupBy`` on a low-cardinality key (5 event types, 32
+    reducers) sends every row of a hot key through ONE reducer — the
+    canonical straggler. Salting splits each key into
+    ``salt_buckets`` sub-keys (deterministic ``xxhash64`` of the whole
+    row, no RNG), aggregates partials on (key, salt) — an exchange
+    whose key-space is keys × salt_buckets, enough to spread any hot
+    key over the cluster — then combines the |keys| × salt_buckets
+    partials in a second, trivially small exchange. Both stages are
+    decomposable aggregates (count → sum, sum → sum), so the result is
+    bit-identical to the unsalted groupBy: the salt changes the
+    EXCHANGE DISTRIBUTION, never the answer, which is why the plain
+    GROUP BY oracle checks it.
+
+    Returns (*keys, n, sum_<col>... ) sorted by keys.
+    """
+    sum_cols = sum_cols or []
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col(c).cast("decimal(18,2)")).alias(f"_s_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            F.sum("_n").alias("n"),
+            *[
+                F.sum(f"_s_{c}").cast("double").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        .orderBy(*keys)
+    )

@@ -53,6 +53,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import 
     cohort_retention,
     funnel,
     range_join,
+    salted_aggregate,
     sessionize,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
@@ -767,6 +768,16 @@ def cohort_retention_events(spark, sf):
     """Weekly cohort × week-offset retention matrix (two exchanges, no
     fact self-join)."""
     return cohort_retention(load_events(spark, sf))
+
+
+def salted_agg_events(spark, sf):
+    """Skew-free two-stage aggregation over the 5-hot-key event_type
+    column: identical result to a plain GROUP BY (the salt only changes
+    the exchange distribution), which is exactly what the oracle
+    checks."""
+    return salted_aggregate(
+        load_events(spark, sf), ["event_type"], sum_cols=["value"]
+    )
 
 
 def window_top_customer_per_nation(spark, sf):
@@ -2056,6 +2067,11 @@ ORACLE_SQL: dict[str, str] = {
         "  ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos"
         " FROM documents ORDER BY doc_id"
     ),
+    "salted_agg_events": (
+        "SELECT event_type, count(*) AS n,"
+        " sum(value::DECIMAL(18,2))::DOUBLE AS sum_value"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    ),
     "funnel_events": (
         "WITH t1 AS (SELECT user_id, ts, event_type,"
         " min(CASE WHEN event_type = 'view' THEN ts END)"
@@ -2228,4 +2244,5 @@ QUERIES = {
     "tpch_q5_local_supply": tpch_q5_local_supply,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
+    "salted_agg_events": salted_agg_events,
 }

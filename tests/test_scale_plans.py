@@ -17,7 +17,10 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
     doc_shingle_arrays,
     simhash_fingerprints,
 )
-from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import asof_join
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import (
+    asof_join,
+    salted_aggregate,
+)
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
     chunk_documents,
     hash_sample,
@@ -140,6 +143,15 @@ def test_tfidf_corpus_never_shuffles(docs):
     plan = plan_of(tfidf_top_terms(docs))
     assert data_exchanges(plan) == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_agg_spreads_hot_keys(docs):
+    """Stage-1 exchange must partition on (key, salt) — the hot-key
+    spread — and stage 2 on the key alone; plus the final sort."""
+    out = salted_aggregate(docs, ["lang"], salt_buckets=8)
+    plan = plan_of(out)
+    assert re.search(r"Exchange hashpartitioning\(lang[^)]*_salt", plan)
+    assert data_exchanges(plan) == 3  # salted, combine, orderBy
 
 
 def test_curation_is_single_shuffle(docs):
