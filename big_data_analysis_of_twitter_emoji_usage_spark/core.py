@@ -171,9 +171,14 @@ def nanos_to_timestamp(col):
 
 
 def load_events(spark: SparkSession, sf_dir: str):
-    """The events table with its nanos `ts` converted to a timestamp."""
+    """The events table with `ts` as a timestamp, whatever the parquet
+    encoding: TIMESTAMP(NANOS) files arrive as long nanos (see
+    nanosAsLong above) and are converted; micro/milli TIMESTAMP files
+    are already timestamps and pass through."""
     df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts", nanos_to_timestamp("ts"))
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        df = df.withColumn("ts", nanos_to_timestamp("ts"))
+    return df
 
 
 def stream_table_path(sf_dir: str, name: str) -> str:
