@@ -122,3 +122,57 @@ def test_hash_sample_matches_python_md5(spark, ids, thr):
         if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr
     }
     assert got == want
+
+
+# --- behavioral analytics laws -------------------------------------------
+
+import datetime as _dt
+
+from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import funnel
+
+_T0 = _dt.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),                      # user
+        st.integers(0, 10_000),                 # seconds offset
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _model_funnel(rows, steps):
+    by_user = {}
+    for u, s, t in rows:
+        by_user.setdefault(u, []).append((s, t))
+    reached = [0] * len(steps)
+    for u, evs in by_user.items():
+        bound = None
+        for k, step in enumerate(steps):
+            cand = [
+                s for s, t in evs
+                if t == step and (bound is None or s >= bound)
+            ]
+            if not cand:
+                break
+            bound = min(cand)
+            reached[k] += 1
+    return len(by_user), reached
+
+
+@settings(max_examples=20, deadline=None)
+@given(events_strategy)
+def test_funnel_matches_model(spark, rows):
+    """funnel() equals an independent per-user simulation of the
+    chained min-timestamp semantics (>= bound, simultaneous allowed)."""
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(u, _T0 + _dt.timedelta(seconds=s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = funnel(df, steps).collect()[0]
+    n_users, reached = _model_funnel(rows, steps)
+    assert got["n_users"] == n_users
+    assert [got[f"n_step{i+1}"] for i in range(3)] == reached
