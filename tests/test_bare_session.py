@@ -50,6 +50,9 @@ def test_events_read_fails_without_pinning(bare_confs, sf_dir):
         "window_running_value",     # analytic window over events
         "sessionize_events",        # session_window (time semantics)
         "stream_windowed_events",   # streaming schema probe + watermark
+        "funnel_events",            # r2: chained windows over events
+        "cohort_retention_events",  # r2: date_trunc/date_format (tz!)
+        "salted_agg_events",        # r2: decimal sums over events
     ],
 )
 def test_events_queries_self_sufficient(bare_confs, sf_dir, name):
