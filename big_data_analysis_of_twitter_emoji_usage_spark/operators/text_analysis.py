@@ -318,3 +318,40 @@ def tfidf_top_terms(
         F.col("_e.tf").cast("long").alias("tf"),
         (-F.col("_e.ns")).alias("tfidf"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Capped inverted index: for every term, its document frequency
+    and the first ``max_postings`` doc ids (ascending) that contain it
+    — the search-engine counterpart of ``build_vocab``.
+
+    Plan: explode per-doc DISTINCT terms (so a doc posts once per
+    term), then ONE hash aggregation building both the count and the
+    posting array. The posting list is ``slice(array_sort(
+    collect_list(id)))`` — deterministic output for the oracle, and
+    bounded: the cap is applied inside the same aggregation's
+    projection, so no unbounded per-term state ever leaves the
+    aggregation. (A production index shards hot terms; the cap is the
+    single-array analog and keeps worst-case row width O(max_postings).)
+
+    Returns (term, df_count, postings) sorted by term.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_tokens(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df_count"),
+            F.slice(
+                F.array_sort(F.collect_list(id_col)), 1, max_postings
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )

@@ -71,6 +71,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis impo
     build_vocab,
     curate_corpus,
     doc_fingerprints,
+    inverted_index,
     language_id,
     quality_scores,
     tfidf_top_terms,
@@ -1376,6 +1377,12 @@ def tfidf_top_terms_q(spark, sf):
     return tfidf_top_terms(_docs(spark, sf)).orderBy("doc_id", "rank")
 
 
+def inverted_index_q(spark, sf):
+    """Capped inverted index: per-term document frequency + first-20
+    posting list, built in one hash aggregation."""
+    return inverted_index(_docs(spark, sf))
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect), keyed identically.
 # --------------------------------------------------------------------------
@@ -2141,6 +2148,14 @@ ORACLE_SQL: dict[str, str] = {
         "   * list_dot_product(cv.cvec, cv.cvec)), 6) < 0.0 AS is_outlier"
         " FROM e JOIN cv ON e.label = cv.label ORDER BY e.vec_id"
     ),
+    "inverted_index": (
+        "WITH dw AS (SELECT doc_id,"
+        " unnest(list_distinct(string_split(text, ' '))) AS term"
+        " FROM documents)"
+        " SELECT term, count(*) AS df_count,"
+        " (list(doc_id ORDER BY doc_id))[1:20] AS postings"
+        " FROM dw GROUP BY term ORDER BY term"
+    ),
     "tfidf_top_terms": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
         " FROM documents),"
@@ -2241,6 +2256,7 @@ QUERIES = {
     "embedding_centroids": embedding_centroids_q,
     "embedding_outliers": embedding_outliers_q,
     "tfidf_top_terms": tfidf_top_terms_q,
+    "inverted_index": inverted_index_q,
     "tpch_q5_local_supply": tpch_q5_local_supply,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
