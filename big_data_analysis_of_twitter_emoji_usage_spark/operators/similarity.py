@@ -307,28 +307,52 @@ def cosine_knn_sign_lsh(
     vec_col: str = "embedding",
     k: int = 3,
     bits: int = 6,
+    tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's LSH bucket are
-    scored. The equi-join on the bucket key shuffles each corpus row to
-    exactly one reducer — at 100 TB this is the difference between a
-    bucket-local search and an all-pairs scan. Recall is tunable via
-    ``bits`` (fewer bits → bigger buckets → higher recall).
+    """Approximate top-k via MULTI-TABLE sign LSH: ``tables``
+    independent hash tables (disjoint ``bits``-dim sign slices); a
+    corpus vector is scored for a query iff they collide in ANY table.
+
+    One table was measured at recall@5 = 0.02–0.08 on the fixture
+    embeddings (a 6-bit sign match is near-random for 64-d dense
+    vectors); four tables lift recall to ~1-(1-p)^4 while each corpus
+    row still fans out to exactly ``tables`` reducers — bounded, unlike
+    the all-pairs scan. Recall/cost curve in SCALE.md. Collisions in
+    several tables are deduplicated by a (query, neighbor) max-agg
+    BEFORE ranking, so duplicates never reach the rank window.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", sign_bucket(F.col("qv"), bits))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", sign_bucket(F.col("cv"), bits))
+    def banded(df, out_id):
+        v = _as_double(F.col(vec_col))
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("band"),
+                    sign_bucket(v, bits, t * bits).alias("sig"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(f"_{out_id}_v"),
+            F.explode(bands).alias("b"),
+        ).select(
+            out_id,
+            f"_{out_id}_v",
+            F.col("b.band").alias("band"),
+            F.col("b.sig").alias("sig"),
+        )
+
+    q = banded(queries, "query_id")
+    c = banded(corpus, "neighbor_id")
     scored = (
-        c.join(F.broadcast(q), ["bucket"])
+        c.join(F.broadcast(q), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("_cos"),
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.max(
+                cosine(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+            ).alias("_cos")
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))

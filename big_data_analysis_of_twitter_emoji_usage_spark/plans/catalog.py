@@ -1829,17 +1829,31 @@ ORACLE_SQL: dict[str, str] = {
         " WHERE rank <= 3"
     ),
     "knn_lsh": (
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, concat("
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
         + ", ".join(
-            f"CASE WHEN embedding[{i+1}] > 0 THEN '1' ELSE '0' END"
-            for i in range(6)
+            "concat("
+            + ", ".join(
+                f"CASE WHEN embedding[{t * 6 + i + 1}] > 0"
+                " THEN '1' ELSE '0' END"
+                for i in range(6)
+            )
+            + f") AS sig{t}"
+            for t in range(8)
         )
-        + ") AS bucket FROM embeddings),"
-        " q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < 10),"
+        + " FROM embeddings),"
+        " bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, v, {t} AS band, sig{t} AS sig FROM e"
+            for t in range(8)
+        )
+        + "),"
+        " q AS (SELECT vec_id, v, band, sig FROM bands WHERE vec_id < 10),"
         " scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
-        "  list_dot_product(q.v, c.v) /"
-        "  sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos"
-        "  FROM q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)"
+        "  max(list_dot_product(q.v, c.v) /"
+        "  sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)))"
+        "  AS cos"
+        "  FROM q JOIN bands c ON q.band = c.band AND q.sig = c.sig"
+        "  AND q.vec_id <> c.vec_id GROUP BY q.vec_id, c.vec_id)"
         " SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ("
         "  SELECT *, row_number() OVER (PARTITION BY query_id"
         "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"

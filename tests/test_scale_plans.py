@@ -195,3 +195,23 @@ def test_ivf_centroids_take_ordered(docs, spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = plan_of(select_ivf_centroids(emb))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    """ANN quality regression: recall@3 vs the exact brute-force top-3.
+    Everything is hash-deterministic, so these floors are exact numbers
+    for the fixture (measured: lsh 0.40, ivf 0.57 at sf0.001; curve in
+    SCALE.md) — a drop means a quality regression, not flake."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
+
+    truth = {}
+    for r in QUERIES["knn_brute"](spark, sf_dir).collect():
+        if r["rank"] <= 3:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(v) for v in truth.values())
+    for name, floor in [("knn_lsh", 0.35), ("knn_ivf", 0.5)]:
+        got = {}
+        for r in QUERIES[name](spark, sf_dir).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        assert hits / total >= floor, f"{name} recall {hits}/{total}"
