@@ -215,3 +215,46 @@ def test_ann_recall_floors(spark, sf_dir):
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
         assert hits / total >= floor, f"{name} recall {hits}/{total}"
+
+
+def test_minhash_recall_vs_exact_truth(spark, sf_dir):
+    """Retrieval-quality regression for the MinHash pipeline: compare
+    against EXACT all-pairs Jaccard ground truth (computed in DuckDB —
+    feasible at test scale, the thing LSH exists to avoid at 100 TB).
+    Precision must be 1.0 structurally (the verify stage recomputes
+    exact Jaccard); recall is pinned at the measured fixture value."""
+    import duckdb
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    truth = {
+        (a, b)
+        for a, b in con.sql(
+            "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t"
+            " FROM documents),"
+            " sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' ||"
+            " t[i+2]))) AS s FROM toks WHERE len(t) >= 3),"
+            " sizes AS (SELECT doc_id, count(*) AS n FROM sh"
+            " GROUP BY doc_id),"
+            " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " count(*) AS i FROM sh a JOIN sh b ON a.s = b.s"
+            " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+            " SELECT id_a, id_b FROM inter"
+            " JOIN sizes na ON na.doc_id = id_a"
+            " JOIN sizes nb ON nb.doc_id = id_b"
+            " WHERE i / (na.n + nb.n - i) >= 0.2"
+        ).fetchall()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_minhash_pairs"](spark, sf_dir).collect()
+    }
+    assert found <= truth, "verify stage must forbid false positives"
+    assert truth, "fixture must contain near-dup pairs"
+    assert len(found & truth) / len(truth) >= 0.9
