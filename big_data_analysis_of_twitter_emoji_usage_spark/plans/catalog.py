@@ -1321,6 +1321,28 @@ def decontam_docs_q(spark, sf):
     return decontaminate(docs, bench).orderBy("doc_id")
 
 
+def stream_decontam_docs(spark, sf):
+    """STREAM-STATIC join coverage: the streaming corpus probes a
+    STATIC benchmark n-gram set (batch-read, collapsed to one broadcast
+    array row — the ``strategy='array'`` probe, which keeps the
+    streaming side stateless so append mode needs no watermark). The
+    bounded file stream drains via availableNow; result equals the
+    batch decontamination of the same files under the same oracle
+    semantics (restricted to the array-probe's tiny-benchmark use
+    case)."""
+    schema = read_parquet_schema(spark, sf, "documents")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_table_path(sf, "documents"))
+        .select("doc_id", "text")
+    )
+    bench = _docs(spark, sf).filter(F.col("doc_id") % 17 == 0).select("text")
+    out = decontaminate(stream, bench, strategy="array")
+    return run_stream_to_memory(
+        spark, out, "stream_decontam_sink", output_mode="append"
+    ).orderBy("doc_id")
+
+
 def repetition_scores_q(spark, sf):
     """Gopher-style repetition filters over the raw corpus (the fixture
     text is genuinely repetitive — value-bearing without synthesis)."""
@@ -2054,6 +2076,21 @@ ORACLE_SQL: dict[str, str] = {
         " hit::BIGINT AS n_contaminated_ngrams, hit > 0 AS contaminated"
         " FROM cnt ORDER BY doc_id"
     ),
+    # same semantics as decontam_docs: a stateless stream-static probe
+    # over availableNow equals the batch run on the same files
+    "stream_decontam_docs": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents),"
+        " sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, len(t) - 11), i -> md5(array_to_string(t[i:i+12], ' ')"
+        ")))) AS h FROM toks WHERE len(t) >= 13),"
+        " bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0),"
+        " cnt AS (SELECT s.doc_id, count(*) AS n_ngrams, count(b.h) AS hit"
+        " FROM sh s LEFT JOIN bench b ON s.h = b.h GROUP BY s.doc_id)"
+        " SELECT doc_id, n_ngrams::BIGINT AS n_ngrams,"
+        " hit::BIGINT AS n_contaminated_ngrams, hit > 0 AS contaminated"
+        " FROM cnt ORDER BY doc_id"
+    ),
     "repetition_scores": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
         " FROM documents),"
@@ -2264,6 +2301,7 @@ QUERIES = {
     "pii_redact": pii_redact_q,
     "stream_pii_redact": stream_pii_redact,
     "decontam_docs": decontam_docs_q,
+    "stream_decontam_docs": stream_decontam_docs,
     "repetition_scores": repetition_scores_q,
     "mix_sources": mix_sources_q,
     "shuffle_shards": shuffle_shards_q,
