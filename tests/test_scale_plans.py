@@ -258,3 +258,16 @@ def test_minhash_recall_vs_exact_truth(spark, sf_dir):
     assert found <= truth, "verify stage must forbid false positives"
     assert truth, "fixture must contain near-dup pairs"
     assert len(found & truth) / len(truth) >= 0.9
+
+
+def test_every_query_is_oracle_paired_or_known_rows_only():
+    """Registry consistency: a new catalog query without an oracle
+    should be a deliberate decision, not an accident — the rows-only
+    set is pinned here."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import ORACLE_SQL, QUERIES
+
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    assert set(QUERIES) - set(ORACLE_SQL) == {
+        "event_value_percentiles_approx",   # sketch: tolerance-checked
+        "stream_sessionize_events",         # custom state: batch-equiv
+    }
