@@ -355,3 +355,98 @@ def inverted_index(
         )
         .orderBy("term")
     )
+
+
+def training_data_pipeline(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weights_hex4: dict[str, str] | None = None,
+    n_shards: int = 16,
+    min_tokens: int = 10,
+    min_distinct_ratio: float = 0.2,
+    ngram: int = 13,
+) -> DataFrame:
+    """The COMPLETE pre-training data pipeline composed into one plan:
+    exact-dedup keeper → quality gate → benchmark decontamination →
+    weighted source mixing → deterministic shard shuffle.
+
+    TWO shuffles for the whole pipeline, both unavoidable by semantics:
+
+    1. the keeper window's hash-by-content exchange (dedup needs to
+       see duplicates together);
+    2. the shard window's hash-by-shard exchange (positions need
+       per-shard ordering).
+
+    Everything between is a projection or filter fused by Catalyst into
+    those two stages: quality metrics are array expressions;
+    decontamination uses the tiny-benchmark ``arrays_overlap`` probe
+    against one broadcast ``collect_set`` row (for large benchmark
+    suites, run ``safety.decontaminate(strategy='join')`` as its own
+    stage instead — the composability-vs-probe-cost tradeoff is
+    measured in SCALE.md); mixing is a ``create_map`` threshold filter.
+
+    Returns (doc_id, source, n_tokens, shard, pos) — the shuffled,
+    curated corpus a tokenizer would consume, ordered by (shard, pos).
+    """
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
+        mix_sources,
+        shuffle_shards,
+    )
+
+    toks = F.split(F.col(text_col), " ")
+
+    # 1. keeper dedup: smallest id wins its content group
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    keep = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # 2. quality gate (same expressions as quality_scores)
+    n = F.size(toks).cast("double")
+    keep = keep.filter(
+        (F.size(toks) >= min_tokens)
+        & ((F.size(F.array_distinct(toks)) / n) >= min_distinct_ratio)
+    )
+
+    # 3. decontamination: any shared word n-gram with the benchmark
+    def grams(c):
+        t = F.split(F.col(c), " ")
+        return F.when(
+            F.size(t) >= ngram,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (ngram - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, ngram))),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench = (
+        bench_df.filter(F.size(F.split(F.col(text_col), " ")) >= ngram)
+        .select(F.explode(grams(text_col)).alias("_h"))
+        .agg(F.collect_set("_h").alias("_bench"))
+    )
+    keep = (
+        keep.crossJoin(F.broadcast(bench))
+        .filter(~F.arrays_overlap(grams(text_col), F.col("_bench")))
+        .drop("_bench")
+    )
+
+    # 4. weighted mixing (drop unlisted sources when weights given)
+    if weights_hex4:
+        keep = mix_sources(keep, weights_hex4, source_col, id_col)
+
+    # 5. deterministic shard shuffle
+    out = shuffle_shards(keep, n_shards, id_col)
+    return out.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        "shard",
+        "pos",
+    ).orderBy("shard", "pos")

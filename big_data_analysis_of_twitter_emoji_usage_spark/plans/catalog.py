@@ -76,6 +76,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis impo
     quality_scores,
     tfidf_top_terms,
     token_stats,
+    training_data_pipeline,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
     chunk_documents,
@@ -1405,6 +1406,15 @@ def inverted_index_q(spark, sf):
     return inverted_index(_docs(spark, sf))
 
 
+def training_pipeline_q(spark, sf):
+    """The CAPSTONE composition: dedup keeper → quality gate → 13-gram
+    decontamination → weighted mixing → shard shuffle, ONE plan, two
+    shuffles total (operators.text_analysis.training_data_pipeline)."""
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return training_data_pipeline(docs, bench, weights_hex4=MIX_WEIGHTS)
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect), keyed identically.
 # --------------------------------------------------------------------------
@@ -2199,6 +2209,38 @@ ORACLE_SQL: dict[str, str] = {
         "   * list_dot_product(cv.cvec, cv.cvec)), 6) < 0.0 AS is_outlier"
         " FROM e JOIN cv ON e.label = cv.label ORDER BY e.vec_id"
     ),
+    "training_pipeline": (
+        "WITH keep1 AS (SELECT doc_id, text, source FROM ("
+        " SELECT doc_id, text, source, row_number() OVER ("
+        "  PARTITION BY text ORDER BY doc_id) AS rn FROM documents)"
+        " WHERE rn = 1),"
+        " q AS (SELECT * FROM keep1"
+        "  WHERE len(string_split(text, ' ')) >= 10"
+        "  AND len(list_distinct(string_split(text, ' ')))::DOUBLE"
+        "   / len(string_split(text, ' ')) >= 0.2),"
+        " toksall AS (SELECT doc_id, string_split(text, ' ') AS t"
+        "  FROM documents),"
+        " shb AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, len(t) - 11), i -> md5(array_to_string(t[i:i+12], ' ')"
+        ")))) AS h FROM toksall WHERE len(t) >= 13),"
+        " bench AS (SELECT DISTINCT h FROM shb WHERE doc_id % 17 = 0),"
+        " contaminated AS (SELECT DISTINCT s.doc_id FROM shb s"
+        "  JOIN bench b ON s.h = b.h),"
+        " clean AS (SELECT q.* FROM q LEFT JOIN contaminated c"
+        "  ON q.doc_id = c.doc_id WHERE c.doc_id IS NULL),"
+        " mixed AS (SELECT * FROM clean"
+        "  WHERE substr(md5(doc_id::VARCHAR), 1, 4) < CASE source"
+        + "".join(
+            f" WHEN '{s}' THEN '{t}'" for s, t in MIX_WEIGHTS.items()
+        )
+        + " ELSE '0000' END)"
+        " SELECT doc_id, source,"
+        " len(string_split(text, ' '))::BIGINT AS n_tokens,"
+        " (doc_id * 2654435761) % 16 AS shard,"
+        " (row_number() OVER (PARTITION BY (doc_id * 2654435761) % 16"
+        "  ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos"
+        " FROM mixed ORDER BY shard, pos"
+    ),
     "inverted_index": (
         "WITH dw AS (SELECT doc_id,"
         " unnest(list_distinct(string_split(text, ' '))) AS term"
@@ -2309,6 +2351,7 @@ QUERIES = {
     "embedding_outliers": embedding_outliers_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "inverted_index": inverted_index_q,
+    "training_pipeline": training_pipeline_q,
     "tpch_q5_local_supply": tpch_q5_local_supply,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,

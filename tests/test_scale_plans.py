@@ -271,3 +271,17 @@ def test_every_query_is_oracle_paired_or_known_rows_only():
         "event_value_percentiles_approx",   # sketch: tolerance-checked
         "stream_sessionize_events",         # custom state: batch-equiv
     }
+
+
+def test_training_pipeline_two_shuffles(docs):
+    """The capstone composition's claim: dedup keeper + shard windows
+    are the ONLY hash exchanges; quality/decontam/mixing fuse into
+    those stages (plus the final orderBy range exchange and the
+    benchmark's SinglePartition collect_set)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
+        training_data_pipeline,
+    )
+
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    plan = plan_of(training_data_pipeline(docs, bench))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
