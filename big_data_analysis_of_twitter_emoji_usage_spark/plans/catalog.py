@@ -1329,15 +1329,17 @@ def stream_decontam_docs(spark, sf):
     streaming side stateless so append mode needs no watermark). The
     bounded file stream drains via availableNow; result equals the
     batch decontamination of the same files under the same oracle
-    semantics (restricted to the array-probe's tiny-benchmark use
-    case)."""
+    semantics. The benchmark here is every 97th doc — deliberately
+    TINY, because the array probe pays O(|bench|) per streamed row
+    (the regime it is for; the batch ``decontam_docs`` keeps the
+    broadcast-join strategy as the large-suite scale path)."""
     schema = read_parquet_schema(spark, sf, "documents")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stream_table_path(sf, "documents"))
         .select("doc_id", "text")
     )
-    bench = _docs(spark, sf).filter(F.col("doc_id") % 17 == 0).select("text")
+    bench = _docs(spark, sf).filter(F.col("doc_id") % 97 == 0).select("text")
     out = decontaminate(stream, bench, strategy="array")
     return run_stream_to_memory(
         spark, out, "stream_decontam_sink", output_mode="append"
@@ -2094,7 +2096,7 @@ ORACLE_SQL: dict[str, str] = {
         " sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
         "range(1, len(t) - 11), i -> md5(array_to_string(t[i:i+12], ' ')"
         ")))) AS h FROM toks WHERE len(t) >= 13),"
-        " bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0),"
+        " bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),"
         " cnt AS (SELECT s.doc_id, count(*) AS n_ngrams, count(b.h) AS hit"
         " FROM sh s LEFT JOIN bench b ON s.h = b.h GROUP BY s.doc_id)"
         " SELECT doc_id, n_ngrams::BIGINT AS n_ngrams,"
