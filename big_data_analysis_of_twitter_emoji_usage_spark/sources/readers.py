@@ -19,9 +19,28 @@ def read_tweets(
     path: str,
     schema: T.StructType,
     fmt: str = "json",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """Batch scan of a tweet directory (S1) with a declared schema."""
-    return spark.read.format(fmt).schema(schema).load(path)
+    """Batch scan of a tweet directory (S1) with a declared schema.
+
+    Raw tweet streams carry malformed lines (truncated writes, rate
+    notices); with ``corrupt_col`` set, the reader runs PERMISSIVE and
+    captures each unparseable line's raw text in that column instead of
+    nulling it silently — rows with ``corrupt_col IS NULL`` parsed
+    clean, the rest are quarantinable. The reference (q1:93, inferred
+    schema) drops malformed lines implicitly; capturing them is the
+    production-side improvement, still a pure scan option (no extra
+    pass, pushdown unaffected for the declared fields).
+    """
+    reader = spark.read.format(fmt)
+    if corrupt_col is not None and fmt == "json":
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+        )
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.schema(schema).load(path)
 
 
 def stream_tweets(

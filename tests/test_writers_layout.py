@@ -66,3 +66,35 @@ def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.json(out)
     assert back.count() == ev.count()
     assert set(back.columns) == set(ev.columns)
+
+
+def test_corrupt_records_captured_not_dropped(spark, tmp_path):
+    """PERMISSIVE + columnNameOfCorruptRecord: malformed JSONL lines
+    surface as quarantinable rows instead of disappearing."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import read_tweets
+    from pyspark.sql import functions as F, types as T
+
+    p = tmp_path / "tweets"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"text": "ok one"}\n'
+        "this is not json at all\n"
+        '{"text": "ok two"}\n'
+        '{"text": "truncated\n'
+    )
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    df = read_tweets(spark, str(p), schema, corrupt_col="_bad")
+    rows = df.collect()
+    good = [r["text"] for r in rows if r["_bad"] is None]
+    bad = [r["_bad"] for r in rows if r["_bad"] is not None]
+    assert sorted(good) == ["ok one", "ok two"]
+    assert len(bad) == 2 and "not json" in bad[0]
+    # Spark disallows queries whose referenced columns are ONLY the
+    # corrupt column on raw JSON (SPARK-21610) — the documented
+    # quarantine pattern is cache-then-filter:
+    df = df.cache()
+    try:
+        assert df.filter(F.col("_bad").isNull()).count() == 2
+        assert df.filter(F.col("_bad").isNotNull()).count() == 2
+    finally:
+        df.unpersist()
