@@ -436,3 +436,57 @@ def embedding_outliers(
         )
         .withColumn("is_outlier", F.col("cos_centroid") < min_cosine)
     )
+
+
+def embedding_label_spread(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label dispersion statistics via ``applyInPandas`` — the
+    grouped-map Pandas API (numpy does the linear algebra per group):
+    row count, total variance (trace of the covariance matrix), and
+    mean vector norm.
+
+    This is the batch grouped-map member of the engine's Python
+    surface (``mapInPandas`` = multimodal decode,
+    ``applyInPandasWithState`` = streaming sessionize) — used where a
+    whole group must sit in one worker's memory as a matrix. That
+    constraint is the scale contract: groups are LABELS (bounded
+    cardinality, corpus/|labels| rows each); for unbounded groups use
+    the decomposable-aggregate forms instead (``embedding_centroids``
+    shows the shape — and the trace is also expressible that way,
+    which is exactly what the DuckDB oracle does to value-check the
+    numpy path).
+
+    Returns (label, n, var_trace, mean_norm), floats rounded to 6.
+    """
+    import pandas as pd  # local import: driver may lack pandas at import time
+
+    out_schema = (
+        f"{label_col} int, n long, var_trace double, mean_norm double"
+    )
+
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = np.vstack(pdf[vec_col].to_numpy())
+        return pd.DataFrame(
+            {
+                label_col: [int(pdf[label_col].iloc[0])],
+                "n": [len(pdf)],
+                "var_trace": [round(float(np.var(mat, axis=0).sum()), 6)],
+                "mean_norm": [
+                    round(
+                        float(np.sqrt((mat * mat).sum(axis=1)).mean()), 6
+                    )
+                ],
+            }
+        )
+
+    return (
+        df.select(F.col(label_col), _as_double(F.col(vec_col)).alias(vec_col))
+        .groupBy(label_col)
+        .applyInPandas(spread, out_schema)
+        .orderBy(label_col)
+    )

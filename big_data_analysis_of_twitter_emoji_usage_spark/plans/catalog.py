@@ -61,6 +61,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import 
     cosine_knn_ivf,
     cosine_knn_sign_lsh,
     embedding_centroids,
+    embedding_label_spread,
     embedding_near_dup_pairs,
     embedding_outliers,
 )
@@ -1402,6 +1403,13 @@ def tfidf_top_terms_q(spark, sf):
     return tfidf_top_terms(_docs(spark, sf)).orderBy("doc_id", "rank")
 
 
+def embedding_label_spread_q(spark, sf):
+    """applyInPandas grouped-map (numpy per label) under a value
+    oracle: the variance trace decomposes into per-dimension var_pop,
+    which is exactly how the DuckDB side checks the numpy result."""
+    return embedding_label_spread(load_table(spark, sf, "embeddings"))
+
+
 def inverted_index_q(spark, sf):
     """Capped inverted index: per-term document frequency + first-20
     posting list, built in one hash aggregation."""
@@ -2186,6 +2194,21 @@ ORACLE_SQL: dict[str, str] = {
         "  AND o_orderdate < TIMESTAMP '1997-01-01'"
         " GROUP BY n_name ORDER BY revenue DESC, n_name"
     ),
+    "embedding_label_spread": (
+        "WITH e AS (SELECT label, embedding::DOUBLE[] AS v"
+        " FROM embeddings),"
+        " d AS (SELECT label, unnest(generate_series(1, len(v))) AS pos,"
+        " v FROM e),"
+        " tv AS (SELECT label, sum(vp) AS var_trace FROM ("
+        "  SELECT label, pos, var_pop(v[pos]) AS vp FROM d"
+        "  GROUP BY label, pos) GROUP BY label),"
+        " nm AS (SELECT label, count(*) AS n,"
+        " avg(sqrt(list_dot_product(v, v))) AS mean_norm"
+        " FROM e GROUP BY label)"
+        " SELECT nm.label, nm.n, round(tv.var_trace, 6) AS var_trace,"
+        " round(nm.mean_norm, 6) AS mean_norm"
+        " FROM nm JOIN tv ON nm.label = tv.label ORDER BY nm.label"
+    ),
     "embedding_centroids": (
         "WITH d AS (SELECT label, unnest(generate_series(1,"
         " len(embedding))) AS pos, embedding::DOUBLE[] AS v"
@@ -2351,6 +2374,7 @@ QUERIES = {
     "shuffle_shards": shuffle_shards_q,
     "embedding_centroids": embedding_centroids_q,
     "embedding_outliers": embedding_outliers_q,
+    "embedding_label_spread": embedding_label_spread_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "inverted_index": inverted_index_q,
     "training_pipeline": training_pipeline_q,
