@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os as _os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from big_data_analysis_of_twitter_emoji_usage_spark.core import (
     load_events,
@@ -771,6 +771,29 @@ def cohort_retention_events(spark, sf):
     """Weekly cohort × week-offset retention matrix (two exchanges, no
     fact self-join)."""
     return cohort_retention(load_events(spark, sf))
+
+
+def anomaly_zscore_events(spark, sf):
+    """Per-type z-score anomaly detection: events whose value deviates
+    ≥ 3σ from their event_type's mean. Grouped moments via a window
+    over the type (one exchange on a low-cardinality key — the salted
+    variant exists for when that key is hot); the flag and score are
+    projections. Population σ matches the oracle's stddev_pop."""
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_pop("value").over(w)
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= 3.0)
+        .orderBy("event_id")
+    )
 
 
 def salted_agg_events(spark, sf):
@@ -2145,6 +2168,14 @@ ORACLE_SQL: dict[str, str] = {
         "  ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos"
         " FROM documents ORDER BY doc_id"
     ),
+    "anomaly_zscore_events": (
+        "WITH s AS (SELECT event_id, event_type, value,"
+        " round((value - avg(value) OVER (PARTITION BY event_type)) /"
+        " stddev_pop(value) OVER (PARTITION BY event_type), 6) AS zscore"
+        " FROM events)"
+        " SELECT event_id, event_type, value, zscore FROM s"
+        " WHERE abs(zscore) >= 3.0 ORDER BY event_id"
+    ),
     "salted_agg_events": (
         "SELECT event_type, count(*) AS n,"
         " sum(value::DECIMAL(18,2))::DOUBLE AS sum_value"
@@ -2382,4 +2413,5 @@ QUERIES = {
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
     "salted_agg_events": salted_agg_events,
+    "anomaly_zscore_events": anomaly_zscore_events,
 }

@@ -233,3 +233,30 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """foreachBatch file sink — the production shape for streaming
+    pipelines that land files instead of memory/console: every
+    micro-batch appends parquet, the checkpoint records which batches
+    committed, so a restart resumes without reprocessing acknowledged
+    input (foreachBatch gives at-least-once; the batch-id argument is
+    the hook for exactly-once sinks that can upsert/transact).
+    Drains with availableNow and returns a batch DataFrame over the
+    files written.
+    """
+    query = (
+        stream_df.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)

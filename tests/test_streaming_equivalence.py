@@ -126,3 +126,30 @@ def test_late_file_picked_up(spark, tmp_path_factory):
     finally:
         q.stop()
     assert second > first > 0
+
+
+def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
+    """The production file-sink path: a multi-micro-batch stream landing
+    parquet via foreachBatch must reproduce the batch projection of the
+    same source exactly."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import run_stream_to_parquet
+
+    src = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(src + "*")
+        .select("doc_id", F.upper("lang").alias("lang_u"))
+    )
+    got = run_stream_to_parquet(
+        spark, stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    want = spark.read.parquet(src).select(
+        "doc_id", F.upper("lang").alias("lang_u")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
