@@ -68,19 +68,33 @@ def main() -> None:
             timings[name] = min(timings[name], run_once(QUERIES[name]))
             runs[name] += 1
 
-    timings = {k: round(v, 4) for k, v in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": float(sf),
-            }
-        )
+    # The driver captures a bounded stdout tail (~4 KB): r1/r2 both lost
+    # the line to truncation. Keep it well under 2 KB — 2-decimal
+    # timings, compact separators, no per-query run counts (the full
+    # detail, including samples-per-min, goes to BENCH_DETAIL.json for
+    # humans instead of the one machine-parsed line).
+    detail = {
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "runs": runs,
+        "sf": float(sf),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+        encoding="utf-8",
+    ) as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "catalog_total_runtime",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": float(sf),
+        },
+        separators=(",", ":"),
     )
+    print(line, flush=True)
     spark.stop()
 
 

@@ -136,7 +136,18 @@ def _scan_partitions(df) -> int:
     try:
         files = df.inputFiles()
         if files:
-            key = (df.sparkSession.sparkContext.applicationId, tuple(sorted(files)))
+            # Split planning depends on session confs, not just the file
+            # set — two sessions sharing one JVM/appId (the bare-session
+            # scenario) can legally disagree on the partition count, so
+            # the split-affecting confs join the key.
+            sess = df.sparkSession
+            key = (
+                sess.sparkContext.applicationId,
+                sess.conf.get("spark.sql.files.maxPartitionBytes", ""),
+                sess.conf.get("spark.sql.files.openCostInBytes", ""),
+                sess.sparkContext.defaultParallelism,
+                tuple(sorted(files)),
+            )
             cached = _SCAN_PARTITIONS_CACHE.get(key)
             if cached is not None:
                 return cached
@@ -187,3 +198,18 @@ def stream_table_path(sf_dir: str, name: str) -> str:
     the streaming source requires (a bare single-file path is rejected
     with "Option 'basePath' must be a directory")."""
     return table_path(sf_dir, name) + "*"
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str):
+    """Streaming twin of ``load_events``: the events table as a file
+    stream with ``ts`` as a timestamp, whatever the parquet encoding.
+    The batch schema probe decides once — TIMESTAMP(NANOS) files arrive
+    as long nanos (nanosAsLong) and get the integer-div conversion;
+    micro/milli files are already timestamps and pass through untouched."""
+    schema = read_parquet_schema(spark, sf_dir, "events")
+    stream = spark.readStream.schema(schema).parquet(
+        stream_table_path(sf_dir, "events")
+    )
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        stream = stream.withColumn("ts", nanos_to_timestamp("ts"))
+    return stream

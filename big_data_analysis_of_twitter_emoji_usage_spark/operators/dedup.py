@@ -264,8 +264,13 @@ def connected_components(
     lineage so iteration N doesn't replan/recompute iterations 0..N-1
     — without it the DAG doubles per round. Converges in O(diameter)
     rounds; near-dup graphs have tiny diameters, so the loop exits on
-    the no-change check almost immediately.
+    the no-change check almost immediately. If the iteration budget is
+    exhausted before fixpoint (a >``max_iterations``-diameter graph),
+    the result's labels are not yet components — that is surfaced with
+    a ``warnings.warn`` rather than returned silently.
     """
+    import warnings
+
     sym = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionAll(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
@@ -301,6 +306,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"connected_components exhausted max_iterations={max_iterations} "
+            "before converging: returned labels are an under-merged "
+            "approximation (graph diameter exceeds the budget)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -89,12 +89,29 @@ def sign_bucket(vec: Column, bits: int = 6, offset: int = 0) -> Column:
     gaussian vectors); axis-aligned planes keep the operator portable to
     the SQL oracle while exercising the identical plan shape. Distinct
     ``offset`` slices give independent hash tables (band-style LSH).
+
+    Requires ``size(vec) >= offset + bits`` — table t of a multi-table
+    caller reads dims [t*bits, (t+1)*bits), so ``tables * bits`` must
+    not exceed the embedding dimension. Out-of-range dims would
+    otherwise yield ``element_at`` nulls that silently collapse every
+    short vector into one degenerate bucket; instead the row errors.
     """
     chars = [
         F.when(F.element_at(vec, offset + i + 1) > 0, "1").otherwise("0")
         for i in range(bits)
     ]
-    return F.concat(*chars)
+    needed = offset + bits
+    return F.when(F.size(vec) >= needed, F.concat(*chars)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"sign_bucket: vector has fewer than {needed} dims "
+                    f"(offset={offset} + bits={bits}); got size="
+                ),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
 
 
 def embedding_near_dup_pairs(
@@ -181,24 +198,18 @@ def ivf_assignments(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantization: pick ``n_lists`` centroids and assign
-    every corpus vector to its nearest (by cosine) — the inverted-list
+    """IVF coarse quantization: assign every corpus vector to its
+    nearest (by cosine) of the given ``centroids`` — the inverted-list
     structure under IVF-flat ANN indexes (FAISS-style), built from open
-    DataFrame primitives.
+    DataFrame primitives. Centroid *selection* is the caller's job
+    (``select_ivf_centroids``); this function does not sample.
 
-    Centroid choice is deterministic and engine-portable: the corpus
-    rows with the ``n_lists`` smallest ``md5(id)`` values — an unbiased
-    uniform sample that both Spark and a SQL oracle can reproduce
-    bit-for-bit (a k-means refinement would drop in here as an
-    iterative loop, same shape as ``dedup.connected_components``;
-    selection is kept closed-form so the structure stays oracle-checkable).
-
-    The centroid set is tiny by construction (n_lists rows), so the
-    assignment is a broadcast nested-loop + per-row argmax: the corpus
-    never shuffles. Returns (centroids, assignments) where assignments
-    = (id, list_id) — one row per corpus vector.
+    The centroid set is tiny by construction (the caller samples
+    ``n_lists`` rows), so the assignment is a broadcast nested-loop +
+    per-row argmax: the corpus never shuffles. Returns (centroids,
+    assignments) where assignments = (id, list_id) — one row per corpus
+    vector.
     """
     c = centroids.select(
         F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
@@ -258,7 +269,7 @@ def cosine_knn_ivf(
     nprobe/n_lists. Returns (query_id, neighbor_id, rank, cosine).
     """
     cents = select_ivf_centroids(corpus, id_col, n_lists)
-    c, assign = ivf_assignments(corpus, cents, id_col, vec_col, n_lists)
+    c, assign = ivf_assignments(corpus, cents, id_col, vec_col)
     e = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")

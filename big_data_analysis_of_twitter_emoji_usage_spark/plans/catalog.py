@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from big_data_analysis_of_twitter_emoji_usage_spark.core import (
     load_events,
+    load_events_stream,
     load_table,
-    nanos_to_timestamp,
     read_parquet_schema,
     stream_table_path,
     table_path,
@@ -519,7 +519,10 @@ def _synth_tweet_dir(sf: str, shape: str) -> str:
         + hashlib.md5(_os.path.abspath(src).encode()).hexdigest()[:10],
     )
     marker = _os.path.join(dirname, "_SYNTH_DONE")
-    want = f"{len(doc_ids)}"
+    # The marker must identify the INPUT, not just its size: a
+    # regenerated fixture with the same row count but different ids
+    # would otherwise reuse a stale synthesized corpus.
+    want = hashlib.md5("\n".join(map(str, doc_ids)).encode()).hexdigest()
     if not (
         _os.path.isfile(marker)
         and open(marker, encoding="utf-8").read() == want
@@ -653,12 +656,7 @@ def q2_stream_top_words(spark, sf):
 def stream_windowed_events(spark, sf):
     """Watermarked tumbling-day counts (SURVEY §7.6 modernization),
     complete mode so every window lands in the memory sink."""
-    schema = read_parquet_schema(spark, sf, "events")
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_table_path(sf, "events"))
-        .withColumn("ts", nanos_to_timestamp("ts"))
-    )
+    stream = load_events_stream(spark, sf)
     win = windowed_event_counts(stream).select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -1039,12 +1037,7 @@ def sessionize_events(spark, sf):
 
 
 def _event_stream(spark, sf):
-    schema = read_parquet_schema(spark, sf, "events")
-    return (
-        spark.readStream.schema(schema)
-        .parquet(stream_table_path(sf, "events"))
-        .withColumn("ts", nanos_to_timestamp("ts"))
-    )
+    return load_events_stream(spark, sf)
 
 
 def stream_stream_join_events(spark, sf):
@@ -1104,15 +1097,9 @@ def stream_sessionize_events(spark, sf):
     stream (the trailing open session per user stays in state). The
     equivalence against batch ``sessionize`` minus trailing sessions is
     asserted in tests/test_stateful_streaming.py."""
-    schema = read_parquet_schema(spark, sf, "events")
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_table_path(sf, "events"))
-        .withColumn("ts", nanos_to_timestamp("ts"))
-    )
     return run_stream_to_memory(
         spark,
-        stateful_sessionize(stream),
+        stateful_sessionize(load_events_stream(spark, sf)),
         "stream_sessionize_sink",
         output_mode="append",
     )

@@ -31,9 +31,18 @@ def read_tweets(
     schema) drops malformed lines implicitly; capturing them is the
     production-side improvement, still a pure scan option (no extra
     pass, pushdown unaffected for the declared fields).
+
+    Corrupt-record capture is a text-source feature (json and csv both
+    honor ``columnNameOfCorruptRecord``); asking for it on a binary
+    format like parquet is a caller bug and raises rather than silently
+    dropping malformed rows.
     """
     reader = spark.read.format(fmt)
-    if corrupt_col is not None and fmt == "json":
+    if corrupt_col is not None and fmt not in ("json", "csv"):
+        raise ValueError(
+            f"corrupt_col is only supported for json/csv sources, not {fmt!r}"
+        )
+    if corrupt_col is not None:
         schema = T.StructType(
             [*schema.fields, T.StructField(corrupt_col, T.StringType())]
         )

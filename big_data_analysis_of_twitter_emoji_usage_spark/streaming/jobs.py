@@ -235,6 +235,17 @@ def windowed_event_counts(
     )
 
 
+def write_batch_idempotent(bdf: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Land one micro-batch at ``out_dir/batch_id=<id>`` with overwrite
+    semantics. foreachBatch is at-least-once: a batch whose files landed
+    before the checkpoint commit is replayed wholesale on restart — but
+    a replay carries the SAME batch_id, so overwriting the per-batch
+    directory replaces the partial/duplicate output instead of appending
+    a second copy. That keys exactly-once on the batch id, the standard
+    idempotent-file-sink recipe."""
+    bdf.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -242,21 +253,20 @@ def run_stream_to_parquet(
     checkpoint_dir: str,
 ) -> DataFrame:
     """foreachBatch file sink — the production shape for streaming
-    pipelines that land files instead of memory/console: every
-    micro-batch appends parquet, the checkpoint records which batches
-    committed, so a restart resumes without reprocessing acknowledged
-    input (foreachBatch gives at-least-once; the batch-id argument is
-    the hook for exactly-once sinks that can upsert/transact).
-    Drains with availableNow and returns a batch DataFrame over the
-    files written.
-    """
+    pipelines that land files instead of memory/console. Each
+    micro-batch overwrites its own ``batch_id=N`` subdirectory
+    (``write_batch_idempotent``), so checkpoint-replayed batches are
+    exactly-once at the file level, not just at-least-once. Drains with
+    availableNow and returns a batch DataFrame over the files written
+    (the batch_id partition column is an implementation detail and is
+    dropped)."""
     query = (
         stream_df.writeStream.foreachBatch(
-            lambda bdf, _bid: bdf.write.mode("append").parquet(out_dir)
+            lambda bdf, bid: write_batch_idempotent(bdf, bid, out_dir)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("batch_id")

@@ -153,3 +153,20 @@ def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_foreachbatch_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch replays a whole micro-batch on restart (at-least-once
+    delivery); the per-batch overwrite directory must absorb the replay —
+    including one that follows a PARTIAL first attempt — without
+    duplicating or retaining stale rows."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import write_batch_idempotent
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = str(tmp_path / "out")
+    # first attempt dies after writing a partial batch...
+    write_batch_idempotent(df.limit(10), 7, out)
+    # ...and the restart replays the same batch id in full
+    write_batch_idempotent(df, 7, out)
+    got = spark.read.parquet(out).drop("batch_id")
+    assert got.count() == df.count()
