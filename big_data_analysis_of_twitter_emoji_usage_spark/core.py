@@ -143,8 +143,8 @@ def _scan_partitions(df) -> int:
             sess = df.sparkSession
             key = (
                 sess.sparkContext.applicationId,
-                sess.conf.get("spark.sql.files.maxPartitionBytes", ""),
-                sess.conf.get("spark.sql.files.openCostInBytes", ""),
+                sess.conf.get("spark.sql.files.maxPartitionBytes", None),
+                sess.conf.get("spark.sql.files.openCostInBytes", None),
                 sess.sparkContext.defaultParallelism,
                 tuple(sorted(files)),
             )
