@@ -319,6 +319,60 @@ def connected_components(
     )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Cluster-aware dedup keeper policy: group near-dup *pairs* into
+    clusters (``connected_components``), then keep the highest-quality
+    document of each cluster (ties → smallest id). This is the decision
+    step real curation pipelines run after fuzzy dedup — "drop
+    duplicates" is actually "keep the best copy, drop the rest".
+
+    ``docs`` is (id, quality); quality is any orderable numeric (token
+    count, a model score, …). Documents in no pair are their own
+    singleton cluster and keep themselves.
+
+    Scale shape: the CC loop and the keeper argmax run only on the
+    near-dup SUBSET (nodes that appear in ``pairs`` — tiny relative to
+    the corpus); the corpus itself sees two broadcast hash joins and
+    never shuffles. Output: (id, cluster_id, keeper_id, is_keeper), one
+    row per input document.
+    """
+    clusters = connected_components(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    # keeper per real cluster: argmax(quality, tie smallest id) over the
+    # clustered subset only — max(struct) keeps the agg a single pass.
+    clustered = docs.join(F.broadcast(clusters), id_col)
+    keepers = (
+        clustered.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("neg_id"),
+                )
+            ).alias("_best")
+        )
+        .select("cluster_id", (-F.col("_best.neg_id")).alias("keeper_id"))
+    )
+    return (
+        docs.join(F.broadcast(clusters), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .join(F.broadcast(keepers), "cluster_id", "left")
+        .withColumn("keeper_id", F.coalesce("keeper_id", F.col(id_col)))
+        .select(
+            id_col,
+            "cluster_id",
+            "keeper_id",
+            (F.col(id_col) == F.col("keeper_id")).cast("long").alias("is_keeper"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

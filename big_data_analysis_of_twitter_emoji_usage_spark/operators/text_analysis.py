@@ -247,6 +247,98 @@ def doc_fingerprints(
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k word n-grams across the corpus — the base statistic under
+    n-gram LMs, contamination n-gram indexes, and collocation mining.
+
+    The n-gram expansion is a pure projection: n shifted ``slice`` views
+    of the token array folded together with ``zip_with`` (all JVM
+    higher-order functions, no UDF), then one hash-aggregate on the
+    n-gram string. Top-k plans as TakeOrderedAndProject — per-partition
+    heaps, never a global sort. Documents shorter than n contribute an
+    empty array and vanish at the explode.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(F.col(text_col), " ")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "ngram")
+        .limit(top_k)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document unigram cross-entropy — the classic cheap proxy for
+    model-based quality scoring (docs far from the corpus distribution
+    score high): ``xent = -mean(log2 p(token))`` with
+    ``p = count/N`` for the top-``vocab_size`` tokens and a 0.5/N
+    out-of-vocabulary floor.
+
+    Same scale shape as ``tfidf_top_terms``: ONE corpus-wide aggregate
+    (token counts, map-side partials), capped to a single broadcast map
+    row; scoring is then a per-row ``aggregate`` fold over the token
+    array — the corpus never shuffles, and the broadcast stays bounded
+    at any corpus size.
+    """
+    toks = F.split(F.col(text_col), " ")
+    counts = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # N from per-doc sizes, not sum(counts.c): the latter would replan
+    # the token-keyed aggregate a second time — this is a row-level
+    # projection + single global sum (map-side partials, no token shuffle).
+    total = df.select(F.size(toks).alias("_k")).agg(
+        F.sum("_k").cast("double").alias("_n")
+    )
+    vocab = (
+        counts.orderBy(F.desc("c"), "tok")
+        .limit(vocab_size)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("tok", F.col("c").cast("double")))
+            ).alias("_vocab")
+        )
+    )
+    nll = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        - F.log2(F.coalesce(F.element_at("_vocab", t), F.lit(0.5)) / F.col("_n")),
+    )
+    return (
+        df.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.round(nll / F.size(toks), 6).alias("xent"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -44,6 +44,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.plans.queries import (
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
     connected_components,
     exact_duplicates,
+    keep_best_per_cluster,
     near_dup_pairs,
     simhash_fingerprints,
     simhash_near_dup_pairs,
@@ -74,10 +75,12 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis impo
     doc_fingerprints,
     inverted_index,
     language_id,
+    ngram_counts,
     quality_scores,
     tfidf_top_terms,
     token_stats,
     training_data_pipeline,
+    unigram_logprob,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import (
     chunk_documents,
@@ -1130,6 +1133,22 @@ def dedup_clusters(spark, sf):
     return connected_components(pairs).orderBy("doc_id")
 
 
+def dedup_keep_best_q(spark, sf):
+    """Keeper-policy dedup: near-dup pairs → connected-component
+    clusters → keep the longest document per cluster (ties → smallest
+    doc_id). Quality here is the whitespace token count — the slot any
+    model-based quality score plugs into. The corpus never shuffles
+    (two broadcast joins); CC and the keeper argmax run on the near-dup
+    subset only."""
+    docs = _docs(spark, sf)
+    pairs = near_dup_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("quality"),
+    )
+    return keep_best_per_cluster(scored, pairs).orderBy("doc_id")
+
+
 def stream_sessionize_events(spark, sf):
     """Custom stateful streaming sessionization (applyInPandasWithState).
 
@@ -1240,6 +1259,44 @@ def vocab_top_tokens_q(spark, sf):
     """Tokenizer-prep vocabulary: top-100 tokens with rank-contiguous
     ids (TakeOrdered top-k; the id window sees only the k survivors)."""
     return build_vocab(_docs(spark, sf), vocab_size=100)
+
+
+def text_ngrams_q(spark, sf):
+    """Top-50 corpus bigrams — zip_with shifted-slice expansion, one
+    hash agg, TakeOrdered top-k."""
+    return ngram_counts(_docs(spark, sf), n=2, top_k=50)
+
+
+def text_logprob_q(spark, sf):
+    """Unigram cross-entropy quality proxy: one vocab aggregate
+    broadcast as a single map row; per-doc scoring is an aggregate fold
+    over the token array (corpus never shuffles)."""
+    return unigram_logprob(_docs(spark, sf)).orderBy("doc_id")
+
+
+def dedup_fuzzy_names_q(spark, sf):
+    """Blocked edit-distance entity dedup on the customer dimension:
+    self-equi-join on a name-prefix blocking key (the only shuffle),
+    levenshtein <= 1 within each block. The blocking key bounds the
+    pair space the same way LSH bands do for MinHash."""
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("_id"),
+        F.col("c_name").alias("_nm"),
+        F.substring(F.col("c_name"), 1, 16).alias("_blk"),
+    )
+    a = c.select("_blk", F.col("_id").alias("id_a"), F.col("_nm").alias("_na"))
+    b = c.select("_blk", F.col("_id").alias("id_b"), F.col("_nm").alias("_nb"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_na", "_nb").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .orderBy("id_a", "id_b")
+    )
 
 
 def sample_hash_q(spark, sf):
@@ -1804,6 +1861,27 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach"
         " GROUP BY n ORDER BY doc_id"
     ),
+    "dedup_keep_best": (
+        "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ("
+        + _near_dup_sql(_SHINGLES_CTE, 0.2)
+        + ")), edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs),"
+        " reach AS (SELECT a AS n, b AS m FROM edges"
+        "  UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),"
+        " clusters AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id"
+        "  FROM reach GROUP BY n),"
+        " q AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,"
+        "  len(string_split(d.text, ' ')) AS quality"
+        "  FROM documents d LEFT JOIN clusters c USING (doc_id)),"
+        " k AS (SELECT cluster_id, doc_id AS keeper_id FROM"
+        "  (SELECT cluster_id, doc_id, row_number() OVER"
+        "   (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn"
+        "   FROM q) WHERE rn = 1)"
+        " SELECT q.doc_id, q.cluster_id, k.keeper_id,"
+        " (CASE WHEN q.doc_id = k.keeper_id THEN 1 ELSE 0 END)::BIGINT"
+        "  AS is_keeper"
+        " FROM q JOIN k USING (cluster_id) ORDER BY q.doc_id"
+    ),
     "asof_join_events": (
         "WITH clicks AS (SELECT event_id, user_id, ts FROM events"
         " WHERE event_type = 'click'),"
@@ -2008,6 +2086,35 @@ ORACLE_SQL: dict[str, str] = {
         "  ORDER BY cnt DESC, token LIMIT 100)"
         " SELECT (row_number() OVER (ORDER BY cnt DESC, token) - 1)::BIGINT"
         "  AS token_id, token, cnt FROM c"
+    ),
+    "text_ngrams": (
+        "WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),"
+        " b AS (SELECT unnest(list_transform("
+        "  generate_series(1, len(toks) - 1),"
+        "  i -> toks[i] || ' ' || toks[i + 1])) AS ngram FROM t)"
+        " SELECT ngram, count(*) AS cnt FROM b GROUP BY ngram"
+        " ORDER BY cnt DESC, ngram LIMIT 50"
+    ),
+    "text_logprob": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+        "  FROM documents),"
+        " c AS (SELECT tok, count(*)::DOUBLE AS c FROM tok GROUP BY tok),"
+        " n AS (SELECT sum(c) AS n FROM c),"
+        " v AS (SELECT tok, c FROM c ORDER BY c DESC, tok LIMIT 1000)"
+        " SELECT t.doc_id, count(*)::BIGINT AS n_tokens,"
+        " round(sum(-log2(coalesce(v.c, 0.5) / (SELECT n FROM n)))"
+        "  / count(*), 6) AS xent"
+        " FROM tok t LEFT JOIN v USING (tok)"
+        " GROUP BY t.doc_id ORDER BY t.doc_id"
+    ),
+    "dedup_fuzzy_names": (
+        "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,"
+        " levenshtein(a.c_name, b.c_name)::BIGINT AS dist"
+        " FROM customer a JOIN customer b"
+        " ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)"
+        " AND a.c_custkey < b.c_custkey"
+        " WHERE levenshtein(a.c_name, b.c_name) <= 1"
+        " ORDER BY id_a, id_b"
     ),
     "sample_hash": (
         "SELECT doc_id, lang, source FROM documents"
@@ -2423,6 +2530,10 @@ _GATE_FRONT = {
     "anomaly_zscore_events": anomaly_zscore_events,
     # r3 additions land here (slots 34+).
     "q1_kernel_equiv": q1_kernel_equiv,
+    "dedup_keep_best": dedup_keep_best_q,
+    "text_ngrams": text_ngrams_q,
+    "text_logprob": text_logprob_q,
+    "dedup_fuzzy_names": dedup_fuzzy_names_q,
 }
 
 _SENTINELS = {

@@ -285,3 +285,35 @@ def test_training_pipeline_two_shuffles(docs):
     bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     plan = plan_of(training_data_pipeline(docs, bench))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_ngram_counts_single_shuffle_take_ordered(docs):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import ngram_counts
+
+    plan = plan_of(ngram_counts(docs, n=2, top_k=50))
+    assert data_exchanges(plan) == 1  # the n-gram hash agg
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_unigram_logprob_corpus_never_shuffles(docs):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import unigram_logprob
+
+    plan = plan_of(unigram_logprob(docs))
+    # one hash exchange total (the token-count agg feeding vocab+total);
+    # doc scoring is a projection over broadcast 1-row joins
+    assert data_exchanges(plan) == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_keep_best_corpus_side_is_broadcast_joined(spark, docs):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import keep_best_per_cluster
+
+    scored = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("quality")
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    plan = plan_of(keep_best_per_cluster(scored, pairs))
+    # the corpus reaches the output through broadcast hash joins only —
+    # no sort-merge join, no corpus-keyed exchange on doc_id
+    assert "SortMergeJoin" not in plan
+    assert not re.search(r"Exchange hashpartitioning\(doc_id", plan)
