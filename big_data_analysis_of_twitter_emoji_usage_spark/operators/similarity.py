@@ -379,6 +379,152 @@ def cosine_knn_sign_lsh(
     )
 
 
+# Knuth/Fibonacci-style multipliers for the deterministic ordinal-pair
+# schedule; the exact values only need to be fixed and well-mixing.
+_WTA_MULT1, _WTA_MULT2 = 2654435761, 2246822519
+_WTA_MOD = 2147483647
+
+
+def wta_pairs(bits: int, tables: int, dim: int) -> list[list[tuple[int, int]]]:
+    """Deterministic (i, j) dimension pairs (1-based, i != j) for the
+    ordinal LSH bits: plain integer arithmetic, so the identical
+    schedule is reproducible anywhere (including a SQL oracle) with no
+    hashing library in the loop."""
+    out = []
+    for t in range(tables):
+        row = []
+        for b in range(bits):
+            x = t * bits + b
+            i = (x * _WTA_MULT1 + 1) % _WTA_MOD % dim + 1
+            j0 = (x * _WTA_MULT2 + 7) % _WTA_MOD % (dim - 1) + 1
+            j = j0 + 1 if j0 >= i else j0
+            row.append((i, j))
+        out.append(row)
+    return out
+
+
+def wta_bucket(vec: Column, pairs_row: list[tuple[int, int]], dim: int) -> Column:
+    """Ordinal LSH bucket: the '0'/'1' pattern of pairwise coordinate
+    comparisons ``v[i] > v[j]`` — the rank-correlation hash family
+    (winner-take-all hashing). Unlike sign-of-dot-product planes, each
+    bit is an EXACT comparison of two stored floats: no summation, so
+    the bucket is bit-reproducible across engines and never flips on
+    floating-point association order."""
+    chars = [
+        F.when(F.element_at(vec, i) > F.element_at(vec, j), "1").otherwise("0")
+        for i, j in pairs_row
+    ]
+    return F.when(F.size(vec) >= dim, F.concat(*chars)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"wta_bucket: vector has fewer than {dim} dims; got size="),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
+
+
+def cosine_knn_wta(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via multi-table ORDINAL LSH: ``tables``
+    independent hash tables whose bits are pairwise coordinate
+    comparisons (``wta_bucket``); candidates collide in ANY table, then
+    exact cosine ranks them.
+
+    Same bounded fan-out as ``cosine_knn_sign_lsh`` (each row emits
+    exactly ``tables`` band rows; the (band, sig) equi-join is the only
+    shuffle), but the comparison bits use ALL coordinate information
+    available to the schedule instead of the first tables*bits axis
+    signs — and they are exact, so Spark and any oracle agree on bucket
+    membership bit-for-bit.
+    """
+    pr = wta_pairs(bits, tables, dim)
+
+    def banded(df, out_id):
+        v = _as_double(F.col(vec_col))
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("band"),
+                    wta_bucket(v, pr[t], dim).alias("sig"),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(f"_{out_id}_v"),
+            F.explode(bands).alias("b"),
+        ).select(
+            out_id,
+            f"_{out_id}_v",
+            F.col("b.band").alias("band"),
+            F.col("b.sig").alias("sig"),
+        )
+
+    q = banded(queries, "query_id")
+    c = banded(corpus, "neighbor_id")
+    scored = (
+        c.join(F.broadcast(q), ["band", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.max(
+                cosine(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+            ).alias("_cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("_cos", 6).alias("cosine"),
+        )
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization — the standard storage/serving
+    compression for embedding columns (4x smaller than float32, 8x
+    smaller than the double in flight here): per-vector scale
+    ``max|v| / 127``, code ``q_d = round(v_d * 127 / max|v|)`` in
+    [-127, 127].
+
+    Pure projection (higher-order transform + posexplode) — runs at
+    scan speed, no shuffle; emitted as (id, scale, pos, q) rows so the
+    codes stay oracle-checkable (integer-exact in any engine).
+    """
+    v = _as_double(F.col(vec_col))
+    vmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qarr = F.transform(v, lambda x: F.round(x * 127 / vmax).cast("long"))
+    return df.select(
+        F.col(id_col),
+        F.round(vmax / 127, 9).alias("scale"),
+        F.posexplode(qarr).alias("pos0", "q"),
+    ).select(
+        id_col,
+        "scale",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "q",
+    )
+
+
 def embedding_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

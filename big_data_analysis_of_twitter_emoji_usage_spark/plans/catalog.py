@@ -61,6 +61,9 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import 
     cosine_knn_bruteforce,
     cosine_knn_ivf,
     cosine_knn_sign_lsh,
+    cosine_knn_wta,
+    quantize_embeddings,
+    wta_pairs,
     embedding_centroids,
     embedding_label_spread,
     embedding_near_dup_pairs,
@@ -1235,6 +1238,19 @@ def knn_ivf_q(spark, sf):
     )
 
 
+def knn_wta_q(spark, sf):
+    """Ordinal (winner-take-all) LSH ANN: bits are exact pairwise
+    coordinate comparisons from a deterministic integer schedule —
+    engine-portable bucket membership, same bounded band-join shape as
+    knn_lsh. bits=5/tables=10 measured recall@3 = 0.63 on the
+    i.i.d.-gaussian fixtures (sign-LSH 0.43, IVF 0.67); the
+    bits-grow-with-corpus sizing rule from SCALE.md applies unchanged."""
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_knn_wta(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, bits=5, tables=10
+    )
+
+
 def text_langid_q(spark, sf):
     return language_id(_docs(spark, sf))
 
@@ -1421,6 +1437,30 @@ def stream_pii_redact(spark, sf):
     return run_stream_to_memory(
         spark, red, "stream_pii_redact_sink", output_mode="append"
     ).orderBy("doc_id")
+
+
+def stream_quality_docs(spark, sf):
+    """Quality scoring under Structured Streaming — the same stateless
+    quality_scores projection in append mode (batch/stream unification;
+    carries the batch oracle verbatim)."""
+    schema = read_parquet_schema(spark, sf, "documents")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_table_path(sf, "documents"))
+        .select("doc_id", "text")
+    )
+    return run_stream_to_memory(
+        spark,
+        quality_scores(stream),
+        "stream_quality_docs_sink",
+        output_mode="append",
+    ).orderBy("doc_id")
+
+
+def embedding_quantize_q(spark, sf):
+    """int8 embedding quantization — pure projection, integer-exact
+    codes, (vec_id, scale, pos, q) rows."""
+    return quantize_embeddings(load_table(spark, sf, "embeddings"))
 
 
 def decontam_docs_q(spark, sf):
@@ -2041,6 +2081,41 @@ ORACLE_SQL: dict[str, str] = {
         "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
         " WHERE rank <= 3"
     ),
+    # Ordinal-LSH oracle: the sig expressions are generated from the
+    # SAME wta_pairs schedule the Spark operator uses — the schedule is
+    # plain integer arithmetic, so both engines see identical (i, j)
+    # constants and the comparison bits are exact (no float summation).
+    "knn_wta": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        + ", ".join(
+            "concat("
+            + ", ".join(
+                f"CASE WHEN embedding[{i}] > embedding[{j}]"
+                " THEN '1' ELSE '0' END"
+                for i, j in row
+            )
+            + f") AS sig{t}"
+            for t, row in enumerate(wta_pairs(5, 10, 64))
+        )
+        + " FROM embeddings),"
+        " bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, v, {t} AS band, sig{t} AS sig FROM e"
+            for t in range(10)
+        )
+        + "),"
+        " q AS (SELECT vec_id, v, band, sig FROM bands WHERE vec_id < 10),"
+        " scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        "  max(list_dot_product(q.v, c.v) /"
+        "  sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)))"
+        "  AS cos"
+        "  FROM q JOIN bands c ON q.band = c.band AND q.sig = c.sig"
+        "  AND q.vec_id <> c.vec_id GROUP BY q.vec_id, c.vec_id)"
+        " SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
+        " WHERE rank <= 3"
+    ),
     "text_langid": (
         "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word"
         " FROM documents), s AS (SELECT doc_id,\n  "
@@ -2473,7 +2548,19 @@ ORACLE_SQL: dict[str, str] = {
         "   ORDER BY tfidf DESC, term) AS rank FROM scored)"
         " WHERE rank <= 3 ORDER BY doc_id, rank"
     ),
+    "embedding_quantize": (
+        "WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+        " list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS vmax"
+        " FROM embeddings)"
+        " SELECT vec_id, round(vmax / 127, 9) AS scale,"
+        " t.i::BIGINT AS pos, round(v[t.i] * 127 / vmax)::BIGINT AS q"
+        " FROM m, generate_series(1, 64) AS t(i)"
+    ),
 }
+
+# The streaming quality query is the identical stateless projection in
+# append mode — it carries the batch oracle verbatim.
+ORACLE_SQL["stream_quality_docs"] = ORACLE_SQL["text_quality"]
 
 
 # --------------------------------------------------------------------------
@@ -2534,6 +2621,9 @@ _GATE_FRONT = {
     "text_ngrams": text_ngrams_q,
     "text_logprob": text_logprob_q,
     "dedup_fuzzy_names": dedup_fuzzy_names_q,
+    "knn_wta": knn_wta_q,
+    "stream_quality_docs": stream_quality_docs,
+    "embedding_quantize": embedding_quantize_q,
 }
 
 _SENTINELS = {
