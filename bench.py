@@ -59,7 +59,7 @@ def main() -> None:
     # window spans several queries in the first pass.
     for _ in range(2):
         hot = [n for n in sorted(timings, key=timings.get, reverse=True)
-               if timings[n] >= 8.0]
+               if timings[n] >= 3.0]
         if not hot:
             break
         for name in hot:
