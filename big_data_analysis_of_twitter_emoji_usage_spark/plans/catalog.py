@@ -102,6 +102,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.safety import (
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import (
     attach_binary_payload,
+    binary_metadata,
     decode_batch,
     frame_sample_batch,
     resize_batch,
@@ -1370,6 +1371,62 @@ def multimodal_frames_q(spark, sf):
     return frame_sample_batch(attach_binary_payload(_docs(spark, sf)))
 
 
+def multimodal_pairs_q(spark, sf):
+    """Multimodal training-pair assembly: each text document joined
+    with its embedding row (the stand-in for decoded image/audio
+    features) plus JVM-side payload metadata (binary_metadata pre-pass
+    — no Python), emitting the content-addressed pair records a packing
+    stage consumes. One equi-join; the metadata side is a projection."""
+    meta = binary_metadata(attach_binary_payload(_docs(spark, sf)))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("emb_norm"),
+    )
+    return (
+        meta.join(emb, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "content_hash",
+            "emb_norm",
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.col("content_hash"))
+            ).alias("pair_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tpch_q18_topk(spark, sf):
+    """TPC-H Q18 shape (large-volume orders): group-having semi-join
+    feeding a 3-way join, re-aggregation, and TakeOrdered top-k —
+    DECIMAL-exact quantity sums cast back to double. The having
+    subquery aggregates lineitem once (map-side partials) and the
+    survivor set is tiny, so AQE broadcasts it into the probe join."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer", spread_scan=False)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_s"))
+        .filter(F.col("_s") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
 def _pii_inject(df):
     """The fixture corpus is PII-free, so PII strings are synthesized
     deterministically from doc_id arithmetic (same device as the emoji
@@ -2548,6 +2605,31 @@ ORACLE_SQL: dict[str, str] = {
         "   ORDER BY tfidf DESC, term) AS rank FROM scored)"
         " WHERE rank <= 3 ORDER BY doc_id, rank"
     ),
+    "multimodal_pairs": (
+        # DuckDB md5 takes VARCHAR and hashes its UTF-8 bytes — exactly
+        # the Spark-side md5(encode(text, 'UTF-8')).
+        "WITH meta AS (SELECT doc_id,"
+        "  octet_length(encode(text))::BIGINT AS n_bytes,"
+        "  md5(text) AS content_hash FROM documents),"
+        " e AS (SELECT vec_id AS doc_id,"
+        "  round(sqrt(list_dot_product(embedding::DOUBLE[],"
+        "  embedding::DOUBLE[])), 6) AS emb_norm FROM embeddings)"
+        " SELECT meta.doc_id, n_bytes, content_hash, emb_norm,"
+        " md5(meta.doc_id::VARCHAR || content_hash) AS pair_id"
+        " FROM meta JOIN e ON meta.doc_id = e.doc_id ORDER BY meta.doc_id"
+    ),
+    "tpch_q18_topk": (
+        "SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,"
+        " o.o_totalprice,"
+        " (sum(l.l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty"
+        " FROM lineitem l"
+        " JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " JOIN customer c ON o.o_custkey = c.c_custkey"
+        " WHERE l.l_orderkey IN (SELECT l_orderkey FROM lineitem"
+        "  GROUP BY l_orderkey HAVING sum(l_quantity::DECIMAL(18,2)) > 250)"
+        " GROUP BY 1, 2, 3, 4, 5"
+        " ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"
+    ),
     "embedding_quantize": (
         "WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
         " list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS vmax"
@@ -2624,6 +2706,8 @@ _GATE_FRONT = {
     "knn_wta": knn_wta_q,
     "stream_quality_docs": stream_quality_docs,
     "embedding_quantize": embedding_quantize_q,
+    "multimodal_pairs": multimodal_pairs_q,
+    "tpch_q18_topk": tpch_q18_topk,
 }
 
 _SENTINELS = {
