@@ -10,6 +10,8 @@ import math
 import duckdb
 import pytest
 
+from pyspark.sql.types import ArrayType, MapType, StructType
+
 from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import ORACLE_SQL, QUERIES
 
 TABLES = [
@@ -51,6 +53,19 @@ def canon(cols, rows):
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert name in QUERIES, f"oracle {name} has no spark query"
     sdf = QUERIES[name](spark, sf_dir)
+    # Driver constraint discovered in r3: the external gate's pandas
+    # canonicalization cannot hash array/map/struct columns (it crashed
+    # on inverted_index's postings). No oracle query may emit one —
+    # reshape with posexplode/concat_ws instead.
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name}: nested-typed output columns {nested} would crash the "
+        "driver's canonicalization; emit scalar columns"
+    )
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
