@@ -58,6 +58,11 @@ def get_spark(
         # parquet reader rejects by default; read as long nanos and let
         # load_events() convert (integer div — doubles can't hold 1e18).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixture parquet written with isAdjustedToUTC=false would otherwise
+        # surface as TIMESTAMP_NTZ, which watermarks reject; values are
+        # UTC-naive and the session tz is pinned UTC, so reading them as
+        # session-tz TIMESTAMP is value-preserving.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Streaming tests/micro-batches: don't fan tiny files into 200 tasks.
         .config("spark.sql.streaming.fileSource.log.compactInterval", "10")
     )
@@ -83,6 +88,11 @@ _PINNED_CONFS = {
     # events.parquet stores TIMESTAMP(NANOS); the reader rejects it unless
     # told to surface the column as long nanos (converted in load_events).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixtures written as timestamp[us] with isAdjustedToUTC=false read as
+    # TIMESTAMP_NTZ under the Spark 4 default, and watermarks reject NTZ
+    # event time. Values are UTC-naive and the session tz is pinned UTC
+    # below, so reading them as plain TIMESTAMP is value-preserving.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Timestamp<->string rendering must be UTC to compare bit-for-bit with
     # the DuckDB oracle (UTC-naive timestamps).
     "spark.sql.session.timeZone": "UTC",
@@ -181,15 +191,30 @@ def nanos_to_timestamp(col):
     return F.timestamp_micros(F.expr(f"{col} div 1000"))
 
 
+def _normalize_ts(df, col: str = "ts"):
+    """Normalize the three observed parquet encodings of ``ts`` to a plain
+    session-tz TIMESTAMP: long nanos (nanosAsLong surfacing of
+    TIMESTAMP(NANOS)) via exact integer division; TIMESTAMP_NTZ (micros
+    with isAdjustedToUTC=false read under inferTimestampNTZ=true, e.g. by
+    a caller session that skipped pin_session_confs) via cast — values
+    are UTC-naive and the session tz is pinned UTC, so the cast is
+    value-preserving; plain TIMESTAMP passes through."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("bigint", "long"):
+        return df.withColumn(col, nanos_to_timestamp(col))
+    if dtype == "timestamp_ntz":
+        from pyspark.sql import functions as F
+
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str):
     """The events table with `ts` as a timestamp, whatever the parquet
     encoding: TIMESTAMP(NANOS) files arrive as long nanos (see
-    nanosAsLong above) and are converted; micro/milli TIMESTAMP files
-    are already timestamps and pass through."""
-    df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
-        df = df.withColumn("ts", nanos_to_timestamp("ts"))
-    return df
+    nanosAsLong above) and are converted; NTZ micros are cast; micro/milli
+    UTC TIMESTAMP files pass through."""
+    return _normalize_ts(load_table(spark, sf_dir, "events"))
 
 
 def stream_table_path(sf_dir: str, name: str) -> str:
@@ -210,6 +235,4 @@ def load_events_stream(spark: SparkSession, sf_dir: str):
     stream = spark.readStream.schema(schema).parquet(
         stream_table_path(sf_dir, "events")
     )
-    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
-        stream = stream.withColumn("ts", nanos_to_timestamp("ts"))
-    return stream
+    return _normalize_ts(stream)

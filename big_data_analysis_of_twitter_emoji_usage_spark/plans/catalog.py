@@ -680,9 +680,13 @@ def event_value_percentiles_approx(spark, sf):
         lo, hi = max(q - 0.02, 0.0), min(q + 0.02, 1.0)
         a = F.expr(f"approx_percentile(value, {q}, 10000)")
         checks.append(
-            (
+            # coalesce: a group whose value column is entirely NULL gets
+            # NULL from both percentile and approx_percentile — the check
+            # is vacuously true there, matching the oracle's pinned true.
+            F.coalesce(
                 (F.expr(f"percentile(value, {lo})") - 1e-9 <= a)
-                & (a <= F.expr(f"percentile(value, {hi})") + 1e-9)
+                & (a <= F.expr(f"percentile(value, {hi})") + 1e-9),
+                F.lit(True),
             ).alias(f"p{int(q * 100)}_ok")
         )
     return ev.groupBy("event_type").agg(*checks).orderBy("event_type")

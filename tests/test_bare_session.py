@@ -34,13 +34,16 @@ def bare_confs(spark):
             spark.conf.set(key, val)
 
 
-def test_events_read_fails_without_pinning(bare_confs, sf_dir):
+def test_events_read_wrong_without_pinning(bare_confs, sf_dir):
     """Sanity: the failure mode is real — a raw read on the stripped
-    session rejects the TIMESTAMP(NANOS) column."""
-    from pyspark.errors.exceptions.captured import AnalysisException
-
-    with pytest.raises(AnalysisException, match="PARQUET_TYPE_ILLEGAL"):
-        bare_confs.read.parquet(f"{sf_dir}/events.parquet").schema
+    session surfaces `ts` as a type the engine's time semantics reject.
+    With the current un-adjusted-micros fixture that is TIMESTAMP_NTZ
+    (``withWatermark`` raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on it);
+    a nanos-encoded fixture would instead die with PARQUET_TYPE_ILLEGAL.
+    Either way the raw dtype must differ from the engine's `timestamp` —
+    proving the pinned confs are load-bearing, not decorative."""
+    raw = bare_confs.read.parquet(f"{sf_dir}/events.parquet")
+    assert dict(raw.dtypes)["ts"] == "timestamp_ntz"
 
 
 @pytest.mark.parametrize(

@@ -65,6 +65,9 @@ def test_gate_front_plus_sentinels_fit_the_window():
     )
 
 
-def test_oracle_coverage_is_total_except_documented_rows_only():
+def test_oracle_coverage_is_total():
+    """Since r4 every catalog query is oracle-paired — the two former
+    rows-only entries run their verification in-plan and emit hashable
+    booleans. A new rows-only query should be a deliberate decision."""
     rows_only = {q for q in QUERIES if q not in ORACLE_SQL}
-    assert rows_only == {"stream_sessionize_events", "event_value_percentiles_approx"}
+    assert rows_only == set()

@@ -86,24 +86,39 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
 
 
-# Genuinely non-oracle-able ops: custom stateful streaming (per-key
-# mutable state with custom emit logic; checked against the batch
-# equivalent in test_stateful_streaming.py) and sketch aggregates
-# (approx_percentile is within-tolerance, not bit-equal — checked for
-# tolerance below instead of by hash).
-ROWS_ONLY_ALLOWED = {
-    "stream_sessionize_events",
-    "event_value_percentiles_approx",
-}
+# Since r4 every catalog query is oracle-paired: the two former rows-only
+# entries (custom stateful streaming sessionize, sketch percentiles) were
+# made self-verifying — the in-plan check booleans are what the driver
+# hashes, with the oracle pinning them true.
+ROWS_ONLY_ALLOWED = set()
 
 
 def test_approx_percentiles_within_tolerance(spark, sf_dir, duck):
-    """The sketch percentiles can't hash-match an oracle (they return a
-    data sample, not an interpolated value), but each must land inside a
-    ±2-percentile bracket of the exact distribution."""
+    """The raw sketch percentiles can't hash-match an oracle (they return
+    a data sample, not an interpolated value), but each must land inside a
+    ±2-percentile bracket of the exact distribution. The catalog query now
+    runs this bracket check in-plan and emits booleans; this test keeps a
+    raw-value variant of the same assertion against DuckDB's exact
+    quantiles, so the tolerance itself stays independently pinned."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_events
+
+    sketch = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(f"approx_percentile(value, {q}, 10000)").alias(
+                    f"p{int(q * 100)}"
+                )
+                for q in (0.5, 0.9, 0.99)
+            ]
+        )
+    )
     approx = {
         r["event_type"]: (r["p50"], r["p90"], r["p99"])
-        for r in QUERIES["event_value_percentiles_approx"](spark, sf_dir).collect()
+        for r in sketch.collect()
     }
     quantiles = (0.5, 0.9, 0.99)
     brackets = {}

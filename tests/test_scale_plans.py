@@ -267,10 +267,9 @@ def test_every_query_is_oracle_paired_or_known_rows_only():
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import ORACLE_SQL, QUERIES
 
     assert set(ORACLE_SQL) <= set(QUERIES)
-    assert set(QUERIES) - set(ORACLE_SQL) == {
-        "event_value_percentiles_approx",   # sketch: tolerance-checked
-        "stream_sessionize_events",         # custom state: batch-equiv
-    }
+    # Since r4: empty — the sketch-percentile and stateful-sessionize
+    # entries self-verify in-plan and emit hashable booleans.
+    assert set(QUERIES) - set(ORACLE_SQL) == set()
 
 
 def test_training_pipeline_two_shuffles(docs):

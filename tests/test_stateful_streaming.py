@@ -6,7 +6,7 @@ contract documented on streaming.jobs.stateful_sessionize.
 
 from pyspark.sql import Window, functions as F
 
-from big_data_analysis_of_twitter_emoji_usage_spark.core import load_events, nanos_to_timestamp, stream_table_path, table_path
+from big_data_analysis_of_twitter_emoji_usage_spark.core import load_events, load_events_stream
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import sessionize
 from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import run_stream_to_memory, stateful_sessionize
 
@@ -21,15 +21,9 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir):
     )
     exp_rows = sorted(map(tuple, expected.collect()))
 
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_table_path(sf_dir, "events"))
-        .withColumn("ts", nanos_to_timestamp("ts"))
-    )
     got = run_stream_to_memory(
         spark,
-        stateful_sessionize(stream),
+        stateful_sessionize(load_events_stream(spark, sf_dir)),
         "test_stateful_sessions",
         output_mode="append",
     )
@@ -41,27 +35,34 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir):
 def test_stateful_sessionize_multibatch(spark, sf_dir):
     """State must carry across micro-batches: with the source split into
     several triggers the closed-session set is identical."""
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     one = run_stream_to_memory(
         spark,
-        stateful_sessionize(
-            spark.readStream.schema(schema)
-            .parquet(stream_table_path(sf_dir, "events"))
-            .withColumn("ts", nanos_to_timestamp("ts"))
-        ),
+        stateful_sessionize(load_events_stream(spark, sf_dir)),
         "test_sessions_onebatch",
         output_mode="append",
     )
-    multi_src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_table_path(sf_dir, "events"))
-        .withColumn("ts", nanos_to_timestamp("ts"))
-    )
     multi = run_stream_to_memory(
         spark,
-        stateful_sessionize(multi_src),
+        stateful_sessionize(_throttled_events_stream(spark, sf_dir)),
         "test_sessions_multibatch",
         output_mode="append",
     )
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, multi.collect()))
+
+
+def _throttled_events_stream(spark, sf_dir):
+    """load_events_stream with maxFilesPerTrigger=1 so the fixture's files
+    arrive across several micro-batches."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import (
+        _normalize_ts,
+        read_parquet_schema,
+        stream_table_path,
+    )
+
+    schema = read_parquet_schema(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_table_path(sf_dir, "events"))
+    )
+    return _normalize_ts(stream)
