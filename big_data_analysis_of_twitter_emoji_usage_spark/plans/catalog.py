@@ -62,6 +62,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import 
     cosine_knn_ivf,
     cosine_knn_sign_lsh,
     cosine_knn_wta,
+    lsh_hyperplanes,
     quantize_embeddings,
     wta_pairs,
     embedding_centroids,
@@ -1251,8 +1252,13 @@ def knn_brute_q(spark, sf):
 
 
 def knn_lsh_q(spark, sf):
+    """Sign-LSH ANN over seeded sparse-Rademacher hyperplanes (r5; the
+    r1–r4 axis-aligned slices measured recall@3 0.43 — this schedule
+    measures 0.667 at the same table fan-out class, see SCALE.md)."""
     emb = load_table(spark, sf, "embeddings")
-    return cosine_knn_sign_lsh(emb, emb.filter(F.col("vec_id") < 10), k=3, bits=6)
+    return cosine_knn_sign_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, bits=5, tables=10
+    )
 
 
 def knn_ivf_q(spark, sf):
@@ -2182,23 +2188,30 @@ ORACLE_SQL: dict[str, str] = {
         "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
         " WHERE rank <= 3"
     ),
+    # Sign-LSH oracle: the hyperplane sums are generated from the SAME
+    # lsh_hyperplanes schedule the Spark operator uses — plain integer
+    # arithmetic, so both engines bake identical (dim, ±1) literals and
+    # sum them in identical order (IEEE doubles → bit-equal signs).
     "knn_lsh": (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
         + ", ".join(
             "concat("
             + ", ".join(
-                f"CASE WHEN embedding[{t * 6 + i + 1}] > 0"
-                " THEN '1' ELSE '0' END"
-                for i in range(6)
+                "CASE WHEN ("
+                + " + ".join(
+                    f"embedding[{i}]::DOUBLE * {float(s)}" for i, s in terms
+                )
+                + ") > 0 THEN '1' ELSE '0' END"
+                for terms in row
             )
             + f") AS sig{t}"
-            for t in range(8)
+            for t, row in enumerate(lsh_hyperplanes(5, 10, 64))
         )
         + " FROM embeddings),"
         " bands AS ("
         + " UNION ALL ".join(
             f"SELECT vec_id, v, {t} AS band, sig{t} AS sig FROM e"
-            for t in range(8)
+            for t in range(10)
         )
         + "),"
         " q AS (SELECT vec_id, v, band, sig FROM bands WHERE vec_id < 10),"
@@ -2750,6 +2763,9 @@ _GATE_FRONT = {
     # rotated in so CORRECTNESS_r05 attests the new shape.
     "event_value_percentiles_approx": event_value_percentiles_approx,
     "stream_sessionize_events": stream_sessionize_events,
+    # r5 reshaped: sign-LSH moved from axis-aligned slices to seeded
+    # sparse-Rademacher hyperplanes (new buckets → new candidate set).
+    "knn_lsh": knn_lsh_q,
     # r5 additions land here.
 }
 
@@ -2804,7 +2820,6 @@ _PROVEN = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_embedding": dedup_embedding_q,
     "knn_brute": knn_brute_q,
-    "knn_lsh": knn_lsh_q,
     "knn_ivf": knn_ivf_q,
     # ---- driver-attested green in r4 (CORRECTNESS_r04 window) ----
     "q1_top_words": q1_top_words,
