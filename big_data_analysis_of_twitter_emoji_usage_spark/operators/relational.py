@@ -289,3 +289,40 @@ def salted_aggregate(
         )
         .orderBy(*keys)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_from: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-spreading shuffle equi-join: the join analog of
+    ``salted_aggregate``.
+
+    A shuffle join on a hot key sends EVERY fact row of that key through
+    one reducer — broadcast fixes it only while the dim fits in memory.
+    Salting spreads the hot key instead: the fact side gets a
+    deterministic salt in [0, salt_buckets) (``xxhash64`` of a row-unique
+    column — no RNG, so replays and retries agree), the dim side is
+    REPLICATED once per salt value (``explode(sequence(...))`` — dim
+    cost × salt_buckets, the price of the spread), and the join runs on
+    (key, salt). Each hot fact key now lands on ``salt_buckets``
+    reducers instead of one; the salt never changes which rows match, so
+    the result is row-identical to the plain join — which is exactly
+    what the plain-join oracle checks.
+
+    The dim key is renamed to ``fact_key``, the compound join uses the
+    name-list form (keys coalesce), and the salt is dropped — output
+    columns are the plain join's.
+    """
+    fs = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt_buckets))
+    )
+    ds = dim if dim_key == fact_key else dim.withColumnRenamed(dim_key, fact_key)
+    ds = ds.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return fs.join(ds, [fact_key, "_salt"]).drop("_salt")

@@ -55,7 +55,12 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import 
     funnel,
     range_join,
     salted_aggregate,
+    salted_join,
     sessionize,
+)
+from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+    add_date_partition,
+    write_parquet_partitioned,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
     cosine_knn_bruteforce,
@@ -862,6 +867,125 @@ def salted_agg_events(spark, sf):
     return salted_aggregate(
         load_events(spark, sf), ["event_type"], sum_cols=["value"]
     )
+
+
+def salted_join_events(spark, sf):
+    """Skew-spreading salted shuffle join (r5; join analog of
+    salted_agg_events): events fact ⋈ customer dim on user_id =
+    c_custkey, with the fact salted on xxhash64(event_id) and the dim
+    replicated ×16 so a hot user spreads across 16 reducers. The salt
+    never changes which rows match — the oracle is the PLAIN join +
+    aggregate. Aggregated per market segment (DECIMAL-exact sums cast
+    back to double) so the output is compact and hash-stable."""
+    ev = load_events(spark, sf)
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        ev, cust, fact_key="user_id", dim_key="c_custkey",
+        salt_from="event_id", salt_buckets=16,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _assert_plan_contains(df, needle: str, what: str) -> None:
+    """Raise unless the physical plan contains ``needle`` — used by the
+    layout queries so their green CORRECTNESS row attests the PLAN
+    property (pruning), not just the values."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if needle.lower() not in plan.lower():
+        raise RuntimeError(
+            f"{what}: expected physical plan to contain {needle!r}"
+        )
+
+
+def _partitioned_events_dir(spark, sf) -> str:
+    """Write (overwrite) the events table as ds=yyyy-MM-dd hive-layout
+    parquet under the system temp dir and return the path. The at-rest
+    layout the engine substitutes for the reference's per-range
+    directory pointing (q7:64,89): time slicing becomes partition
+    pruning instead of a path convention."""
+    import tempfile
+
+    key = _os.path.basename(_os.path.normpath(sf))
+    out = _os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", f"events_by_day_{key}"
+    )
+    write_parquet_partitioned(
+        add_date_partition(load_events(spark, sf)), out, ["ds"]
+    )
+    return out
+
+
+def events_partitioned_prune(spark, sf):
+    """Partitioned-write + static partition pruning (r5, SURVEY §4): a
+    one-week slice of day-partitioned events must scan ONLY the seven
+    matching directories — asserted on the physical plan
+    (PartitionFilters on ds), so the green row attests the scan-cost
+    lever, not just the aggregate values. At 100 TB this is the
+    difference between reading 100 TB and reading ~3 TB for a
+    30-day-retention week query."""
+    out = _partitioned_events_dir(spark, sf)
+    week = spark.read.parquet(out).filter(
+        F.col("ds").between("2024-01-03", "2024-01-09")
+    )
+    res = (
+        week.groupBy(F.col("ds").cast("string").alias("ds"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("ds", "event_type")
+    )
+    _assert_plan_contains(res, "PartitionFilters: [", "events_partitioned_prune")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    if not _re.search(r"PartitionFilters: \[[^\]]*ds", plan):
+        raise RuntimeError(
+            "events_partitioned_prune: ds predicate did not reach "
+            "PartitionFilters — the scan would read every partition"
+        )
+    return res
+
+
+def events_partitioned_dpp(spark, sf):
+    """Dynamic partition pruning (r5): the probe side's day filter is
+    only known at RUNTIME (a filtered distinct-days dim), yet the
+    day-partitioned fact scan must still skip non-matching directories
+    — Spark plants a dynamicpruningexpression subquery reusing the
+    broadcast. Asserted on the plan. This is the engine's answer to
+    'join against a date dimension without scanning every partition',
+    the join-driven twin of events_partitioned_prune."""
+    out = _partitioned_events_dir(spark, sf)
+    fact = spark.read.parquet(out)
+    # Join on the RAW partition column (no casts around the join key —
+    # a wrapped key can defeat the DPP rule's partition-scan match);
+    # stringify only in the output projection for the oracle.
+    dim = (
+        fact.select("ds")
+        .distinct()
+        .filter(F.dayofmonth(F.col("ds")) % 7 == 3)
+    )
+    res = (
+        fact.join(F.broadcast(dim), "ds")
+        .groupBy(F.col("ds").cast("string").alias("ds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("ds", "event_type")
+    )
+    _assert_plan_contains(res, "dynamicpruning", "events_partitioned_dpp")
+    return res
 
 
 def window_top_customer_per_nation(spark, sf):
@@ -2547,6 +2671,34 @@ ORACLE_SQL: dict[str, str] = {
         " sum(value::DECIMAL(18,2))::DOUBLE AS sum_value"
         " FROM events GROUP BY event_type ORDER BY event_type"
     ),
+    # The salt only changes the exchange distribution, never which rows
+    # match — so the oracle is the PLAIN join + aggregate.
+    "salted_join_events": (
+        "SELECT c.c_mktsegment, count(*) AS n,"
+        " sum(e.value::DECIMAL(18,6))::DOUBLE AS sum_value"
+        " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+        " GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+    ),
+    # The partitioned rewrite is layout-only: values must equal the same
+    # aggregate over the flat table.
+    "events_partitioned_prune": (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS ds,"
+        " event_type, count(*) AS n,"
+        " sum(value::DECIMAL(18,6))::DOUBLE AS sum_value"
+        " FROM events"
+        " WHERE date_trunc('day', ts) BETWEEN DATE '2024-01-03'"
+        "  AND DATE '2024-01-09'"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "events_partitioned_dpp": (
+        "WITH f AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')"
+        "  AS ds, event_type FROM events),"
+        " dim AS (SELECT DISTINCT ds FROM f"
+        "  WHERE day(ds::DATE) % 7 = 3)"
+        " SELECT f.ds, f.event_type, count(*) AS n"
+        " FROM f JOIN dim ON f.ds = dim.ds"
+        " GROUP BY f.ds, f.event_type ORDER BY f.ds, f.event_type"
+    ),
     "funnel_events": (
         "WITH t1 AS (SELECT user_id, ts, event_type,"
         " min(CASE WHEN event_type = 'view' THEN ts END)"
@@ -2766,7 +2918,10 @@ _GATE_FRONT = {
     # r5 reshaped: sign-LSH moved from axis-aligned slices to seeded
     # sparse-Rademacher hyperplanes (new buckets → new candidate set).
     "knn_lsh": knn_lsh_q,
-    # r5 additions land here.
+    # r5 additions.
+    "salted_join_events": salted_join_events,
+    "events_partitioned_prune": events_partitioned_prune,
+    "events_partitioned_dpp": events_partitioned_dpp,
 }
 
 _SENTINELS = {

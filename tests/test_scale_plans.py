@@ -154,6 +154,55 @@ def test_salted_agg_spreads_hot_keys(docs):
     assert data_exchanges(plan) == 3  # salted, combine, orderBy
 
 
+def test_salted_join_spreads_hot_keys_and_matches_plain_join(spark):
+    """The join analog: (a) a pathologically hot fact key must land on
+    several (key, salt) sub-keys — the spread a plain shuffle join can't
+    give you; (b) the salted result is row-identical to the plain join
+    (the salt never changes which rows match)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import salted_join
+
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("row_id"),
+        # 90% of rows share key 7 — the canonical straggler shape.
+        F.when(F.col("id") % 10 == 0, F.col("id") % 5).otherwise(F.lit(7)).alias("k"),
+    )
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("dk"), (F.col("id") * 100).alias("payload")
+    )
+    out = salted_join(fact, dim, fact_key="k", dim_key="dk",
+                      salt_from="row_id", salt_buckets=8)
+    plain = fact.join(dim.withColumnRenamed("dk", "k"), "k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    # the hot key's fact rows really are spread across many salt buckets
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("row_id")), F.lit(8))
+    )
+    n_buckets = (
+        salted_fact.filter(F.col("k") == 7)
+        .select("_salt").distinct().count()
+    )
+    assert n_buckets == 8, f"hot key only spread over {n_buckets} buckets"
+    # and the join key of the salted plan is the compound (k, _salt)
+    plan = plan_of(out)
+    assert re.search(r"\[k#\d+L?, _salt#\d+L?\]", plan) or "_salt" in plan
+
+
+def test_partitioned_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    """events_partitioned_dpp's green row attests values; this pins the
+    PLAN property separately so a regression that silently drops the
+    dynamicpruningexpression (e.g. a cast sneaking onto the join key)
+    fails fast even at fixture scale."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        events_partitioned_dpp,
+        events_partitioned_prune,
+    )
+
+    dpp = events_partitioned_dpp(spark, sf_dir)
+    assert "dynamicpruning" in plan_of(dpp).lower()
+    pruned = events_partitioned_prune(spark, sf_dir)
+    assert re.search(r"PartitionFilters: \[[^\]]*ds", plan_of(pruned))
+
+
 def test_curation_is_single_shuffle(docs):
     plan = plan_of(curate_corpus(docs).drop("doc_id"))  # drop final sort col
     # one hash exchange for the keeper window; the trailing orderBy adds
