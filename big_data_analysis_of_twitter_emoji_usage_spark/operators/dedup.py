@@ -96,6 +96,20 @@ def doc_shingle_arrays(
     )
 
 
+def sample_shingles(arr, keep_hex: int):
+    """Deterministic hash-mod shingle sampling: keep shingles whose md5
+    leads with a hex digit < ``keep_hex`` — i.e. a uniform keep_hex/16
+    fraction of the shingle UNIVERSE (not per-doc), so two documents'
+    sampled sets are sampled consistently and MinHash over them still
+    estimates (sampled-set) Jaccard. One md5 per distinct shingle buys
+    num_hashes-fold fewer md5 evaluations downstream — the constant-
+    factor lever for short char n-grams, whose distinct sets are ~|doc|
+    elements. Mirrored verbatim by the SQL oracle
+    (``substr(md5(shingle), 1, 1) < '<hex>'``)."""
+    bound = format(keep_hex, "x")
+    return F.filter(arr, lambda s: F.substring(F.md5(s), 1, 1) < F.lit(bound))
+
+
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
@@ -206,6 +220,7 @@ def near_dup_pairs(
     threshold: float = 0.4,
     unit: str = "word",
     max_bucket: int | None = None,
+    sig_sample_hex: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -217,13 +232,30 @@ def near_dup_pairs(
     shuffle, two hash joins on doc ids. No row-per-shingle shuffle ever
     happens; at 100 TB the heavy state (shingle sets) moves through the
     joins exactly twice, already aggregated per doc.
+
+    ``sig_sample_hex`` (1–16) turns on hash-mod shingle sampling for the
+    SIGNATURE stage only: MinHash runs over a uniform sig_sample_hex/16
+    sample of the shingle universe (``sample_shingles``), cutting the
+    num_hashes×|shingles| md5 work — the dominant cost for char n-grams
+    — by the same factor. MinHash of a consistently-sampled set
+    estimates the sampled-set Jaccard, which concentrates around true
+    Jaccard, so the LSH S-curve shape is preserved; candidates may
+    differ at the margin, but the VERIFY stage still computes exact
+    full-set Jaccard, so emitted (pair, jaccard) values are exact and
+    precision stays structural. The oracle mirrors the same sampled
+    signature stage.
     """
     # No cache: the shingle projection is map-side work worth recomputing
     # on each of its three uses — materializing it pins executor memory
     # for the whole query (and, in a long-lived session, beyond it).
     arrays = doc_shingle_arrays(df, text_col, id_col, k, unit)
+    sig_arrays = arrays
+    if sig_sample_hex is not None:
+        sig_arrays = arrays.withColumn(
+            "shingles", sample_shingles(F.col("shingles"), sig_sample_hex)
+        )
     cand = lsh_candidate_pairs(
-        minhash_signatures(arrays, id_col, num_hashes),
+        minhash_signatures(sig_arrays, id_col, num_hashes),
         id_col,
         num_hashes,
         band_size,

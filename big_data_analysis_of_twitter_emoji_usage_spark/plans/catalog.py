@@ -146,10 +146,15 @@ _CHAR_SHINGLES_CTE = (
 )
 
 
-def _minhash_cand_sql(shingles_cte: str, max_bucket: int | None = None) -> str:
+def _minhash_cand_sql(
+    shingles_cte: str,
+    max_bucket: int | None = None,
+    sig_sample_hex: int | None = None,
+) -> str:
     """mh/bands/cand CTE chain over any ``sh`` shingle CTE (mirrors
     dedup.minhash_signatures + lsh_candidate_pairs, including the
-    optional degenerate-bucket skew guard)."""
+    optional degenerate-bucket skew guard and the optional hash-mod
+    signature-stage shingle sampling of dedup.sample_shingles)."""
     bands_src = "bands"
     guard = ""
     if max_bucket is not None:
@@ -159,11 +164,20 @@ def _minhash_cand_sql(shingles_cte: str, max_bucket: int | None = None) -> str:
             " FROM bands) WHERE bc <= %d)" % max_bucket
         )
         bands_src = "bandsf"
+    mh_src = "sh"
+    sample_cte = ""
+    if sig_sample_hex is not None:
+        sample_cte = (
+            ",\nshs AS (SELECT doc_id, shingle FROM sh"
+            " WHERE substr(md5(shingle), 1, 1) < '%s')" % format(sig_sample_hex, "x")
+        )
+        mh_src = "shs"
     return (
         shingles_cte
+        + sample_cte
         + ",\nmh AS (SELECT doc_id, "
         + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8))
-        + " FROM sh GROUP BY doc_id),\n"
+        + f" FROM {mh_src} GROUP BY doc_id),\n"
         "bands AS ("
         + " UNION ALL ".join(
             f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS sig FROM mh"
@@ -178,13 +192,18 @@ def _minhash_cand_sql(shingles_cte: str, max_bucket: int | None = None) -> str:
 
 
 def _near_dup_sql(
-    shingles_cte: str, threshold: float, max_bucket: int | None = None
+    shingles_cte: str,
+    threshold: float,
+    max_bucket: int | None = None,
+    sig_sample_hex: int | None = None,
 ) -> str:
     """Full LSH-candidates + exact-Jaccard query (mirrors
-    dedup.near_dup_pairs) over any shingle CTE."""
+    dedup.near_dup_pairs) over any shingle CTE. The verify stage always
+    uses the FULL ``sh`` set — sampling (if any) only shapes the
+    candidate stage, exactly like the Spark operator."""
     return (
         "WITH "
-        + _minhash_cand_sql(shingles_cte, max_bucket)
+        + _minhash_cand_sql(shingles_cte, max_bucket, sig_sample_hex)
         + ",\nsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
         "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c"
         " JOIN sh sa ON sa.doc_id = c.id_a"
@@ -1351,9 +1370,14 @@ def dedup_ngram_jaccard_q(spark, sf):
 
     Short char n-grams are heavy-headed, so the degenerate-bucket skew
     guard is on (max_bucket=50): without it the band self-join is
-    quadratic in the largest bucket (2.2M candidate pairs at sf0.1)."""
+    quadratic in the largest bucket (2.2M candidate pairs at sf0.1).
+    r5: the signature stage runs on a deterministic 1/4 hash-mod sample
+    of the shingle universe (sig_sample_hex=4) — the catalog's slowest
+    query was dominated by 8×md5 over ~|doc|-element arrays; the verify
+    stage still emits exact full-set Jaccard values."""
     return near_dup_pairs(
-        _docs(spark, sf), k=4, threshold=0.5, unit="char", max_bucket=50
+        _docs(spark, sf), k=4, threshold=0.5, unit="char", max_bucket=50,
+        sig_sample_hex=4,
     )
 
 
@@ -2223,7 +2247,9 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,"
         " count(*) AS n_events FROM s GROUP BY user_id, sid"
     ),
-    "dedup_ngram_jaccard": _near_dup_sql(_CHAR_SHINGLES_CTE, 0.5, max_bucket=50),
+    "dedup_ngram_jaccard": _near_dup_sql(
+        _CHAR_SHINGLES_CTE, 0.5, max_bucket=50, sig_sample_hex=4
+    ),
     "dedup_embedding": _sign_lsh_near_dup_sql(
         bits=8, tables=2, max_bucket=100, threshold=0.3
     ),
@@ -2922,6 +2948,9 @@ _GATE_FRONT = {
     "salted_join_events": salted_join_events,
     "events_partitioned_prune": events_partitioned_prune,
     "events_partitioned_dpp": events_partitioned_dpp,
+    # r5 reshaped: signature-stage shingle sampling (candidate set can
+    # shift at the margin → needs a fresh driver row).
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
 }
 
 _SENTINELS = {
@@ -2972,7 +3001,6 @@ _PROVEN = {
     "dedup_exact": dedup_exact_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_embedding": dedup_embedding_q,
     "knn_brute": knn_brute_q,
     "knn_ivf": knn_ivf_q,
