@@ -12,6 +12,8 @@ corpus. All arithmetic is JVM-side higher-order functions
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -334,6 +336,12 @@ def lsh_hyperplanes(
     Spark plan and the SQL string as literals, like ``wta_pairs``."""
     import hashlib
 
+    if nnz > dim:
+        raise ValueError(
+            f"lsh_hyperplanes: nnz={nnz} > dim={dim} — cannot draw nnz "
+            "distinct dimensions (the rejection loop would never finish)"
+        )
+
     planes = []
     for t in range(tables):
         rows = []
@@ -359,44 +367,33 @@ def hyperplane_bucket(
     vec: Column, plane_rows: list[list[tuple[int, int]]], dim: int
 ) -> Column:
     """Sign-LSH bucket from explicit hyperplane coefficients: bit b is
-    ``sign(sum_k s_k * v[i_k]) > 0`` over ``plane_rows[b]``. Terms are
-    folded in schedule order — IEEE doubles added in a fixed order are
-    bit-identical across engines, so bucket membership is reproducible
-    in the SQL oracle that bakes the same coefficient literals.
+    ``sign(sum_k v[i_k] * s_k) > 0`` over ``plane_rows[b]``. Terms are
+    summed left-to-right in schedule order — IEEE doubles added in a
+    fixed order are bit-identical across engines, so bucket membership
+    is reproducible in the SQL oracle that bakes the same coefficient
+    literals as an unrolled ``e[i]::DOUBLE * s + ...`` sum.
 
-    Codegen shape: the coefficients are a nested array-of-struct literal
-    (ConstantFolding collapses the CreateArray tree to one Literal) and
-    the bit loop is ``transform`` + ``aggregate`` — generated code is a
-    LOOP over the literal. The unrolled-sum formulation emitted
-    bits×nnz inline terms and blew janino's 64 KB method limit at the
-    production bit counts, knocking the whole fused stage off
-    whole-stage codegen (observed at 50 bits × 16 terms)."""
-    planes_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"), F.lit(float(sgn)).alias("s")
-                    )
-                    for i, sgn in terms
-                ]
-            )
-            for terms in plane_rows
-        ]
-    )
-    bits_arr = F.transform(
-        planes_lit,
-        lambda row: F.when(
-            F.aggregate(
-                row,
-                F.lit(0.0),
-                lambda acc, term: acc + F.element_at(vec, term["i"]) * term["s"],
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise("0"),
-    )
-    return F.when(F.size(vec) >= dim, F.array_join(bits_arr, "")).otherwise(
+    Codegen note (measured, r6): this single-table expression form is a
+    left-deep Add tree of ``element_at(vec, i).cast(double) * s`` terms.
+    One sig (bits×nnz ≈ 80 terms) codegens fine, but a projection
+    computing all ``tables`` sigs at production fan-out (10 × 80 = 800
+    terms) blows janino's 64 KB method limit inside WholeStageCodegen
+    and drops the whole stage to interpreted mode (measured 27 s at
+    sf0.1 vs 12.8 s for the r5 HOF fold). ``cosine_knn_sign_lsh``
+    therefore computes the full multi-table signature set through the
+    Arrow-batched ``_hyperplane_sigs_udf`` instead; this expression form
+    is kept as the portable single-sig building block. Per-element casts
+    (not one whole-array cast) keep the expression self-contained so
+    projection collapse can't duplicate an array-wide cast."""
+    def bit(terms: list[tuple[int, int]]) -> Column:
+        total = None
+        for i, sgn in terms:
+            term = F.element_at(vec, i).cast("double") * float(sgn)
+            total = term if total is None else total + term
+        return F.when(total > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[bit(terms) for terms in plane_rows])
+    return F.when(F.size(vec) >= dim, sig).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"hyperplane_bucket: vector has fewer than {dim} dims; got size="),
@@ -404,6 +401,73 @@ def hyperplane_bucket(
             )
         )
     )
+
+
+def _hyperplane_sigs_udf(
+    planes: list[list[list[tuple[int, int]]]], dim: int
+):
+    """Arrow-batched (vectorized pandas_udf) computation of ALL
+    multi-table sign-LSH signatures in one pass: ``array<float> ->
+    array<string>`` of ``tables`` bucket strings.
+
+    Why Python here (measured, r6): the JVM alternatives are both ~10×
+    slower at the production fan-out (10 tables × 5 bits × 16 terms =
+    800 multiply-adds/row). The r5 ``transform``+``aggregate`` literal
+    fold evaluates interpreted lambda frames (HOFs are outside
+    whole-stage codegen): 12.8 s at sf0.1. The unrolled Add-tree form
+    blows janino's 64 KB method limit when all tables share a
+    projection, knocking the stage off codegen entirely: 27 s. This
+    numpy path is a (rows × terms) fancy-indexed accumulation — true
+    vectorized math over Arrow record batches, the exact case the
+    "Pandas UDFs beat row-at-a-time by 10-100×" guidance is about.
+
+    Bit-exactness contract with the SQL oracle: the accumulation loops
+    over the nnz term slots IN SCHEDULE ORDER (``acc += V[:, idx[k]] *
+    sgn[k]`` for k = 0..nnz-1), so every per-row scalar sum is the same
+    left-deep IEEE-double chain the oracle's unrolled
+    ``e[i]::DOUBLE * s + ...`` emits — signs, and therefore buckets,
+    are bit-identical across numpy / Spark / DuckDB."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    tables, bits = len(planes), len(planes[0])
+    nnz = len(planes[0][0])
+    idx = np.array(
+        [
+            [planes[t][b][k][0] - 1 for t in range(tables) for b in range(bits)]
+            for k in range(nnz)
+        ],
+        dtype=np.int64,
+    )
+    sgn = np.array(
+        [
+            [float(planes[t][b][k][1]) for t in range(tables) for b in range(bits)]
+            for k in range(nnz)
+        ],
+        dtype=np.float64,
+    )
+    lut = np.array([format(x, f"0{bits}b") for x in range(2**bits)])
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def sigs(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(x) for x in vec), dtype=np.int64, count=len(vec))
+        if (lens < dim).any():
+            raise ValueError(
+                f"hyperplane sigs: vector has fewer than {dim} dims; "
+                f"got size={int(lens.min())}"
+            )
+        mat = np.stack([np.asarray(x, dtype=np.float64)[:dim] for x in vec])
+        acc = np.zeros((mat.shape[0], tables * bits))
+        for k in range(nnz):
+            acc += mat[:, idx[k]] * sgn[k]
+        pos = (acc > 0).reshape(-1, tables, bits)
+        codes = np.zeros((pos.shape[0], tables), dtype=np.int64)
+        for b in range(bits):
+            codes = (codes << 1) | pos[:, :, b]
+        return pd.Series(lut[codes].tolist())
+
+    return sigs
 
 
 def cosine_knn_sign_lsh(
@@ -431,43 +495,26 @@ def cosine_knn_sign_lsh(
     stays the only shuffle. Measured recall@3 0.667 at the defaults
     (5 bits × 10 tables × nnz=16) — curve in SCALE.md.
 
-    Plan shape: the ``tables`` sig strings are computed in their OWN
-    projection, and the explode consumes plain column refs — inlining
-    the ~bits×nnz-term sums into the Generate node's consume path blew
-    janino's 64 KB method limit (observed), which would silently drop
-    the whole stage to interpreted mode. Collisions in several tables
+    Plan shape: all ``tables`` sig strings are computed in ONE
+    Arrow-batched projection (``_hyperplane_sigs_udf`` — see its
+    docstring for the measured 10× JVM-expression dead ends), then
+    posexploded into (band, sig) rows. Collisions in several tables
     are deduplicated by a (query, neighbor) max-agg BEFORE ranking, so
     duplicates never reach the rank window.
     """
     planes = lsh_hyperplanes(bits, tables, dim, nnz)
+    sig_udf = _hyperplane_sigs_udf(planes, dim)
 
     def banded(df, out_id):
-        v = _as_double(F.col(vec_col))
         sigs = df.select(
             F.col(id_col).alias(out_id),
-            v.alias(f"_{out_id}_v"),
-            *[
-                hyperplane_bucket(v, planes[t], dim).alias(f"_sig{t}")
-                for t in range(tables)
-            ],
-        )
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("band"), F.col(f"_sig{t}").alias("sig")
-                )
-                for t in range(tables)
-            ]
+            _as_double(F.col(vec_col)).alias(f"_{out_id}_v"),
+            sig_udf(F.col(vec_col)).alias("_sigarr"),
         )
         return sigs.select(
             out_id,
             f"_{out_id}_v",
-            F.explode(bands).alias("b"),
-        ).select(
-            out_id,
-            f"_{out_id}_v",
-            F.col("b.band").alias("band"),
-            F.col("b.sig").alias("sig"),
+            F.posexplode("_sigarr").alias("band", "sig"),
         )
 
     q = banded(queries, "query_id")
