@@ -60,6 +60,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import 
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
     add_date_partition,
+    write_bucketed_table,
     write_parquet_partitioned,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
@@ -717,6 +718,75 @@ def event_value_percentiles_approx(spark, sf):
     return ev.groupBy("event_type").agg(*checks).orderBy("event_type")
 
 
+def event_value_percentiles_sketch(spark, sf):
+    """Sketch-ONLY percentiles (r6; the bench twin the r4/r5 verdicts
+    asked for): ``event_value_percentiles_approx`` next door judges the
+    sketch against exact ``percentile()`` brackets, which buffers every
+    group value — the precise 100 TB hazard the sketch exists to avoid,
+    so its bench time measured the verifier. This entry's plan contains
+    NO exact percentile: the sketch is verified by its own contract —
+    rank error. ``approx_percentile(value, q, 10000)`` must return a
+    group element whose rank is within ±ε·n of q·n; the check is a
+    second cheap scan counting ``value <= a`` / ``value < a`` per group
+    (map-side conditional counts, broadcast join on the 5-row sketch
+    result — no sort, no value buffering anywhere), with the same ±0.02
+    tolerance the bracket query uses. A monotonicity bit (p50 ≤ p90 ≤
+    p99) rides along. The oracle pins every boolean true; all-NULL
+    groups are vacuously true via coalesce, as in the bracket query.
+
+    100 TB shape: two scans of the fact (sketch agg, rank-count agg),
+    both partial-aggregated map-side; the sketch digest merges like any
+    partial aggregate; the tiny per-group sketch row broadcasts."""
+    ev = load_events(spark, sf)
+    qs = (0.5, 0.9, 0.99)
+    sketch = ev.groupBy("event_type").agg(
+        F.count("value").alias("_n"),
+        *[
+            F.expr(f"approx_percentile(value, {q}, 10000)").alias(
+                f"_a{int(q * 100)}"
+            )
+            for q in qs
+        ],
+    )
+    probe = ev.select("event_type", "value").join(
+        F.broadcast(sketch), "event_type"
+    )
+    counted = probe.groupBy("event_type").agg(
+        F.first("_n").alias("_n"),
+        *[F.first(f"_a{int(q * 100)}").alias(f"_a{int(q * 100)}") for q in qs],
+        *[
+            F.sum(
+                F.when(F.col("value") <= F.col(f"_a{int(q * 100)}"), 1).otherwise(0)
+            ).alias(f"_le{int(q * 100)}")
+            for q in qs
+        ],
+        *[
+            F.sum(
+                F.when(F.col("value") < F.col(f"_a{int(q * 100)}"), 1).otherwise(0)
+            ).alias(f"_lt{int(q * 100)}")
+            for q in qs
+        ],
+    )
+    checks = []
+    for q in qs:
+        p = int(q * 100)
+        lo, hi = max(q - 0.02, 0.0), min(q + 0.02, 1.0)
+        checks.append(
+            F.coalesce(
+                (F.col(f"_le{p}") / F.col("_n") >= F.lit(lo) - 1e-9)
+                & (F.col(f"_lt{p}") / F.col("_n") <= F.lit(hi) + 1e-9),
+                F.lit(True),
+            ).alias(f"p{p}_rank_ok")
+        )
+    checks.append(
+        F.coalesce(
+            (F.col("_a50") <= F.col("_a90")) & (F.col("_a90") <= F.col("_a99")),
+            F.lit(True),
+        ).alias("mono_ok")
+    )
+    return counted.select("event_type", *checks).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # Streaming (S2/S5/A5): same builders on an unbounded source, driven to a
 # checkable final state. Batch/stream duality is the contract (§2.8).
@@ -1049,6 +1119,92 @@ def events_partitioned_dpp(spark, sf):
     )
     _assert_plan_contains(res, "dynamicpruning", "events_partitioned_dpp")
     return res
+
+
+def _bucketed_events_tables(spark, sf) -> tuple[str, str]:
+    """Materialize the events fact and its per-user rollup as managed
+    tables bucketed ×8 on ``user_id``, memoized per (source content,
+    session): the table names embed a stamp of the source parquet's
+    (path, size, mtime), so a cached table is only reused for the exact
+    fixture that built it, and a regenerated fixture gets fresh names.
+    ``tableExists`` re-checks per session because the in-memory catalog
+    does not survive session restarts even when the table files do; the
+    tables are EXTERNAL over content-stamped scratch paths (a managed
+    table would land in the session warehouse dir — the process cwd by
+    default — and a restarted session could neither reuse nor overwrite
+    the orphaned location), so a rebuild just clears and rewrites the
+    directories this helper owns."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src = table_path(sf, "events")
+    st = _os.stat(src)
+    stamp = hashlib.md5(
+        f"{_os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    ev_t, users_t = f"ev_bucketed_{stamp}", f"users_bucketed_{stamp}"
+    if not (
+        spark.catalog.tableExists(ev_t)
+        and spark.catalog.tableExists(users_t)
+    ):
+        ev = load_events(spark, sf)
+        for tname, tdf in (
+            (ev_t, ev.select("event_id", "user_id", "value")),
+            (
+                users_t,
+                ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")),
+            ),
+        ):
+            loc = _os.path.join(
+                tempfile.gettempdir(), "spark_graft_scratch", tname
+            )
+            if _os.path.isdir(loc):  # orphan from a prior session
+                shutil.rmtree(loc)
+            write_bucketed_table(
+                tdf, tname, "user_id", num_buckets=8, path=loc
+            )
+    return ev_t, users_t
+
+
+def bucketed_join_events(spark, sf):
+    """Bucketed co-located join (r6; lifts the assertion from
+    tests/test_writers_layout.py into the driver gate — the last at-rest
+    layout lever without a CORRECTNESS row): the events fact and its
+    per-user rollup are both bucketed ×8 on ``user_id``, so their
+    SortMergeJoin plans with ZERO Exchange on either side — the shuffle
+    was paid once at write time and is amortized over every later join.
+    The ``merge`` hint keeps the broadcast planner from hiding the
+    property at test scale; the Exchange-free join plan is asserted
+    in-builder (like the partition-pruning pair), so the green row
+    attests the layout lever, not just the values. At 100 TB bucketing
+    the two biggest co-joined tables is the difference between
+    re-shuffling the fact on every query and never shuffling it.
+
+    Output: per-n_events row counts and a DECIMAL-exact value sum — the
+    oracle recomputes the rollup and join from the raw events table."""
+    ev_t, users_t = _bucketed_events_tables(spark, sf)
+    joined = spark.table(ev_t).join(
+        spark.table(users_t).hint("merge"), "user_id"
+    )
+    plan = _assert_plan_contains(
+        joined, "SortMergeJoin", "bucketed_join_events"
+    )
+    if "exchange" in plan.lower():
+        raise RuntimeError(
+            "bucketed_join_events: bucketed join planned an Exchange — "
+            "the at-rest bucketing did not buy the co-located join"
+        )
+    return (
+        joined.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("n_events")
+    )
 
 
 def window_top_customer_per_nation(spark, sf):
@@ -2189,6 +2345,24 @@ ORACLE_SQL: dict[str, str] = {
         " true AS p99_ok FROM events GROUP BY event_type"
         " ORDER BY event_type"
     ),
+    # Sketch-only twin: the Spark plan self-verifies via the sketch's
+    # rank-error contract (no exact percentile anywhere); the oracle
+    # pins the booleans.
+    "event_value_percentiles_sketch": (
+        "SELECT event_type, true AS p50_rank_ok, true AS p90_rank_ok,"
+        " true AS p99_rank_ok, true AS mono_ok FROM events"
+        " GROUP BY event_type ORDER BY event_type"
+    ),
+    # The bucketed layout only changes WHERE rows sit, never which rows
+    # match: the oracle is the plain rollup + join on raw events.
+    "bucketed_join_events": (
+        "WITH users AS (SELECT user_id, count(*) AS n_events"
+        " FROM events GROUP BY user_id)"
+        " SELECT u.n_events, count(*) AS n_rows,"
+        " (sum(e.value::DECIMAL(18,6)))::DOUBLE AS sum_value"
+        " FROM events e JOIN users u ON e.user_id = u.user_id"
+        " GROUP BY u.n_events ORDER BY u.n_events"
+    ),
     # Self-verifying stream-vs-batch sessionization: expected closed
     # sessions = batch sessions minus each user's trailing session; the
     # in-plan set comparison must come out empty.
@@ -2980,21 +3154,18 @@ ORACLE_SQL["stream_quality_docs"] = ORACLE_SQL["text_quality"]
 # --------------------------------------------------------------------------
 
 _GATE_FRONT = {
-    # r4 reshaped these two from rows-only to self-verifying (in-plan
-    # check booleans + pinned-true oracle) AFTER their last driver row —
-    # rotated in so CORRECTNESS_r05 attests the new shape.
-    "event_value_percentiles_approx": event_value_percentiles_approx,
-    "stream_sessionize_events": stream_sessionize_events,
-    # r5 reshaped: sign-LSH moved from axis-aligned slices to seeded
-    # sparse-Rademacher hyperplanes (new buckets → new candidate set).
+    # r6 reshaped: sign-LSH signatures moved from the interpreted HOF
+    # fold to the Arrow-batched vectorized path (bit-identical buckets,
+    # but the executed plan changed → fresh driver row).
     "knn_lsh": knn_lsh_q,
-    # r5 additions.
-    "salted_join_events": salted_join_events,
+    # r6 reshaped: the partitioned materialization is now memoized
+    # (content-stamped scratch dir) — these must stay attested since the
+    # cached-path read is what runs from now on.
     "events_partitioned_prune": events_partitioned_prune,
     "events_partitioned_dpp": events_partitioned_dpp,
-    # r5 reshaped: signature-stage shingle sampling (candidate set can
-    # shift at the margin → needs a fresh driver row).
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    # r6 additions.
+    "event_value_percentiles_sketch": event_value_percentiles_sketch,
+    "bucketed_join_events": bucketed_join_events,
 }
 
 _SENTINELS = {
@@ -3006,8 +3177,12 @@ _SENTINELS = {
 }
 
 _PROVEN = {
-    # ---- last driver-attested r1–r3 (stalest rows; window tail picks
-    # these up first) ----
+    # ---- stalest driver attestations first (r5 verdict #4): knn_brute's
+    # last driver row is r1, knn_ivf's is r2 — the oldest-first policy
+    # puts them at the head so the r6 window re-attests them. ----
+    "knn_brute": knn_brute_q,
+    "knn_ivf": knn_ivf_q,
+    # ---- last driver-attested r1–r3 (window tail picks these up) ----
     "q1_rare_words": q1_rare_words,
     "q1_word_search": q1_word_search,
     "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
@@ -3046,8 +3221,6 @@ _PROVEN = {
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "dedup_embedding": dedup_embedding_q,
-    "knn_brute": knn_brute_q,
-    "knn_ivf": knn_ivf_q,
     # ---- driver-attested green in r4 (CORRECTNESS_r04 window) ----
     "q1_top_words": q1_top_words,
     "text_langid": text_langid_q,
@@ -3093,6 +3266,12 @@ _PROVEN = {
     "embedding_quantize": embedding_quantize_q,
     "multimodal_pairs": multimodal_pairs_q,
     "tpch_q18_topk": tpch_q18_topk,
+    # ---- driver-attested green in r5 (CORRECTNESS_r05 window),
+    # unchanged in r6 ----
+    "event_value_percentiles_approx": event_value_percentiles_approx,
+    "stream_sessionize_events": stream_sessionize_events,
+    "salted_join_events": salted_join_events,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
 }
 
 QUERIES = {**_GATE_FRONT, **_SENTINELS, **_PROVEN}

@@ -41,8 +41,13 @@ def write_bucketed_table(
     num_buckets: int = 16,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table.
+    """Persist as a bucketed (and optionally sorted) table — managed
+    (warehouse-dir) by default, external when ``path`` is given (the
+    catalog queries use an explicit scratch path so table data never
+    lands in the process working directory and a later session can
+    clean or rebuild the location it owns).
 
     Two tables bucketed on their join key with the same bucket count
     join with ZERO Exchange on either side — the shuffle is paid once at
@@ -52,6 +57,8 @@ def write_bucketed_table(
     w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 
