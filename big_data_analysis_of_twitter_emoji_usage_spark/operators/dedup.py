@@ -105,7 +105,19 @@ def sample_shingles(arr, keep_hex: int):
     num_hashes-fold fewer md5 evaluations downstream — the constant-
     factor lever for short char n-grams, whose distinct sets are ~|doc|
     elements. Mirrored verbatim by the SQL oracle
-    (``substr(md5(shingle), 1, 1) < '<hex>'``)."""
+    (``substr(md5(shingle), 1, 1) < '<hex>'``).
+
+    ``keep_hex`` must be 1..15: the bound is a SINGLE hex digit, so 16
+    would format as '10' and the lexicographic single-char comparison
+    would keep only digits '0' and '1' — a silent 2/16 sample where the
+    caller asked for keep-everything (ADVICE r5). A keep-all request is
+    a no-op filter, so ask for that by not sampling."""
+    if not 1 <= keep_hex <= 15:
+        raise ValueError(
+            f"sample_shingles: keep_hex={keep_hex} out of range 1..15 "
+            "(single-hex-digit bound; keep_hex=16 would silently keep "
+            "2/16 — skip sampling instead of asking for all 16/16)"
+        )
     bound = format(keep_hex, "x")
     return F.filter(arr, lambda s: F.substring(F.md5(s), 1, 1) < F.lit(bound))
 

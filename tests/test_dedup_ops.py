@@ -41,3 +41,12 @@ def test_cc_two_components(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_sample_shingles_rejects_out_of_range_keep_hex():
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import sample_shingles
+    from pyspark.sql import functions as F
+
+    for bad in (0, 16, -1):
+        with pytest.raises(ValueError, match="out of range"):
+            sample_shingles(F.col("shingles"), bad)

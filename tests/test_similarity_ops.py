@@ -31,3 +31,10 @@ def test_sign_bucket_short_vector_errors(vecs):
         vecs.select(
             sign_bucket(F.col("v"), bits=3, offset=2).alias("b")
         ).collect()
+
+
+def test_lsh_hyperplanes_rejects_nnz_over_dim():
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import lsh_hyperplanes
+
+    with pytest.raises(ValueError, match="nnz=9 > dim=8"):
+        lsh_hyperplanes(bits=2, tables=2, dim=8, nnz=9)
