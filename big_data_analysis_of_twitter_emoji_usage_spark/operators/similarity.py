@@ -612,19 +612,35 @@ def cosine_knn_wta(
     pr = wta_pairs(bits, tables, dim)
 
     def banded(df, out_id):
-        v = _as_double(F.col(vec_col))
+        # Sigs live in their OWN projection and the explode consumes an
+        # array built from plain column refs (r6): inlining the
+        # tables×bits comparison trees into the Generate node's input
+        # re-evaluated them through the generator's consume path and
+        # duplicated the whole-array double cast under every element_at
+        # (measured ~3.2-3.6 s warm at sf0.1; this shape ~2.2-2.7 s). The
+        # comparisons read the RAW float column — float comparison and
+        # double-cast comparison order identically, so bucket membership
+        # is unchanged (oracle compares ::DOUBLE[] elements).
+        raw = F.col(vec_col)
+        sigs = df.select(
+            F.col(id_col).alias(out_id),
+            _as_double(raw).alias(f"_{out_id}_v"),
+            *[
+                wta_bucket(raw, pr[t], dim).alias(f"_sig{t}")
+                for t in range(tables)
+            ],
+        )
         bands = F.array(
             *[
                 F.struct(
-                    F.lit(t).alias("band"),
-                    wta_bucket(v, pr[t], dim).alias("sig"),
+                    F.lit(t).alias("band"), F.col(f"_sig{t}").alias("sig")
                 )
                 for t in range(tables)
             ]
         )
-        return df.select(
-            F.col(id_col).alias(out_id),
-            v.alias(f"_{out_id}_v"),
+        return sigs.select(
+            out_id,
+            f"_{out_id}_v",
             F.explode(bands).alias("b"),
         ).select(
             out_id,
