@@ -1154,7 +1154,7 @@ def events_partitioned_dpp(spark, sf):
 
 
 def _bucketed_events_tables(spark, sf) -> tuple[str, str]:
-    """Materialize the events fact and its per-user rollup as managed
+    """Materialize the events fact and its per-user rollup as catalog
     tables bucketed ×8 on ``user_id``, memoized per (source content,
     session): the table names embed a stamp of the source parquet's
     (path, size, mtime), so a cached table is only reused for the exact
