@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
+
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # high bit of a hex digit
 
 
@@ -125,9 +127,13 @@ def sample_shingles(arr, keep_hex: int):
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """Row-per-shingle view of ``doc_shingle_arrays`` (id, shingle)."""
+    """Row-per-shingle view of ``doc_shingle_arrays`` (id, shingle).
+
+    ``explode_nonempty``: the upstream length filter guarantees ≥1
+    shingle per row, and inner explode would clone the shingle
+    expression into a pre-Generate Filter (core.explode_nonempty)."""
     return doc_shingle_arrays(df, text_col, id_col, k).select(
-        id_col, F.explode("shingles").alias("shingle")
+        id_col, explode_nonempty("shingles").alias("shingle")
     )
 
 
@@ -195,8 +201,13 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    # explode_nonempty: the band array is literal-built (never empty),
+    # and inner explode would let InferFiltersFromGenerate clone the
+    # CollapseProject-inlined minhash signature expressions — the
+    # num_hashes × |shingles| md5 folds — into a pre-Generate Filter
+    # that re-evaluates them per row (core.explode_nonempty).
     bands = signatures.select(
-        F.col(id_col), F.explode(band_structs).alias("bs")
+        F.col(id_col), explode_nonempty(band_structs).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -503,8 +514,11 @@ def simhash_near_dup_pairs(
             for b in range(bands)
         ]
     )
+    # explode_nonempty: literal band array (never empty); inner explode
+    # would clone the inlined simhash substrings into a pre-Generate
+    # Filter (core.explode_nonempty).
     bcols = fps.select(
-        F.col(id_col), F.explode(band_structs).alias("bs")
+        F.col(id_col), explode_nonempty(band_structs).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     if max_bucket is not None:
         from pyspark.sql import Window

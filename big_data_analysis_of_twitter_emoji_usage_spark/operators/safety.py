@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
+
 # ---------------------------------------------------------------------------
 # PII patterns (Java∩RE2-portable). Each deliberately simple and anchored
 # on structure, not context — the distributed baseline; model-based NER
@@ -153,9 +155,13 @@ def decontaminate(
     docs = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).select(
         F.col(id_col), ngram_hashes(text_col).alias("_sh")
     )
+    # explode_nonempty on both sides: the >= n token filters guarantee
+    # at least one n-gram per surviving row, and inner explode would
+    # trigger InferFiltersFromGenerate's clone of the whole md5 n-gram
+    # expression into a pre-Generate Filter (measured 10x, core.py).
     bench_grams = (
         bench_df.filter(F.size(F.split(F.col(text_col), " ")) >= n)
-        .select(F.explode(ngram_hashes(text_col)).alias("_h"))
+        .select(explode_nonempty(ngram_hashes(text_col)).alias("_h"))
     )
     if strategy == "array":
         bench = bench_grams.agg(F.collect_set("_h").alias("_bench"))
@@ -167,7 +173,7 @@ def decontaminate(
             (hits > 0).alias("contaminated"),
         )
     bench = bench_grams.distinct().withColumnRenamed("_h", "_bh")
-    grams = docs.select(F.col(id_col), F.explode("_sh").alias("_h"))
+    grams = docs.select(F.col(id_col), explode_nonempty("_sh").alias("_h"))
     return (
         grams.join(F.broadcast(bench), grams["_h"] == bench["_bh"], "left")
         .groupBy(id_col)

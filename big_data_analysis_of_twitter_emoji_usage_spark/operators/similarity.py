@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -166,8 +168,12 @@ def embedding_near_dup_pairs(
             for t in range(tables)
         ]
     )
+    # explode_nonempty: table_structs is a literal-built array (never
+    # empty), and inner explode would let InferFiltersFromGenerate clone
+    # the CollapseProject-inlined bucket expressions into a pre-Generate
+    # Filter (see core.explode_nonempty).
     buckets = e.select(
-        F.col("_id"), F.explode(table_structs).alias("_tb")
+        F.col("_id"), explode_nonempty(table_structs).alias("_tb")
     ).select("_id", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
     if max_bucket is not None:
         w = Window.partitionBy("_t", "_b")
@@ -641,7 +647,10 @@ def cosine_knn_wta(
         return sigs.select(
             out_id,
             f"_{out_id}_v",
-            F.explode(bands).alias("b"),
+            # explode_nonempty: literal band array, never empty; inner
+            # explode would clone the inlined sig comparisons into a
+            # pre-Generate Filter (core.explode_nonempty).
+            explode_nonempty(bands).alias("b"),
         ).select(
             out_id,
             f"_{out_id}_v",
