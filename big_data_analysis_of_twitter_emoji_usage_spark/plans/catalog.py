@@ -3206,6 +3206,20 @@ _GATE_FRONT = {
     "event_value_percentiles_sketch": event_value_percentiles_sketch,
     "bucketed_join_events": bucketed_join_events,
     "event_distinct_users_sketch": event_distinct_users_sketch,
+    # r6 reshaped by the explode_nonempty change (core.explode_nonempty:
+    # InferFiltersFromGenerate no longer clones generator inputs — same
+    # results, different executed plans) and, for knn_wta, the
+    # sig-projection restructure; their last driver rows predate the
+    # reshape and sit outside the window, so they re-attest here.
+    "knn_wta": knn_wta_q,
+    "decontam_docs": decontam_docs_q,
+    "stream_decontam_docs": stream_decontam_docs,
+    "training_pipeline": training_pipeline_q,
+    "dedup_keep_best": dedup_keep_best_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_embedding": dedup_embedding_q,
+    "dedup_clusters": dedup_clusters,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
 }
 
 _SENTINELS = {
@@ -3256,11 +3270,8 @@ _PROVEN = {
     "sessionize_events": sessionize_events,
     "stream_stream_join_events": stream_stream_join_events,
     "stream_dedup_events": stream_dedup_events,
-    "dedup_clusters": dedup_clusters,
     "dedup_exact": dedup_exact_q,
     "dedup_simhash": dedup_simhash_q,
-    "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    "dedup_embedding": dedup_embedding_q,
     # ---- driver-attested green in r4 (CORRECTNESS_r04 window) ----
     "q1_top_words": q1_top_words,
     "text_langid": text_langid_q,
@@ -3280,8 +3291,6 @@ _PROVEN = {
     "pii_scan": pii_scan_q,
     "pii_redact": pii_redact_q,
     "stream_pii_redact": stream_pii_redact,
-    "decontam_docs": decontam_docs_q,
-    "stream_decontam_docs": stream_decontam_docs,
     "repetition_scores": repetition_scores_q,
     "mix_sources": mix_sources_q,
     "shuffle_shards": shuffle_shards_q,
@@ -3290,18 +3299,15 @@ _PROVEN = {
     "embedding_label_spread": embedding_label_spread_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "inverted_index": inverted_index_q,
-    "training_pipeline": training_pipeline_q,
     "tpch_q5_local_supply": tpch_q5_local_supply,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
     "salted_agg_events": salted_agg_events,
     "anomaly_zscore_events": anomaly_zscore_events,
     "q1_kernel_equiv": q1_kernel_equiv,
-    "dedup_keep_best": dedup_keep_best_q,
     "text_ngrams": text_ngrams_q,
     "text_logprob": text_logprob_q,
     "dedup_fuzzy_names": dedup_fuzzy_names_q,
-    "knn_wta": knn_wta_q,
     "stream_quality_docs": stream_quality_docs,
     "embedding_quantize": embedding_quantize_q,
     "multimodal_pairs": multimodal_pairs_q,
@@ -3311,7 +3317,6 @@ _PROVEN = {
     "event_value_percentiles_approx": event_value_percentiles_approx,
     "stream_sessionize_events": stream_sessionize_events,
     "salted_join_events": salted_join_events,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
 }
 
 QUERIES = {**_GATE_FRONT, **_SENTINELS, **_PROVEN}
