@@ -284,18 +284,44 @@ def near_dup_pairs(
         band_size,
         max_bucket,
     )
-    sa = arrays.select(
-        F.col(id_col).alias("_ia"), F.col("shingles").alias("_sha")
+    # Verify via pair-melt (r6): the r1–r5 shape joined the candidate
+    # pairs against TWO aliases of the shingle relation, so the
+    # map-side shingle computation ran twice over the full corpus (and
+    # three times counting the signature pass). Melting each pair into
+    # (pair, member) rows lets ONE pass over the shingle relation serve
+    # both sides; the pair agg then reassembles (_sha, _shb) from the
+    # two member rows. At 100 TB this halves the heavy-array join
+    # traffic: the shingle relation is scanned/computed once, the only
+    # added exchange carries |candidates| two-array rows. At sf0.1 the
+    # trade measures neutral (the saved pass ~0.4 s vs the added pair
+    # agg; min-of-3 within host noise of the two-alias shape) — the win
+    # is the asymptotic one, not the fixture one.
+    melted = cand.select(
+        "id_a",
+        "id_b",
+        explode_nonempty(F.array(F.col("id_a"), F.col("id_b"))).alias("_vid"),
     )
-    sb = arrays.select(
-        F.col(id_col).alias("_ib"), F.col("shingles").alias("_shb")
+    sh = arrays.select(
+        F.col(id_col).alias("_vid"), F.col("shingles").alias("_sh")
+    )
+    paired = (
+        melted.join(sh, "_vid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("_vid") == F.col("id_a"), F.col("_sh")),
+                ignorenulls=True,
+            ).alias("_sha"),
+            F.first(
+                F.when(F.col("_vid") == F.col("id_b"), F.col("_sh")),
+                ignorenulls=True,
+            ).alias("_shb"),
+        )
     )
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size("_sha") + F.size("_shb") - inter
     return (
-        cand.join(sa, F.col("id_a") == F.col("_ia"))
-        .join(sb, F.col("id_b") == F.col("_ib"))
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        paired.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
