@@ -256,7 +256,7 @@ def near_dup_pairs(
     happens; at 100 TB the heavy state (shingle sets) moves through the
     joins exactly twice, already aggregated per doc.
 
-    ``sig_sample_hex`` (1–16) turns on hash-mod shingle sampling for the
+    ``sig_sample_hex`` (1–15) turns on hash-mod shingle sampling for the
     SIGNATURE stage only: MinHash runs over a uniform sig_sample_hex/16
     sample of the shingle universe (``sample_shingles``), cutting the
     num_hashes×|shingles| md5 work — the dominant cost for char n-grams
@@ -266,7 +266,9 @@ def near_dup_pairs(
     differ at the margin, but the VERIFY stage still computes exact
     full-set Jaccard, so emitted (pair, jaccard) values are exact and
     precision stays structural. The oracle mirrors the same sampled
-    signature stage.
+    signature stage. ``None`` (the default) keeps ALL shingles — 16/16
+    has no keep-all encoding because hex-nibble-mod-16 < 16 is a
+    tautology; ``sample_shingles`` rejects values outside 1..15.
     """
     # No cache: the shingle projection is map-side work worth recomputing
     # on each of its three uses — materializing it pins executor memory

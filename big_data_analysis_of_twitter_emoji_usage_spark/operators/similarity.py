@@ -436,6 +436,16 @@ def _hyperplane_sigs_udf(
     from pyspark.sql.types import ArrayType, StringType
 
     tables, bits = len(planes), len(planes[0])
+    if not 1 <= bits <= 24:
+        # The bucket-string LUT below is 2**bits entries; docstrings cite
+        # 50-bit sign-LSH configs, and without this guard such a config
+        # would attempt a 2^50-entry allocation and OOM before any useful
+        # error. 24 bits (16M short strings, ~hundreds of MB) is already
+        # far past any sane banded-LSH code width.
+        raise ValueError(
+            f"hyperplane sigs: bits={bits} outside 1..24 — the per-table "
+            "bucket LUT is 2**bits entries; use more tables, not wider codes"
+        )
     nnz = len(planes[0][0])
     idx = np.array(
         [

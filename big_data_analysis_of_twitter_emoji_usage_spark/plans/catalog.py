@@ -1165,7 +1165,12 @@ def _bucketed_events_tables(spark, sf) -> tuple[str, str]:
     table would land in the session warehouse dir — the process cwd by
     default — and a restarted session could neither reuse nor overwrite
     the orphaned location), so a rebuild just clears and rewrites the
-    directories this helper owns."""
+    directories this helper owns. Reuse requires BOTH the catalog entry
+    AND a ``_BUCKETED_DONE`` marker in the external dir: a tmp reaper
+    (or parallel cleanup) can delete the scratch path out from under a
+    live catalog entry, and reusing on ``tableExists`` alone would then
+    fail at read time with no rebuild path — when the marker is gone the
+    table is dropped and rebuilt."""
     import hashlib
     import shutil
     import tempfile
@@ -1176,10 +1181,18 @@ def _bucketed_events_tables(spark, sf) -> tuple[str, str]:
         f"{_os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:10]
     ev_t, users_t = f"ev_bucketed_{stamp}", f"users_bucketed_{stamp}"
-    if not (
-        spark.catalog.tableExists(ev_t)
-        and spark.catalog.tableExists(users_t)
-    ):
+
+    def loc_of(tname: str) -> str:
+        return _os.path.join(
+            tempfile.gettempdir(), "spark_graft_scratch", tname
+        )
+
+    def usable(tname: str) -> bool:
+        return spark.catalog.tableExists(tname) and _os.path.isfile(
+            _os.path.join(loc_of(tname), "_BUCKETED_DONE")
+        )
+
+    if not (usable(ev_t) and usable(users_t)):
         ev = load_events(spark, sf)
         for tname, tdf in (
             (ev_t, ev.select("event_id", "user_id", "value")),
@@ -1188,14 +1201,16 @@ def _bucketed_events_tables(spark, sf) -> tuple[str, str]:
                 ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")),
             ),
         ):
-            loc = _os.path.join(
-                tempfile.gettempdir(), "spark_graft_scratch", tname
-            )
+            if spark.catalog.tableExists(tname):  # entry whose dir vanished
+                spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            loc = loc_of(tname)
             if _os.path.isdir(loc):  # orphan from a prior session
                 shutil.rmtree(loc)
             write_bucketed_table(
                 tdf, tname, "user_id", num_buckets=8, path=loc
             )
+            with open(_os.path.join(loc, "_BUCKETED_DONE"), "w") as fh:
+                fh.write(stamp)
     return ev_t, users_t
 
 
