@@ -291,13 +291,9 @@ def near_dup_pairs(
     # map-side shingle computation ran twice over the full corpus (and
     # three times counting the signature pass). Melting each pair into
     # (pair, member) rows lets ONE pass over the shingle relation serve
-    # both sides; the pair agg then reassembles (_sha, _shb) from the
-    # two member rows. At 100 TB this halves the heavy-array join
-    # traffic: the shingle relation is scanned/computed once, the only
-    # added exchange carries |candidates| two-array rows. At sf0.1 the
-    # trade measures neutral (the saved pass ~0.4 s vs the added pair
-    # agg; min-of-3 within host noise of the two-alias shape) — the win
-    # is the asymptotic one, not the fixture one.
+    # both sides. At 100 TB this halves the heavy-array join traffic:
+    # the shingle relation is scanned/computed once, the only added
+    # exchange carries |candidates| two-array rows.
     melted = cand.select(
         "id_a",
         "id_b",
@@ -306,26 +302,34 @@ def near_dup_pairs(
     sh = arrays.select(
         F.col(id_col).alias("_vid"), F.col("shingles").alias("_sh")
     )
+    # Intersect INSIDE the aggregate's result expressions (r7): the
+    # previous shape emitted (_sha, _shb) arrays from the agg and
+    # computed array_intersect in a downstream projection — but the
+    # threshold Filter gets pushed through that Project with the alias
+    # substituted, so the O(|A|+|B|) intersect ran once in the Filter
+    # and again in the surviving rows' Project (measured 1.5 s of the
+    # 5.1 s total at sf0.1). Emitting the intersection/union SIZES as
+    # aggregate outputs makes them Aggregate attributes the Filter
+    # cannot be rewritten past — the set arithmetic runs exactly once
+    # per pair, and everything downstream is integer math.
+    _sha = F.first(
+        F.when(F.col("_vid") == F.col("id_a"), F.col("_sh")), ignorenulls=True
+    )
+    _shb = F.first(
+        F.when(F.col("_vid") == F.col("id_b"), F.col("_sh")), ignorenulls=True
+    )
     paired = (
         melted.join(sh, "_vid")
         .groupBy("id_a", "id_b")
         .agg(
-            F.first(
-                F.when(F.col("_vid") == F.col("id_a"), F.col("_sh")),
-                ignorenulls=True,
-            ).alias("_sha"),
-            F.first(
-                F.when(F.col("_vid") == F.col("id_b"), F.col("_sh")),
-                ignorenulls=True,
-            ).alias("_shb"),
+            F.size(F.array_intersect(_sha, _shb)).alias("_i"),
+            (F.size(_sha) + F.size(_shb)).alias("_sz"),
         )
     )
-    inter = F.size(F.array_intersect("_sha", "_shb"))
-    union = F.size("_sha") + F.size("_shb") - inter
+    jac = F.col("_i") / (F.col("_sz") - F.col("_i"))
     return (
-        paired.select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        paired.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
