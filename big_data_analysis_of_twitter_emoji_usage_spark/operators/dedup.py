@@ -355,6 +355,15 @@ def connected_components(
     exhausted before fixpoint (a >``max_iterations``-diameter graph),
     the result's labels are not yet components — that is surfaced with
     a ``warnings.warn`` rather than returned silently.
+
+    Convergence is read off the SAME pass that updates labels (r7):
+    each row carries a ``_chg`` bit (labels only ever decrease, so
+    change == strictly-smaller), materialized by the round's
+    ``localCheckpoint`` job; the follow-up ``max(_chg)`` is a cheap
+    scan of the checkpointed partitions. The r1–r6 shape re-joined the
+    new labels against the old per round — a second distributed join
+    job per iteration that existed only to answer "did anything
+    change?".
     """
     import warnings
 
@@ -379,19 +388,19 @@ def connected_components(
             labels.join(neighbor_min, "n", "left")
             .select(
                 "n",
-                F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("lbl"),
+                F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("_new"),
+                "lbl",
+            )
+            .select(
+                "n",
+                F.col("_new").alias("lbl"),
+                (F.col("_new") < F.col("lbl")).cast("int").alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.select("n", F.col("lbl").alias("_new"))
-            .join(labels, "n")
-            .filter(F.col("_new") != F.col("lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.max("_chg")).first()[0]
+        labels = new_labels.drop("_chg")
+        if not changed:
             break
     else:
         warnings.warn(
