@@ -146,6 +146,12 @@ _CHAR_SHINGLES_CTE = (
     "))) AS shingle FROM documents WHERE length(text) >= 4)"
 )
 
+# knn_lsh banding — ONE definition feeding both the Spark query and the
+# generated DuckDB oracle so the baked hyperplane literals can't drift.
+# r7 sweep (SCALE.md §similarity): 4 bits × 18 tables = recall@3 0.933
+# at sf0.01 vs 0.667 for the r5/r6 5×10, at unchanged bench time.
+_KNN_LSH_BITS, _KNN_LSH_TABLES = 4, 18
+
 
 def _minhash_cand_sql(
     shingles_cte: str,
@@ -1669,12 +1675,26 @@ def knn_brute_q(spark, sf):
 
 
 def knn_lsh_q(spark, sf):
-    """Sign-LSH ANN over seeded sparse-Rademacher hyperplanes (r5; the
-    r1–r4 axis-aligned slices measured recall@3 0.43 — this schedule
-    measures 0.667 at the same table fan-out class, see SCALE.md)."""
+    """Sign-LSH ANN over seeded sparse-Rademacher hyperplanes.
+
+    r7 retune along the S-curve's other axis: r5/r6 shipped 5 bits ×
+    10 tables (recall@3 0.667 at sf0.01). The r6 vectorized-signature
+    path made tables nearly free (the banded equi-join stays the only
+    shuffle and candidate dedup caps the fan-in), so the sweep in
+    SCALE.md walks bits DOWN and tables UP: wider buckets recall more,
+    more tables decorrelate the misses. 4 bits × 18 tables measures
+    recall@3 0.933 (sf0.01 and sf0.001) / 0.967 (sf0.1) at unchanged
+    bench time (1.66 s vs 1.55 s r6, within host noise). Bucket width
+    is a corpus-size knob: at production scale bits grows with log(n)
+    to hold bucket occupancy, and tables buys recall at linear cost —
+    the sizing rule in SCALE.md §similarity."""
     emb = load_table(spark, sf, "embeddings")
     return cosine_knn_sign_lsh(
-        emb, emb.filter(F.col("vec_id") < 10), k=3, bits=5, tables=10
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        bits=_KNN_LSH_BITS,
+        tables=_KNN_LSH_TABLES,
     )
 
 
@@ -2649,13 +2669,15 @@ ORACLE_SQL: dict[str, str] = {
                 for terms in row
             )
             + f") AS sig{t}"
-            for t, row in enumerate(lsh_hyperplanes(5, 10, 64))
+            for t, row in enumerate(
+                lsh_hyperplanes(_KNN_LSH_BITS, _KNN_LSH_TABLES, 64)
+            )
         )
         + " FROM embeddings),"
         " bands AS ("
         + " UNION ALL ".join(
             f"SELECT vec_id, v, {t} AS band, sig{t} AS sig FROM e"
-            for t in range(10)
+            for t in range(_KNN_LSH_TABLES)
         )
         + "),"
         " q AS (SELECT vec_id, v, band, sig FROM bands WHERE vec_id < 10),"

@@ -249,10 +249,10 @@ def test_ivf_centroids_take_ordered(docs, spark, sf_dir):
 def test_ann_recall_floors(spark, sf_dir):
     """ANN quality regression: recall@3 vs the exact brute-force top-3.
     Everything is hash-deterministic, so these floors are exact numbers
-    for the fixture (measured at sf0.001: lsh 0.567 with the r5 seeded
-    sparse-Rademacher hyperplanes — 0.40 on the axis slices they
-    replaced — ivf 0.57; curve in SCALE.md) — a drop means a quality
-    regression, not flake."""
+    for the fixture (measured at sf0.001: lsh 0.933 with the r7
+    4-bit × 18-table banding — 0.567 for the r5/r6 5×10, 0.40 on the
+    r1–r4 axis slices — ivf 0.57; curve in SCALE.md) — a drop means a
+    quality regression, not flake."""
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
 
     truth = {}
@@ -260,7 +260,7 @@ def test_ann_recall_floors(spark, sf_dir):
         if r["rank"] <= 3:
             truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     total = sum(len(v) for v in truth.values())
-    for name, floor in [("knn_lsh", 0.55), ("knn_ivf", 0.5)]:
+    for name, floor in [("knn_lsh", 0.9), ("knn_ivf", 0.5)]:
         got = {}
         for r in QUERIES[name](spark, sf_dir).collect():
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
