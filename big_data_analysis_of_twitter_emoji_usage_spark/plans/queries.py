@@ -136,7 +136,19 @@ def token_by_dimension(
         step = step.filter(_col(dim_alias).rlike(include_rlike))
     if exclude_contains is not None:
         step = step.filter(~_col(dim_alias).contains(exclude_contains))
-    pairs = step.select(dim_alias, F.explode("_toks").alias(out))
+    # explode_outer + not-null post-filter instead of inner explode
+    # (r7): CollapseProject inlines the kernel array into the Generate
+    # input, and InferFiltersFromGenerate then infers a
+    # ``size(kernel(text)) > 0`` Filter BELOW it — re-running the whole
+    # regexp/transform kernel per row for a same-stage prune that buys
+    # nothing. Outer explode is skipped by the rule; token-less rows
+    # come out as one null token and are dropped by the cheap output
+    # filter (kernel array elements are never null, so this is
+    # bit-identical to inner explode). Verified in-plan by
+    # tests/test_scale_plans.py::test_token_by_dimension_single_kernel_eval.
+    pairs = step.select(dim_alias, F.explode_outer("_toks").alias(out)).filter(
+        _col(out).isNotNull()
+    )
     if token_rlike is not None:
         pairs = pairs.filter(_col(out).rlike(token_rlike))
     return (

@@ -246,6 +246,30 @@ def test_ivf_centroids_take_ordered(docs, spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_token_by_dimension_single_kernel_eval(spark, sf_dir):
+    """The token explode in token_by_dimension must not trigger
+    InferFiltersFromGenerate's ``size(kernel(text)) > 0`` pre-Generate
+    Filter, which re-runs the whole regexp/transform word kernel per
+    row for a same-stage prune that saves nothing (r7; same Catalyst
+    caveat as the r6 decontam finding — SCALE.md). The outer-explode +
+    output-null-filter shape keeps exactly one kernel evaluation: the
+    optimized plan must contain no Filter computing size() over a
+    computed (non-attribute) expression on the token side."""
+    import re
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
+
+    for name in ("q4_words_by_source", "q5_words_by_lang"):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        hits = re.findall(r"Filter.{0,40}size\((?!\w+#\d)", plan)
+        assert not hits, f"{name}: inferred generator filter returned: {hits}"
+
+
 def test_ann_recall_floors(spark, sf_dir):
     """ANN quality regression: recall@3 vs the exact brute-force top-3.
     Everything is hash-deterministic, so these floors are exact numbers
