@@ -13,6 +13,16 @@ matching GC/safepoint log entries). To keep the recorded numbers about
 the ENGINE, any query whose first run is an outlier is re-run once
 within a global time budget and the per-query MIN is reported
 ("runs" notes how many samples each min is over).
+
+Per-query coverage: ALL queries' times + sample counts are written to
+BENCH_DETAIL.json every run. The one printed line cannot carry 99 named
+entries (the external recorder keeps a 2000-byte stdout tail; the full
+map alone serializes to ~2.5 kB), so it lists the slowest queries
+individually, folds the rest into fast_n/fast_sec, and — so a
+regression in the folded bucket can never hide — compares EVERY query
+against its own minimum from the previous run's BENCH_DETAIL.json,
+surfacing any ≥1 s query that got ≥2× slower in a "regr" field
+(normally absent).
 """
 
 from __future__ import annotations
@@ -78,16 +88,38 @@ def main() -> None:
     # machine-parsed line keeps individual entries for the slowest
     # queries and folds the fastest into a fast_n/fast_sec bucket until
     # the serialized line fits a 1900-byte budget.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    # Regression tripwire vs the PREVIOUS run's recorded minima: queries
+    # folded into the fast bucket still get a named callout if they blow
+    # up (≥1 s and ≥2× the prior min — under that is host noise; see the
+    # A/B variance study in SCALE.md).
+    regr = {}
+    try:
+        with open(detail_path, encoding="utf-8") as f:
+            prev_detail = json.load(f)
+        # Same-sf runs only: minima at different scale factors are not
+        # comparable.
+        prev = (
+            prev_detail.get("queries", {})
+            if prev_detail.get("sf") == float(sf)
+            else {}
+        )
+        regr = {
+            k: [round(prev[k], 2), round(v, 2)]
+            for k, v in timings.items()
+            if k in prev and v >= 1.0 and v >= 2 * prev[k]
+        }
+    except (OSError, ValueError):
+        pass
+
     detail = {
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "runs": runs,
         "sf": float(sf),
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-        encoding="utf-8",
-    ) as f:
+    with open(detail_path, "w", encoding="utf-8") as f:
         json.dump(detail, f, indent=1)
 
     by_time = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -105,6 +137,8 @@ def main() -> None:
         if rest:
             payload["fast_n"] = len(rest)
             payload["fast_sec"] = round(sum(v for _, v in rest), 2)
+        if regr:
+            payload["regr"] = regr
         return json.dumps(payload, separators=(",", ":"))
 
     line = assemble(len(by_time))
