@@ -146,9 +146,21 @@ def shuffle_shards(
     shuffle (the window's hash partition by shard); each task orders
     only corpus/n_shards rows, so no global sort ever materializes.
 
+    The id is reduced mod 2^31 BEFORE the multiply (r7): a raw 64-bit
+    id times the 32-bit Knuth constant overflows long for ids above
+    ~3.5e9 — ANSI mode raises, non-ANSI silently wraps engine-specially
+    — and production corpora (snowflake-style ids) live well above
+    that. (2^31-1) * 2654435761 stays under 2^63; the reduction only
+    folds ids ≥ 2^31 onto the same 31-bit keyspace, which changes
+    nothing about shard balance. Found by the r7 10× scale run, whose
+    replica ids sit at 9e9 (SCALE.md).
+
     Returns input columns + (shard, pos).
     """
-    shard = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(n_shards))
+    shard = F.pmod(
+        F.pmod(F.col(id_col), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(n_shards),
+    )
     w = Window.partitionBy("shard").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )

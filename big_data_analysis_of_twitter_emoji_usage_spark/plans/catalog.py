@@ -2994,9 +2994,11 @@ ORACLE_SQL: dict[str, str] = {
         )
         + " ELSE '0000' END ORDER BY doc_id"
     ),
+    # (doc_id % 2^31) mirrors the overflow guard in shuffle_shards —
+    # nonnegative ids, so % == pmod on both engines.
     "shuffle_shards": (
-        "SELECT doc_id, (doc_id * 2654435761) % 16 AS shard,"
-        " (row_number() OVER (PARTITION BY (doc_id * 2654435761) % 16"
+        "SELECT doc_id, (doc_id % 2147483648 * 2654435761) % 16 AS shard,"
+        " (row_number() OVER (PARTITION BY (doc_id % 2147483648 * 2654435761) % 16"
         "  ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos"
         " FROM documents ORDER BY doc_id"
     ),
@@ -3152,8 +3154,8 @@ ORACLE_SQL: dict[str, str] = {
         + " ELSE '0000' END)"
         " SELECT doc_id, source,"
         " len(string_split(text, ' '))::BIGINT AS n_tokens,"
-        " (doc_id * 2654435761) % 16 AS shard,"
-        " (row_number() OVER (PARTITION BY (doc_id * 2654435761) % 16"
+        " (doc_id % 2147483648 * 2654435761) % 16 AS shard,"
+        " (row_number() OVER (PARTITION BY (doc_id % 2147483648 * 2654435761) % 16"
         "  ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos"
         " FROM mixed ORDER BY shard, pos"
     ),
