@@ -152,6 +152,12 @@ _CHAR_SHINGLES_CTE = (
 # at sf0.01 vs 0.667 for the r5/r6 5×10, at unchanged bench time.
 _KNN_LSH_BITS, _KNN_LSH_TABLES = 4, 18
 
+# knn_wta banding, same single-definition contract. r7 sweep: 4 bits ×
+# 26 tables = recall@3 0.933 at sf0.01 / 1.000 at sf0.001 (vs 0.633 /
+# 0.63 for the r3–r6 5×10) at unchanged bench time — ordinal bits are
+# pure comparisons, so tables are even cheaper than sign-LSH's.
+_KNN_WTA_BITS, _KNN_WTA_TABLES = 4, 26
+
 
 def _minhash_cand_sql(
     shingles_cte: str,
@@ -1713,12 +1719,21 @@ def knn_wta_q(spark, sf):
     """Ordinal (winner-take-all) LSH ANN: bits are exact pairwise
     coordinate comparisons from a deterministic integer schedule —
     engine-portable bucket membership, same bounded band-join shape as
-    knn_lsh. bits=5/tables=10 measured recall@3 = 0.63 on the
-    i.i.d.-gaussian fixtures (sign-LSH 0.43, IVF 0.67); the
-    bits-grow-with-corpus sizing rule from SCALE.md applies unchanged."""
+    knn_lsh.
+
+    r7 retune along the same axis as knn_lsh (bits down, tables up —
+    ordinal bits are pure comparisons, so tables are even cheaper than
+    sign-LSH's vectorized sums): 4 bits × 26 tables measures recall@3
+    0.933 at sf0.01 / 1.000 at sf0.001 vs 0.633 / 0.63 for the r3–r6
+    5×10, at unchanged bench time (sweep in SCALE.md). The
+    bits-grow-with-corpus sizing rule applies unchanged."""
     emb = load_table(spark, sf, "embeddings")
     return cosine_knn_wta(
-        emb, emb.filter(F.col("vec_id") < 10), k=3, bits=5, tables=10
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        bits=_KNN_WTA_BITS,
+        tables=_KNN_WTA_TABLES,
     )
 
 
@@ -2706,13 +2721,15 @@ ORACLE_SQL: dict[str, str] = {
                 for i, j in row
             )
             + f") AS sig{t}"
-            for t, row in enumerate(wta_pairs(5, 10, 64))
+            for t, row in enumerate(
+                wta_pairs(_KNN_WTA_BITS, _KNN_WTA_TABLES, 64)
+            )
         )
         + " FROM embeddings),"
         " bands AS ("
         + " UNION ALL ".join(
             f"SELECT vec_id, v, {t} AS band, sig{t} AS sig FROM e"
-            for t in range(10)
+            for t in range(_KNN_WTA_TABLES)
         )
         + "),"
         " q AS (SELECT vec_id, v, band, sig FROM bands WHERE vec_id < 10),"
@@ -3283,24 +3300,26 @@ _GATE_FRONT = {
     "q6_word_search_by_lang": q6_word_search_by_lang,
     "q5_tweets_categories": q5_tweets_categories,
     "q6_tweets_geo": q6_tweets_geo,
+    # - ordinal LSH retuned to 4 bits × 26 tables (recall@3 0.63 → 0.933).
+    "knn_wta": knn_wta_q,
 }
 
-# r7 suspends the standing sentinel block for one round: 15 reshaped
-# queries + the 35-slot r4 drain fill the window exactly (15 + 35 = 50),
+# r7 suspends the standing sentinel block for one round: 16 reshaped
+# queries + the 34-slot r4 drain fill the window exactly (16 + 34 = 50),
 # and every operator class the sentinels existed to re-attest is
 # represented anyway — emoji kernel + tweet end-to-end by the q4/q5/q6
 # reshape block, dedup by the four reshaped dedup queries, streaming by
-# the drained stream_pii_redact / stream_quality_docs, events by the
-# drained funnel/cohort/salted/anomaly queries. The round-old sentinels
+# the drained stream_pii_redact, events by the drained
+# funnel/cohort/salted/anomaly queries. The round-old sentinels
 # (q1_top_emojis, q7_events_early, q2_stream_top_words) sit at the tail
 # of _PROVEN with r6-green rows.
 _SENTINELS = {}
 
 _PROVEN = {
     # ---- r4 drain (VERDICT r6 #1): the entire r4-attested block,
-    # oldest-first. 35 of its 38 members fit the window behind the
-    # 15-entry gate front; the three leftovers (embedding_quantize,
-    # multimodal_pairs, tpch_q18_topk — all r6-benched and locally
+    # oldest-first. 34 of its 38 members fit the window behind the
+    # 16-entry gate front; the four leftovers (stream_quality_docs,
+    # embedding_quantize, multimodal_pairs, tpch_q18_topk — all locally
     # parity-green every round) are the r8 drain head. shuffle_shards
     # left this block for _GATE_FRONT (reshaped). ----
     "q1_top_words": q1_top_words,
@@ -3337,9 +3356,11 @@ _PROVEN = {
     "text_ngrams": text_ngrams_q,
     "text_logprob": text_logprob_q,
     "dedup_fuzzy_names": dedup_fuzzy_names_q,
-    "stream_quality_docs": stream_quality_docs,
-    # ---- window boundary: slots above re-attest in r7 ----
+    # ---- window boundary: slots above re-attest in r7 (the knn_wta
+    # retune claimed the 50th slot, bumping stream_quality_docs into
+    # the leftover group) ----
     # r4-attested leftovers — r8 drain head.
+    "stream_quality_docs": stream_quality_docs,
     "embedding_quantize": embedding_quantize_q,
     "multimodal_pairs": multimodal_pairs_q,
     "tpch_q18_topk": tpch_q18_topk,
@@ -3387,7 +3408,6 @@ _PROVEN = {
     # attested are unchanged — not a reshape.
     "bucketed_join_events": bucketed_join_events,
     "event_distinct_users_sketch": event_distinct_users_sketch,
-    "knn_wta": knn_wta_q,
     "decontam_docs": decontam_docs_q,
     "stream_decontam_docs": stream_decontam_docs,
     "dedup_embedding": dedup_embedding_q,
