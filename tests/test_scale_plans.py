@@ -284,7 +284,7 @@ def test_ann_recall_floors(spark, sf_dir):
         if r["rank"] <= 3:
             truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     total = sum(len(v) for v in truth.values())
-    for name, floor in [("knn_lsh", 0.9), ("knn_wta", 0.9), ("knn_ivf", 0.5)]:
+    for name, floor in [("knn_lsh", 0.9), ("knn_wta", 0.9), ("knn_ivf", 0.6)]:
         got = {}
         for r in QUERIES[name](spark, sf_dir).collect():
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
