@@ -335,6 +335,51 @@ def test_minhash_recall_vs_exact_truth(spark, sf_dir):
     assert len(found & truth) / len(truth) >= 0.9
 
 
+def test_ngram_jaccard_recall_vs_exact_truth(spark, sf_dir):
+    """Retrieval-quality regression for the char-4-gram pipeline — the
+    r7 rebanding exists because the shipped r5/r6 config measured only
+    0.60 recall against this kind of ground truth (heavy-headed char
+    grams collapsed 2-hash band buckets until the skew guard dropped
+    real-dup buckets; SCALE.md §dedup). Exact all-pairs truth in DuckDB
+    at test scale; precision is structural, recall pinned at the
+    measured fixture value (1.000 at sf0.1 and sf0.001 for 4-hash
+    bands)."""
+    import duckdb
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    truth = {
+        (a, b)
+        for a, b in con.sql(
+            "WITH sh AS (SELECT doc_id, unnest(list_distinct("
+            " list_transform(range(1, length(text) - 2),"
+            " i -> substr(text, i, 4)))) AS s FROM documents"
+            " WHERE length(text) >= 4),"
+            " sizes AS (SELECT doc_id, count(*) AS n FROM sh"
+            " GROUP BY doc_id),"
+            " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " count(*) AS i FROM sh a JOIN sh b ON a.s = b.s"
+            " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+            " SELECT id_a, id_b FROM inter"
+            " JOIN sizes na ON na.doc_id = id_a"
+            " JOIN sizes nb ON nb.doc_id = id_b"
+            " WHERE i / (na.n + nb.n - i) >= 0.5"
+        ).fetchall()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert found <= truth, "verify stage must forbid false positives"
+    assert truth, "fixture must contain char-gram near-dup pairs"
+    assert len(found & truth) / len(truth) >= 0.95
+
+
 def test_every_query_is_oracle_paired_or_known_rows_only():
     """Registry consistency: a new catalog query without an oracle
     should be a deliberate decision, not an accident — the rows-only
