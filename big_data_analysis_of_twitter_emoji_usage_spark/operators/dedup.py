@@ -333,6 +333,104 @@ def near_dup_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    unit: str = "word",
+    threshold: float = 0.7,
+    max_df: int = 20,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: the dedup mode Jaccard
+    misses. When a small document A is quoted/embedded inside a much
+    larger B, Jaccard(A, B) ≈ |A|/|B| → 0 while containment
+    C(A in B) = |S_A ∩ S_B| / |S_A| ≈ 1 — so MinHash-LSH (tuned for
+    symmetric resemblance) never surfaces the pair. Training-data
+    pipelines need this direction to catch boilerplate wrappers,
+    quote-expansions, and subset scrapes.
+
+    Candidate generation is posting-list (prefix-filter family, à la
+    ppjoin) rather than MinHash banding: shingles with document
+    frequency > ``max_df`` are dropped as *stop shingles* (they carry
+    no containment signal and each contributes O(df²) candidate
+    pairs — same role as ``max_bucket`` in the LSH operators, mirrored
+    by the oracle), and the surviving postings self-join through a
+    per-shingle member list. Both containment directions of every
+    co-posting pair are computed EXACTLY over the kept (informative)
+    shingles; output rows are pairs where either direction clears
+    ``threshold``: (id_a, id_b, n_common, containment_a,
+    containment_b) with id_a < id_b.
+
+    100 TB shape: the postings relation shuffles on the shingle key
+    twice (df count with map-side partial agg, then the semi-join that
+    co-partitions on the same key) and every downstream buffer is
+    bounded by ``max_df`` — the collect_list runs AFTER the df cut, so
+    no degenerate shingle can balloon an aggregation buffer; candidate
+    volume is ≤ max_df · |kept postings|, never O(n²). Pair counting is
+    one more uniform-key shuffle; the sizes join touches candidate
+    pairs only.
+    """
+    arrays = doc_shingle_arrays(df, text_col, id_col, k, unit)
+    postings = arrays.select(
+        id_col, explode_nonempty("shingles").alias("shingle")
+    )
+    # df pass FIRST, membership collection second: computing
+    # collect_list before the cap would buffer a df-10M stop shingle's
+    # whole posting list in one aggregation buffer.
+    keep = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    kept = postings.join(keep, "shingle")
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    members = kept.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    # Ordered pairs from each sorted member list, map-side. The size>=2
+    # filter is load-bearing twice over: singleton shingles produce no
+    # pairs, and F.sequence(1, 0) would be a DESCENDING [1, 0] sequence
+    # (Spark auto-negates the step), not an empty one.
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ids") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("_ids")),
+                lambda j: F.struct(
+                    F.element_at(F.col("_ids"), i).alias("a"),
+                    F.element_at(F.col("_ids"), j).alias("b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        members.filter(F.size("_ids") >= 2)
+        .select(explode_nonempty(pair_structs).alias("_p"))
+        .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
+    )
+    inter = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    cont_a = F.col("n_common") / F.col("_na")
+    cont_b = F.col("n_common") / F.col("_nb")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.greatest(cont_a, cont_b) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(cont_a, 6).alias("containment_a"),
+            F.round(cont_b, 6).alias("containment_b"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -43,6 +43,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.plans.queries import (
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
     connected_components,
+    containment_pairs,
     exact_duplicates,
     keep_best_per_cluster,
     near_dup_pairs,
@@ -252,6 +253,32 @@ def _near_dup_sql(
 
 
 _MINHASH_CTE = _minhash_cand_sql(_SHINGLES_CTE)
+
+
+def _containment_sql(shingles_cte: str, threshold: float, max_df: int) -> str:
+    """DuckDB mirror of dedup.containment_pairs: df-capped postings
+    (the stop-shingle guard, mirrored exactly), posting self-join for
+    intersection counts, both containment directions over the kept
+    shingle sets."""
+    return (
+        "WITH "
+        + shingles_cte
+        + ",\ndfc AS (SELECT shingle FROM sh GROUP BY shingle"
+        f" HAVING count(*) <= {max_df}),\n"
+        "kept AS (SELECT s.doc_id, s.shingle FROM sh s"
+        " JOIN dfc USING (shingle)),\n"
+        "sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),\n"
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " count(*) AS i FROM kept a JOIN kept b"
+        " ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
+        " GROUP BY 1, 2)\n"
+        "SELECT id_a, id_b, i AS n_common,"
+        " round(i / na.n, 6) AS containment_a,"
+        " round(i / nb.n, 6) AS containment_b"
+        " FROM inter JOIN sizes na ON na.doc_id = id_a"
+        " JOIN sizes nb ON nb.doc_id = id_b"
+        f" WHERE greatest(i / na.n, i / nb.n) >= {threshold}"
+    )
 
 
 def _sign_lsh_near_dup_sql(
@@ -851,6 +878,100 @@ def event_distinct_users_sketch(spark, sf):
             <= F.col("n_exact") * 0.06 + F.lit(10)
         ).alias("hll_ok"),
     ).orderBy("event_type")
+
+
+def event_top_users_sketch(spark, sf):
+    """Frequency sketch (r7; completes the sketch triad — quantiles,
+    cardinality, now heavy hitters): per-type top-5 users via
+    ``approx_top_k`` (Spark 4's DataSketches frequent-items aggregate),
+    self-verified in-plan with the family's pinned-boolean contract.
+
+    Two checks per group, both against the exact per-(type, user)
+    counts: ``bound_ok`` — every sketched item's estimate sits within
+    the sketch's published error envelope (ε = 4·n/maxItemsTracked,
+    +1 absolute slack; exact whenever distinct users ≤ maxItemsTracked,
+    which covers every test sf) — and ``coverage_ok`` — no item OUTSIDE
+    the sketch's top-k has an exact count more than ε above the
+    lightest item inside it (the top-k set is right up to ties and
+    sketch error). ``n_items`` = least(k, distinct users) is the
+    value-bearing oracle column.
+
+    100 TB judgment: the sketch path is ONE fixed-size (~maxItemsTracked
+    entries) buffer per group per map task, merged like any partial
+    aggregate — the shape an unbounded-cardinality heavy-hitter query
+    must take, vs exact groupBy(type, user) which shuffles one row per
+    distinct pair. The exact side here exists only to judge the sketch
+    at test scale, exactly like the percentile-bracket query next door
+    (``event_value_percentiles_sketch`` carries the sketch-only bench
+    twin's role for percentiles; at this family's bench time a
+    sketch-only twin adds nothing — the exact agg IS the oracle)."""
+    k, tracked = 5, 4096
+    ev = load_events(spark, sf).select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.expr(f"approx_top_k(user_id, {k}, {tracked})").alias("_tk"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
+    # plain explode: _tk is an Aggregate output attribute, so the
+    # inferred size-filter can't clone anything expensive (core.py note).
+    items = sk.select(
+        "event_type",
+        "_rows",
+        F.size("_tk").alias("n_items"),
+        F.explode("_tk").alias("_it"),
+    ).select(
+        "event_type",
+        "_rows",
+        "n_items",
+        F.col("_it.item").alias("_item"),
+        F.col("_it.count").alias("_est"),
+    )
+    # exact counts renamed BEFORE the join: items and exact share the
+    # ev lineage, so joining on raw attribute equality would build a
+    # self-comparison predicate (Spark's "trivially true equals"
+    # self-join trap) — renamed columns force an unambiguous condition.
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            F.col("event_type").alias("_etype"),
+            F.col("user_id").alias("_uid"),
+            "_cnt",
+        )
+    )
+    eps = F.col("_rows") * F.lit(4.0) / F.lit(tracked) + F.lit(1.0)
+    joined = items.join(
+        exact,
+        (F.col("event_type") == F.col("_etype"))
+        & (F.col("_item") == F.col("_uid")),
+    ).select("event_type", "_rows", "n_items", "_est", "_cnt")
+    checked = joined.groupBy("event_type").agg(
+        F.first("n_items").alias("n_items"),
+        F.min(F.abs(F.col("_est") - F.col("_cnt")) <= eps).alias("bound_ok"),
+        F.min("_cnt").alias("_min_in"),
+        F.first("_rows").alias("_rows"),
+    )
+    outside = (
+        exact.join(
+            items.select("event_type", "_item"),
+            (F.col("_etype") == F.col("event_type"))
+            & (F.col("_uid") == F.col("_item")),
+            "left_anti",
+        )
+        .groupBy(F.col("_etype").alias("event_type"))
+        .agg(F.max("_cnt").alias("_out_max"))
+    )
+    return (
+        checked.join(F.broadcast(outside), "event_type", "left")
+        .select(
+            "event_type",
+            "n_items",
+            "bound_ok",
+            F.coalesce(
+                F.col("_out_max") <= F.col("_min_in") + eps, F.lit(True)
+            ).alias("coverage_ok"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1670,6 +1791,19 @@ def dedup_ngram_jaccard_q(spark, sf):
     )
 
 
+def dedup_containment_q(spark, sf):
+    """Asymmetric containment dedup (r7; the mode the symmetric family
+    misses): word-3-gram containment ≥ 0.7 in either direction, via
+    posting-list candidates with the df ≤ 20 stop-shingle guard. A
+    small doc quoted inside a much larger one scores containment ≈ 1
+    where Jaccard ≈ |A|/|B| — MinHash-LSH structurally can't recall
+    it. See operators.dedup.containment_pairs for the 100 TB shape
+    (df-capped buffers, no O(n²) stage)."""
+    return containment_pairs(
+        _docs(spark, sf), k=3, unit="word", threshold=0.7, max_df=20
+    ).orderBy("id_a", "id_b")
+
+
 def dedup_embedding_q(spark, sf):
     """Embedding-cosine near-dup pairs, multi-table sign-LSH.
 
@@ -2480,6 +2614,15 @@ ORACLE_SQL: dict[str, str] = {
         " true AS hll_ok FROM events GROUP BY event_type"
         " ORDER BY event_type"
     ),
+    # Frequent-items sketch: n_items is the value-bearing column (the
+    # sketch returns min(k, distinct) items); the two accuracy checks
+    # run in-plan against exact counts and are pinned true.
+    "event_top_users_sketch": (
+        "SELECT event_type,"
+        " least(5, count(DISTINCT user_id)) AS n_items,"
+        " true AS bound_ok, true AS coverage_ok"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    ),
     # The bucketed layout only changes WHERE rows sit, never which rows
     # match: the oracle is the plain rollup + join on raw events.
     "bucketed_join_events": (
@@ -2595,6 +2738,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard": _near_dup_sql(
         _CHAR_SHINGLES_CTE, 0.5, max_bucket=20, num_hashes=16, band_size=4
     ),
+    "dedup_containment": _containment_sql(_SHINGLES_CTE, 0.7, 20),
     "dedup_embedding": _sign_lsh_near_dup_sql(
         bits=8, tables=2, max_bucket=100, threshold=0.3
     ),
@@ -3288,6 +3432,14 @@ ORACLE_SQL["stream_quality_docs"] = ORACLE_SQL["text_quality"]
 # --------------------------------------------------------------------------
 
 _GATE_FRONT = {
+    # r7 NEW surface (no driver row yet — must sit in the window):
+    # - asymmetric containment dedup (posting-list candidates, df-capped
+    #   stop-shingle guard — the near-dup mode the symmetric family
+    #   can't recall);
+    "dedup_containment": dedup_containment_q,
+    # - frequent-items sketch (approx_top_k), completing the sketch
+    #   triad with the same in-plan pinned-boolean contract.
+    "event_top_users_sketch": event_top_users_sketch,
     # r7 reshaped — every entry here executes a DIFFERENT plan than its
     # last green driver row attested, so each re-attests this round:
     # - char-n-gram LSH rebanded to 4 bands of 4 + the agg-once exact
@@ -3323,9 +3475,10 @@ _GATE_FRONT = {
     "knn_ivf": knn_ivf_q,
 }
 
-# r7 suspends the standing sentinel block for one round: 17 reshaped
-# queries + the 33-slot r4 drain fill the window exactly (17 + 33 = 50),
-# and every operator class the sentinels existed to re-attest is
+# r7 suspends the standing sentinel block for one round: 2 new + 17
+# reshaped queries + the r4 drain's first 31 fill the window exactly
+# (2 + 17 + 31 = 50), and every operator class the sentinels existed to
+# re-attest is
 # represented anyway — emoji kernel + tweet end-to-end by the q4/q5/q6
 # reshape block, dedup by the four reshaped dedup queries, streaming by
 # the drained stream_pii_redact, events by the drained
@@ -3336,12 +3489,12 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- r4 drain (VERDICT r6 #1): the entire r4-attested block,
-    # oldest-first. 33 of its 38 members fit the window behind the
-    # 17-entry gate front; the five leftovers (dedup_fuzzy_names,
-    # stream_quality_docs, embedding_quantize, multimodal_pairs,
-    # tpch_q18_topk — all locally parity-green every round) are the r8
-    # drain head. shuffle_shards left this block for _GATE_FRONT
-    # (reshaped). ----
+    # oldest-first. 31 of its 38 members fit the window behind the
+    # 19-entry gate front; the seven leftovers (text_ngrams,
+    # text_logprob, dedup_fuzzy_names, stream_quality_docs,
+    # embedding_quantize, multimodal_pairs, tpch_q18_topk — all locally
+    # parity-green every round) are the r8 drain head. shuffle_shards
+    # left this block for _GATE_FRONT (reshaped). ----
     "q1_top_words": q1_top_words,
     "text_langid": text_langid_q,
     "text_quality": text_quality_q,

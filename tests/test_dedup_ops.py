@@ -50,3 +50,66 @@ def test_sample_shingles_rejects_out_of_range_keep_hex():
     for bad in (0, 16, -1):
         with pytest.raises(ValueError, match="out of range"):
             sample_shingles(F.col("shingles"), bad)
+
+
+def _containment_docs(spark):
+    """A small doc fully embedded in a much larger one (Jaccard << 1,
+    containment == 1), an unrelated doc, and a stop-shingle block."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = (
+        "intro words before the quote "
+        + small
+        + " and a long long tail of extra unrelated filler content "
+        "stretching the larger document so resemblance collapses "
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    other = "completely different text with no shared shingles at all here"
+    return spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], ["doc_id", "text"]
+    )
+
+
+def test_containment_catches_subset_pair_jaccard_misses(spark):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        containment_pairs,
+        near_dup_pairs,
+    )
+
+    docs = _containment_docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs, "embedded doc must be surfaced"
+    r = pairs[(1, 2)]
+    # every shingle of the small doc appears in the big doc
+    assert r["containment_a"] == 1.0
+    # the symmetric direction is weak — that's the asymmetry being tested
+    assert r["containment_b"] < 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # the same pair's Jaccard sits far below any near-dup threshold, so
+    # the symmetric operator (unbanded, threshold 0) reports it low
+    jac = {
+        (row["id_a"], row["id_b"]): row["jaccard"]
+        for row in near_dup_pairs(docs, threshold=0.0).collect()
+    }
+    assert jac.get((1, 2), 0.0) < 0.2
+
+
+def test_containment_stop_shingle_guard_drops_boilerplate(spark):
+    """Docs sharing ONLY a boilerplate shingle (df > max_df) produce no
+    pair; the same corpus with the guard loosened does."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} token{i} filler{i} " + boiler) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    capped = containment_pairs(docs, k=3, threshold=0.1, max_df=3)
+    assert capped.count() == 0
+    open_df = containment_pairs(docs, k=3, threshold=0.1, max_df=10)
+    assert open_df.count() > 0

@@ -436,3 +436,19 @@ def test_keep_best_corpus_side_is_broadcast_joined(spark, docs):
     # no sort-merge join, no corpus-keyed exchange on doc_id
     assert "SortMergeJoin" not in plan
     assert not re.search(r"Exchange hashpartitioning\(doc_id", plan)
+
+
+def test_containment_no_quadratic_join_and_bounded_shuffles(docs):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    plan = plan_of(containment_pairs(docs))
+    # candidate generation must stay posting-list shaped: equi-joins
+    # only, never a cross/nested-loop pair enumeration
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # df pass, postings semi-join co-partition, member lists, sizes,
+    # pair agg, two sizes joins — bounded exchange count (the pair
+    # stage's uniform keys are the only heavy shuffle)
+    assert data_exchanges(plan) <= 7, plan
