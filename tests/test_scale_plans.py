@@ -452,3 +452,50 @@ def test_containment_no_quadratic_join_and_bounded_shuffles(docs):
     # pair agg, two sizes joins — bounded exchange count (the pair
     # stage's uniform keys are the only heavy shuffle)
     assert data_exchanges(plan) <= 7, plan
+
+
+def test_containment_recall_vs_uncapped_truth(spark, sf_dir):
+    """Retrieval-quality regression for containment dedup: ground truth
+    is the UNCAPPED containment join (no stop-shingle guard) in DuckDB.
+    The df cap redefines both numerator and denominator (containment
+    over informative shingles), so in principle it can both miss pairs
+    held together by boilerplate shingles AND admit pairs whose unique
+    shingles are all shared — measured at fixture scale both effects
+    are nil: recall 1.000 AND precision 1.000 at sf0.001 / sf0.01 /
+    sf0.1 (28 / 25 / 256 truth pairs). Floors pinned at 0.95."""
+    import duckdb
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    truth = {
+        (a, b)
+        for a, b in con.sql(
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+            " FROM documents),"
+            " sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            " range(1, len(t) - 1),"
+            " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s"
+            " FROM toks WHERE len(t) >= 3),"
+            " sizes AS (SELECT doc_id, count(*) AS n FROM sh"
+            " GROUP BY doc_id),"
+            " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " count(*) AS i FROM sh a JOIN sh b ON a.s = b.s"
+            " AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+            " SELECT id_a, id_b FROM inter"
+            " JOIN sizes na ON na.doc_id = id_a"
+            " JOIN sizes nb ON nb.doc_id = id_b"
+            " WHERE greatest(i / na.n, i / nb.n) >= 0.7"
+        ).fetchall()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_containment"](spark, sf_dir).collect()
+    }
+    assert truth, "fixture must contain containment pairs"
+    assert len(found & truth) / len(truth) >= 0.95
+    assert len(found & truth) / len(found) >= 0.95
