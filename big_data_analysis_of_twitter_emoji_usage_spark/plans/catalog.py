@@ -893,8 +893,20 @@ def event_top_users_sketch(spark, sf):
     which covers every test sf) — and ``coverage_ok`` — no item OUTSIDE
     the sketch's top-k has an exact count more than ε above the
     lightest item inside it (the top-k set is right up to ties and
-    sketch error). ``n_items`` = least(k, distinct users) is the
-    value-bearing oracle column.
+    sketch error). ``n_rows`` (the exact per-type row count, a plain
+    decomposable agg riding the same pass) is the value-bearing oracle
+    column.
+
+    The sketch may legitimately return an EMPTY list: DataSketches'
+    frequent-items reporting is no-false-positives, so once distinct
+    users outgrow maxItemsTracked AND traffic is near-uniform, no item
+    is *provably* frequent — the r7 decade run (sf1.0-equivalent
+    events, ~200k distinct users/type vs 4096 tracked) hit exactly
+    this. The plan therefore keeps every group alive through an
+    ``explode_outer`` + left join, and both checks go vacuously true
+    where there is nothing to check — an earlier inner-explode shape
+    silently dropped such groups, which the decade experiment caught
+    as a 0-row result.
 
     100 TB judgment: the sketch path is ONE fixed-size (~maxItemsTracked
     entries) buffer per group per map task, merged like any partial
@@ -905,23 +917,27 @@ def event_top_users_sketch(spark, sf):
     (``event_value_percentiles_sketch`` carries the sketch-only bench
     twin's role for percentiles; at this family's bench time a
     sketch-only twin adds nothing — the exact agg IS the oracle)."""
-    k, tracked = 5, 4096
     ev = load_events(spark, sf).select("event_type", "user_id")
+    return _freq_sketch_checked(ev, k=5, tracked=4096)
+
+
+def _freq_sketch_checked(ev, k: int, tracked: int):
+    """The event_top_users_sketch plan body, parameterized so tests can
+    force the empty-sketch (no provable heavy hitter) regime with a
+    tiny ``tracked`` instead of synthesizing 10× data."""
     sk = ev.groupBy("event_type").agg(
         F.expr(f"approx_top_k(user_id, {k}, {tracked})").alias("_tk"),
         F.count(F.lit(1)).alias("_rows"),
     )
-    # plain explode: _tk is an Aggregate output attribute, so the
-    # inferred size-filter can't clone anything expensive (core.py note).
+    # explode_outer keeps empty-sketch groups; _tk is an Aggregate
+    # output attribute, so no expensive-clone hazard (core.py note).
     items = sk.select(
         "event_type",
         "_rows",
-        F.size("_tk").alias("n_items"),
-        F.explode("_tk").alias("_it"),
+        F.explode_outer("_tk").alias("_it"),
     ).select(
         "event_type",
         "_rows",
-        "n_items",
         F.col("_it.item").alias("_item"),
         F.col("_it.count").alias("_est"),
     )
@@ -943,10 +959,17 @@ def event_top_users_sketch(spark, sf):
         exact,
         (F.col("event_type") == F.col("_etype"))
         & (F.col("_item") == F.col("_uid")),
-    ).select("event_type", "_rows", "n_items", "_est", "_cnt")
+        "left",
+    ).select("event_type", "_rows", "_est", "_cnt")
     checked = joined.groupBy("event_type").agg(
-        F.first("n_items").alias("n_items"),
-        F.min(F.abs(F.col("_est") - F.col("_cnt")) <= eps).alias("bound_ok"),
+        # min == AND over the sketched items; all-null (empty sketch)
+        # leaves NULL, coalesced vacuously true below.
+        F.min(
+            F.when(
+                F.col("_est").isNotNull(),
+                F.abs(F.col("_est") - F.col("_cnt")) <= eps,
+            )
+        ).alias("_bound"),
         F.min("_cnt").alias("_min_in"),
         F.first("_rows").alias("_rows"),
     )
@@ -964,8 +987,8 @@ def event_top_users_sketch(spark, sf):
         checked.join(F.broadcast(outside), "event_type", "left")
         .select(
             "event_type",
-            "n_items",
-            "bound_ok",
+            F.col("_rows").alias("n_rows"),
+            F.coalesce(F.col("_bound"), F.lit(True)).alias("bound_ok"),
             F.coalesce(
                 F.col("_out_max") <= F.col("_min_in") + eps, F.lit(True)
             ).alias("coverage_ok"),
@@ -2614,12 +2637,13 @@ ORACLE_SQL: dict[str, str] = {
         " true AS hll_ok FROM events GROUP BY event_type"
         " ORDER BY event_type"
     ),
-    # Frequent-items sketch: n_items is the value-bearing column (the
-    # sketch returns min(k, distinct) items); the two accuracy checks
-    # run in-plan against exact counts and are pinned true.
+    # Frequent-items sketch: the exact per-type row count carries the
+    # value oracle (the sketch's ITEM list may legitimately be empty —
+    # no-false-positives reporting under near-uniform traffic — so no
+    # item-derived column is scale-stable); the two accuracy checks run
+    # in-plan against exact counts and are pinned true.
     "event_top_users_sketch": (
-        "SELECT event_type,"
-        " least(5, count(DISTINCT user_id)) AS n_items,"
+        "SELECT event_type, count(*) AS n_rows,"
         " true AS bound_ok, true AS coverage_ok"
         " FROM events GROUP BY event_type ORDER BY event_type"
     ),

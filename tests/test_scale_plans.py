@@ -499,3 +499,27 @@ def test_containment_recall_vs_uncapped_truth(spark, sf_dir):
     assert truth, "fixture must contain containment pairs"
     assert len(found & truth) / len(truth) >= 0.95
     assert len(found & truth) / len(found) >= 0.95
+
+
+def test_freq_sketch_keeps_groups_when_no_provable_heavy_hitter(spark):
+    """10×-decade regression (SCALE.md): approx_top_k's no-false-
+    positives reporting returns an EMPTY item list once distinct keys
+    outgrow the tracked slots under near-uniform traffic. The plan must
+    keep such groups alive (vacuously-true checks), not drop them — the
+    original inner-explode shape returned 0 rows at sf1.0."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import _freq_sketch_checked
+
+    ev = (
+        spark.range(4000)
+        .select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("event_type"),
+            (F.col("id") % 2000).alias("user_id"),  # uniform, 1000/type
+        )
+    )
+    rows = _freq_sketch_checked(ev, k=5, tracked=16).collect()
+    assert len(rows) == 2, "every group must survive an empty sketch list"
+    for r in rows:
+        assert r["n_rows"] == 2000
+        assert r["bound_ok"] is True and r["coverage_ok"] is True
