@@ -460,25 +460,35 @@ def training_data_pipeline(
     min_tokens: int = 10,
     min_distinct_ratio: float = 0.2,
     ngram: int = 13,
+    decontam_strategy: str = "join",
 ) -> DataFrame:
     """The COMPLETE pre-training data pipeline composed into one plan:
     exact-dedup keeper → quality gate → benchmark decontamination →
     weighted source mixing → deterministic shard shuffle.
 
-    TWO shuffles for the whole pipeline, both unavoidable by semantics:
+    Two strategy choices for the decontamination stage, semantics
+    identical (same surviving rows):
 
-    1. the keeper window's hash-by-content exchange (dedup needs to
-       see duplicates together);
-    2. the shard window's hash-by-shard exchange (positions need
-       per-shard ordering).
+    - ``decontam_strategy='join'`` (default, the scale path): the
+      corpus's 13-gram hashes probe the **broadcast** benchmark hash
+      table via an exploded left-semi join; the contaminated doc-id
+      set (tiny — it is the overlap, not the corpus) anti-joins the
+      kept corpus. Cost: corpus_ngrams × O(1) probe. The r7 100×
+      decade measured WHY this is the default: the array variant ran
+      32× slower per 10× data once the benchmark grew with the corpus
+      (140 s at 500k docs vs ~8 s for this path — SCALE.md).
+    - ``decontam_strategy='array'``: the fully-fused shape — ONE
+      broadcast ``collect_set`` row probed with ``arrays_overlap``,
+      keeping the whole pipeline at exactly TWO shuffles (keeper
+      window's hash-by-content exchange + shard window's
+      hash-by-shard exchange; plan-test pinned). Spark rebuilds the
+      probe hash set per corpus row, so cost is
+      corpus_rows × |bench| — only right for a small, fixed benchmark
+      suite (≲1e3 n-grams), where the shuffle-free plan wins.
 
-    Everything between is a projection or filter fused by Catalyst into
-    those two stages: quality metrics are array expressions;
-    decontamination uses the tiny-benchmark ``arrays_overlap`` probe
-    against one broadcast ``collect_set`` row (for large benchmark
-    suites, run ``safety.decontaminate(strategy='join')`` as its own
-    stage instead — the composability-vs-probe-cost tradeoff is
-    measured in SCALE.md); mixing is a ``create_map`` threshold filter.
+    Mixing is a ``create_map`` threshold filter; quality metrics are
+    array expressions — both fuse into the adjacent stages under
+    either strategy.
 
     Returns (doc_id, source, n_tokens, shard, pos) — the shuffled,
     curated corpus a tokenizer would consume, ordered by (shard, pos).
@@ -518,16 +528,32 @@ def training_data_pipeline(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    bench = (
-        bench_df.filter(F.size(F.split(F.col(text_col), " ")) >= ngram)
-        .select(F.explode(grams(text_col)).alias("_h"))
-        .agg(F.collect_set("_h").alias("_bench"))
-    )
-    keep = (
-        keep.crossJoin(F.broadcast(bench))
-        .filter(~F.arrays_overlap(grams(text_col), F.col("_bench")))
-        .drop("_bench")
-    )
+    bench_grams = bench_df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= ngram
+    ).select(F.explode(grams(text_col)).alias("_h"))
+    if decontam_strategy == "array":
+        bench = bench_grams.agg(F.collect_set("_h").alias("_bench"))
+        keep = (
+            keep.crossJoin(F.broadcast(bench))
+            .filter(~F.arrays_overlap(grams(text_col), F.col("_bench")))
+            .drop("_bench")
+        )
+    else:
+        # contaminated ids: exploded corpus grams left-semi the
+        # broadcast benchmark hash table (O(1) probe per gram, built
+        # once per task), distinct over the doc id — only overlap HITS
+        # reach the exchange, one id row each.
+        contaminated = (
+            keep.select(id_col, F.explode(grams(text_col)).alias("_g"))
+            .join(
+                F.broadcast(bench_grams),
+                F.col("_g") == F.col("_h"),
+                "left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
+        keep = keep.join(contaminated, id_col, "left_anti")
 
     # 4. weighted mixing (drop unlisted sources when weights given)
     if weights_hex4:

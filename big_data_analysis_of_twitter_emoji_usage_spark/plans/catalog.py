@@ -2304,8 +2304,12 @@ def inverted_index_q(spark, sf):
 
 def training_pipeline_q(spark, sf):
     """The CAPSTONE composition: dedup keeper → quality gate → 13-gram
-    decontamination → weighted mixing → shard shuffle, ONE plan, two
-    shuffles total (operators.text_analysis.training_data_pipeline)."""
+    decontamination → weighted mixing → shard shuffle in ONE plan
+    (operators.text_analysis.training_data_pipeline). Uses the default
+    broadcast-semi-join decontam: this query's benchmark (every 17th
+    doc) GROWS with the corpus, which is exactly the regime where the
+    r7 100× decade measured the fully-fused array probe going
+    O(corpus × |bench|) — 140 s vs ~8 s at 500k docs (SCALE.md)."""
     docs = _docs(spark, sf)
     bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
     return training_data_pipeline(docs, bench, weights_hex4=MIX_WEIGHTS)

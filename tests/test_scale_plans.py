@@ -392,18 +392,40 @@ def test_every_query_is_oracle_paired_or_known_rows_only():
     assert set(QUERIES) - set(ORACLE_SQL) == set()
 
 
-def test_training_pipeline_two_shuffles(docs):
-    """The capstone composition's claim: dedup keeper + shard windows
-    are the ONLY hash exchanges; quality/decontam/mixing fuse into
-    those stages (plus the final orderBy range exchange and the
-    benchmark's SinglePartition collect_set)."""
+def test_training_pipeline_array_variant_two_shuffles(docs):
+    """The fully-fused composition's claim (decontam_strategy='array'):
+    dedup keeper + shard windows are the ONLY hash exchanges;
+    quality/decontam/mixing fuse into those stages (plus the final
+    orderBy range exchange and the benchmark's SinglePartition
+    collect_set). The DEFAULT strategy is 'join' — the r7 100× decade
+    measured the array probe going O(corpus × |bench|) once the
+    benchmark grows with the corpus."""
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
         training_data_pipeline,
     )
 
     bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
-    plan = plan_of(training_data_pipeline(docs, bench))
+    plan = plan_of(
+        training_data_pipeline(docs, bench, decontam_strategy="array")
+    )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_training_pipeline_join_variant_broadcast_probe_and_parity(docs):
+    """Default (join) decontam: the benchmark hash table is broadcast
+    into a left-semi probe (never a shuffled join of the corpus grams),
+    and both strategies keep the same rows."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
+        training_data_pipeline,
+    )
+
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    joined = training_data_pipeline(docs, bench)
+    plan = plan_of(joined)
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    arr = training_data_pipeline(docs, bench, decontam_strategy="array")
+    assert joined.exceptAll(arr).count() == 0
+    assert arr.exceptAll(joined).count() == 0
 
 
 def test_ngram_counts_single_shuffle_take_ordered(docs):
