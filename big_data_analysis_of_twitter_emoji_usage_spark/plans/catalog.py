@@ -116,6 +116,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import 
     resize_batch,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+    native_sessionize_stream,
     run_stream_to_memory,
     stateful_sessionize,
     stream_dedup,
@@ -1766,6 +1767,41 @@ def stream_sessionize_events(spark, sf):
     )
 
 
+def stream_sessionize_native(spark, sf):
+    """JVM-native streaming sessionization (r7): watermarked
+    ``session_window`` aggregation in append mode — the scale path
+    beside the ``applyInPandasWithState`` demonstrator above (native
+    118 s vs stateful 342 s same-session at 10M events; SCALE.md
+    "Streaming"). Full row-level oracle, not a summary: every closed
+    session (user, start, end, n_events) is hash-compared.
+
+    Determinism at the watermark boundary: append mode emits a session
+    once the watermark (max ts − 10 min, applied by availableNow's
+    final no-data batch) passes the session's window end (last event +
+    30 min gap). Whether an exactly-at-watermark window is emitted is an
+    engine detail, so the result is post-filtered to STRICTLY closed
+    sessions with the same predicate the oracle uses — any boundary row
+    the engine emits (or withholds) is outside the compared set either
+    way. The filter's threshold is one broadcast scalar row."""
+    res = run_stream_to_memory(
+        spark,
+        native_sessionize_stream(load_events_stream(spark, sf)),
+        "stream_sessionize_native_sink",
+        output_mode="append",
+    )
+    wm = load_events(spark, sf).agg(
+        (F.max("ts") - F.expr("INTERVAL 10 minutes")).alias("_wm")
+    )
+    return (
+        res.crossJoin(F.broadcast(wm))
+        .filter(
+            F.col("session_end") + F.expr("INTERVAL 30 minutes")
+            < F.col("_wm")
+        )
+        .drop("_wm")
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline extensions (dedup / similarity / text / binary).
 # --------------------------------------------------------------------------
@@ -2712,6 +2748,26 @@ ORACLE_SQL: dict[str, str] = {
         " SELECT count(*) AS n_closed_sessions, 0::BIGINT AS n_mismatch"
         " FROM m WHERE session_start < mx"
     ),
+    # Native session_window streaming twin: full row-level sessions,
+    # restricted to sessions STRICTLY closed by the terminal watermark
+    # (max ts - 10 min delay) — session end (last event) + 30 min gap
+    # must fall strictly below it, mirroring the query's post-filter.
+    "stream_sessionize_native": (
+        "WITH b AS (SELECT user_id, ts, event_id,"
+        " CASE WHEN lag(ts) OVER w IS NULL"
+        "  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'"
+        " THEN 1 ELSE 0 END AS brk FROM events"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        " s AS (SELECT user_id, ts, sum(brk) OVER ("
+        "  PARTITION BY user_id ORDER BY ts, event_id"
+        "  ROWS UNBOUNDED PRECEDING) AS sid FROM b),"
+        " g AS (SELECT user_id, min(ts) AS session_start,"
+        "  max(ts) AS session_end, count(*) AS n_events"
+        "  FROM s GROUP BY user_id, sid)"
+        " SELECT user_id, session_start, session_end, n_events FROM g"
+        " WHERE session_end + INTERVAL '30 minutes'"
+        "  < (SELECT max(ts) - INTERVAL '10 minutes' FROM events)"
+    ),
     "stream_stream_join_events": (
         "WITH c AS (SELECT event_id, user_id, ts FROM events"
         " WHERE event_type = 'click'),"
@@ -3500,6 +3556,11 @@ _GATE_FRONT = {
     # - frequent-items sketch (approx_top_k), completing the sketch
     #   triad with the same in-plan pinned-boolean contract.
     "event_top_users_sketch": event_top_users_sketch,
+    # - JVM-native streaming sessionization (session_window + watermark,
+    #   append mode) — the scale path the decade A/B demanded (native
+    #   118 s vs applyInPandasWithState 342 s at 10M events); full
+    #   row-level oracle over the strictly-closed session set.
+    "stream_sessionize_native": stream_sessionize_native,
     # r7 late-round reshapes from the 100x sweep findings (plans differ
     # from their last green rows, so each must re-attest):
     # - simhash family widened 16 -> 32 bits (the 2^8 band buckets
@@ -3545,9 +3606,9 @@ _GATE_FRONT = {
     "knn_ivf": knn_ivf_q,
 }
 
-# r7 suspends the standing sentinel block for one round: 2 new + 20
-# reshaped queries + the r4 drain's first 28 fill the window exactly
-# (2 + 20 + 28 = 50), and every operator class the sentinels existed to
+# r7 suspends the standing sentinel block for one round: 3 new + 20
+# reshaped queries + the r4 drain's first 27 fill the window exactly
+# (3 + 20 + 27 = 50), and every operator class the sentinels existed to
 # re-attest is
 # represented anyway — emoji kernel + tweet end-to-end by the q4/q5/q6
 # reshape block, dedup by the four reshaped dedup queries, streaming by

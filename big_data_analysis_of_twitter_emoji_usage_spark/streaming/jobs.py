@@ -162,6 +162,56 @@ def stateful_sessionize(
     )
 
 
+def native_sessionize_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """JVM-native streaming sessionization: watermark + ``session_window``
+    aggregation in append mode — the SCALE-PATH twin of
+    ``stateful_sessionize`` above.
+
+    Both compute identical gap sessions (``session_window`` merges events
+    exactly ``gap`` apart, and so does the stateful fold). The difference
+    is where the work happens: this plan keeps the per-session state rows
+    in the JVM state store with watermark-driven eviction and never
+    crosses into Python, while ``stateful_sessionize`` pays an Arrow
+    round-trip per key-group per micro-batch. Measured same-session at
+    10M events / 150k users (one availableNow batch, local[32], SCALE.md
+    "Streaming"): native 118 s vs applyInPandasWithState 342 s. Keep the
+    stateful variant for logic ``session_window`` can't express (custom
+    close/emit rules, per-key timeouts); use this one when gap
+    sessionization is the actual semantics.
+
+    Append-mode emission: a session row is emitted once the watermark
+    (max event time − ``delay``) passes the session's window end
+    (last event + ``gap``). Callers that need a run-deterministic result
+    from a finite source must post-filter to strictly-closed sessions —
+    see ``plans.catalog.stream_sessionize_native`` — because boundary-
+    equality emission is an engine implementation detail.
+
+    ``session_end`` is reported as the LAST EVENT's timestamp
+    (``window.end - gap``) to match batch ``operators.relational
+    .sessionize`` and the reference-style oracle exactly.
+    """
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("_w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("_w.start").alias("session_start"),
+            (F.col("_w.end") - F.expr(f"INTERVAL {gap}")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

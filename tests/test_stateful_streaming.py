@@ -66,3 +66,31 @@ def _throttled_events_stream(spark, sf_dir):
         .parquet(stream_table_path(sf_dir, "events"))
     )
     return _normalize_ts(stream)
+
+
+def test_native_sessionize_matches_batch_strictly_closed(spark, sf_dir):
+    """The JVM-native twin (session_window + watermark, append) must
+    equal batch sessionization restricted to sessions strictly closed by
+    the terminal watermark (max ts - delay), the same predicate the
+    catalog query and its oracle apply."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import native_sessionize_stream
+
+    batch = sessionize(load_events(spark, sf_dir), gap="30 minutes")
+    wm = load_events(spark, sf_dir).agg(
+        (F.max("ts") - F.expr("INTERVAL 10 minutes")).alias("_wm")
+    )
+    strictly_closed = F.col("session_end") + F.expr("INTERVAL 30 minutes") < F.col("_wm")
+    expected = (
+        batch.crossJoin(F.broadcast(wm)).filter(strictly_closed).drop("_wm")
+    )
+
+    got = run_stream_to_memory(
+        spark,
+        native_sessionize_stream(load_events_stream(spark, sf_dir)),
+        "test_native_sessions",
+        output_mode="append",
+    ).crossJoin(F.broadcast(wm)).filter(strictly_closed).drop("_wm")
+
+    got_rows = sorted(map(tuple, got.collect()))
+    assert len(got_rows) > 0
+    assert got_rows == sorted(map(tuple, expected.collect()))
