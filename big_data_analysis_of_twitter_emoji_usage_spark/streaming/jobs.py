@@ -195,6 +195,19 @@ def native_sessionize_stream(
     ``session_end`` is reported as the LAST EVENT's timestamp
     (``window.end - gap``) to match batch ``operators.relational
     .sessionize`` and the reference-style oracle exactly.
+
+    Replay/backfill caveat (measured, SCALE.md "Streaming"): the file
+    stream source orders arrival by file MODIFICATION TIME, not name. A
+    time-partitioned backfill written in parallel arrives time-shuffled
+    and everything behind the advancing watermark is silently dropped
+    as late (70% of sessions lost in the 10M-event A/B). Replays must
+    arrive in event-time order — sequenced mtimes, or the ingest
+    protocol's monotonic file numbering (``sources/ingest.py``) — or
+    carry ``delay`` ≥ the disorder span. Incremental arrival is also
+    the memory-correct shape: the advancing watermark evicts closed
+    sessions per batch, bounding state by OPEN sessions (O(users)),
+    where a single availableNow batch holds every session until the
+    terminal flush.
     """
     return (
         events.withWatermark(ts_col, delay)
