@@ -94,3 +94,35 @@ def test_native_sessionize_matches_batch_strictly_closed(spark, sf_dir):
     got_rows = sorted(map(tuple, got.collect()))
     assert len(got_rows) > 0
     assert got_rows == sorted(map(tuple, expected.collect()))
+
+
+def test_native_sessionize_multibatch(spark, sf_dir):
+    """Session-window state must merge across micro-batches exactly like
+    the one-batch run: with files arriving one per trigger, the emitted
+    closed-session set (post-filtered to strictly-closed, the catalog
+    predicate) is identical."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import native_sessionize_stream
+
+    wm = load_events(spark, sf_dir).agg(
+        (F.max("ts") - F.expr("INTERVAL 10 minutes")).alias("_wm")
+    )
+    strictly_closed = F.col("session_end") + F.expr("INTERVAL 30 minutes") < F.col("_wm")
+
+    def run(src, name):
+        return sorted(
+            map(
+                tuple,
+                run_stream_to_memory(
+                    spark, native_sessionize_stream(src), name, output_mode="append"
+                )
+                .crossJoin(F.broadcast(wm))
+                .filter(strictly_closed)
+                .drop("_wm")
+                .collect(),
+            )
+        )
+
+    one = run(load_events_stream(spark, sf_dir), "test_native_onebatch")
+    multi = run(_throttled_events_stream(spark, sf_dir), "test_native_multibatch")
+    assert len(one) > 0
+    assert one == multi
