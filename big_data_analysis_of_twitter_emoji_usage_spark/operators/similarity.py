@@ -175,6 +175,16 @@ def embedding_near_dup_pairs(
     buckets = e.select(
         F.col("_id"), explode_nonempty(table_structs).alias("_tb")
     ).select("_id", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    return _banded_pairs_cosine_verify(e, buckets, threshold, max_bucket)
+
+
+def _banded_pairs_cosine_verify(
+    e: DataFrame, buckets: DataFrame, threshold: float, max_bucket: int | None
+) -> DataFrame:
+    """Shared tail of the embedding near-dup family: optional
+    degenerate-bucket skew guard, per-(table, bucket) self-join for
+    distinct candidate pairs, then exact-cosine verification via two id
+    joins. ``e`` is (_id, _v double-array); ``buckets`` is (_id, _t, _b)."""
     if max_bucket is not None:
         w = Window.partitionBy("_t", "_b")
         buckets = (
@@ -199,6 +209,54 @@ def embedding_near_dup_pairs(
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
+
+
+def embedding_near_dup_pairs_hyperplane(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bits: int = 8,
+    tables: int = 6,
+    dim: int = 64,
+    nnz: int = 16,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs over seeded sparse-Rademacher
+    HYPERPLANE projections — the documented upgrade path past
+    ``embedding_near_dup_pairs``' coordinate-sign scheme.
+
+    Coordinate-sign tables key on disjoint stored dimensions, so a
+    64-dim corpus caps the table budget at dim/bits independent tables
+    (4 at 16 bits — the structural recall ceiling the r7 planted-twin
+    experiment measured at 0.845; SCALE.md "Measured scaling"). Here
+    every bit mixes ``nnz`` coordinates drawn from ALL dims
+    (``lsh_hyperplanes`` — the same seeded schedule ``cosine_knn_
+    sign_lsh`` banded on), so tables stay near-independent at ANY
+    count: recall is bought with ``tables``, granularity with ``bits``
+    (size 2^bits to corpus/2^bits ≈ target occupancy), and the two
+    knobs no longer compete for the 64 stored dims.
+
+    Plan shape is identical to the coordinate-sign variant — one
+    Arrow-batched signature projection (``_hyperplane_sigs_udf``; see
+    its docstring for the measured 10× JVM-expression dead ends), a
+    posexplode to (table, sig) band rows, and the shared
+    guard + self-join + exact-cosine verify tail — so the banded join
+    remains the only shuffle and the skew guard caps any degenerate
+    bucket at O(max_bucket²) pairs. The coefficient schedule is baked
+    into both the Spark plan and the SQL oracle as literals
+    (plans.catalog), with the schedule-order summation contract keeping
+    buckets bit-identical across engines.
+    """
+    planes = lsh_hyperplanes(bits, tables, dim, nnz)
+    sig_udf = _hyperplane_sigs_udf(planes, dim)
+    e = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    buckets = e.select(
+        "_id", F.posexplode(sig_udf(F.col("_v"))).alias("_t", "_b")
+    )
+    return _banded_pairs_cosine_verify(e, buckets, threshold, max_bucket)
 
 
 def ivf_assignments(

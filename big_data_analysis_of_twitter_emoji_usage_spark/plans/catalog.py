@@ -75,6 +75,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import 
     embedding_centroids,
     embedding_label_spread,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_hyperplane,
     embedding_outliers,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
@@ -167,6 +168,14 @@ _KNN_WTA_BITS, _KNN_WTA_TABLES = 4, 26
 # fixtures (IVF's worst case: no cluster structure) prices the 100 TB
 # default wrong; the sweep and the curve live in SCALE.md.
 _KNN_IVF_LISTS, _KNN_IVF_NPROBE = 16, 6
+
+# Hyperplane embedding-dedup banding (r7), same single-definition
+# contract: the upgrade path past coordinate-sign's dim/bits table cap
+# (SCALE.md "Measured scaling" — the planted-twin budget experiment).
+# 8-bit buckets (256/table, fixture-occupancy ~8) across 6 independent
+# mixed-coordinate tables — a table count the coordinate scheme cannot
+# reach independently at 16-bit granularity.
+_EMB_HP_BITS, _EMB_HP_TABLES = 8, 6
 
 
 def _minhash_cand_sql(
@@ -310,6 +319,55 @@ def _sign_lsh_near_dup_sql(
         src = "bf"
     return (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        f" b AS ({tbl_selects})"
+        + guard
+        + ", cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b"
+        f" FROM {src} a JOIN {src} b2"
+        " ON a.t = b2.t AND a.bk = b2.bk AND a.vec_id < b2.vec_id),"
+        " p AS (SELECT id_a, id_b, list_dot_product(ea.v, eb.v) /"
+        " sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v))"
+        " AS cos FROM cand JOIN e ea ON ea.vec_id = id_a"
+        " JOIN e eb ON eb.vec_id = id_b)"
+        " SELECT id_a, id_b, round(cos, 6) AS cosine FROM p"
+        f" WHERE cos >= {threshold}"
+    )
+
+
+def _hyperplane_near_dup_sql(
+    bits: int, tables: int, max_bucket: int | None, threshold: float
+) -> str:
+    """DuckDB mirror of similarity.embedding_near_dup_pairs_hyperplane:
+    per-table signature strings from the SAME ``lsh_hyperplanes``
+    coefficient schedule (baked as literals, summed in schedule order —
+    the bit-exactness contract knn_lsh's oracle established), optional
+    bucket-size guard, distinct candidate pairs, cosine verification."""
+    sig_exprs = ", ".join(
+        "concat("
+        + ", ".join(
+            "CASE WHEN ("
+            + " + ".join(f"embedding[{i}]::DOUBLE * {float(s)}" for i, s in terms)
+            + ") > 0 THEN '1' ELSE '0' END"
+            for terms in row
+        )
+        + f") AS sig{t}"
+        for t, row in enumerate(lsh_hyperplanes(bits, tables, 64))
+    )
+    tbl_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, sig{t} AS bk FROM sigs"
+        for t in range(tables)
+    )
+    src = "b"
+    guard = ""
+    if max_bucket is not None:
+        guard = (
+            ", bf AS (SELECT vec_id, t, bk FROM ("
+            " SELECT *, count(*) OVER (PARTITION BY t, bk) AS bc FROM b)"
+            f" WHERE bc <= {max_bucket})"
+        )
+        src = "bf"
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        f" sigs AS (SELECT vec_id, {sig_exprs} FROM embeddings),"
         f" b AS ({tbl_selects})"
         + guard
         + ", cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b"
@@ -1888,6 +1946,26 @@ def dedup_embedding_q(spark, sf):
     )
 
 
+def dedup_embedding_hyperplane_q(spark, sf):
+    """Embedding near-dup pairs over mixed-coordinate hyperplane LSH
+    (r7) — the upgrade path past the coordinate-sign variant above,
+    whose tables key on disjoint stored dims and therefore cap at
+    dim/bits independent tables (the measured 0.845-recall wall at
+    corpus scale; SCALE.md). Same threshold/guard as dedup_embedding so
+    the two gate rows are directly comparable; 6 tables of 8 bits, each
+    bit mixing 16 coordinates via the seeded schedule knn_lsh bands
+    on. Oracle bakes the identical coefficient literals and the
+    schedule-order summation keeps buckets bit-identical."""
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_near_dup_pairs_hyperplane(
+        emb,
+        threshold=0.3,
+        bits=_EMB_HP_BITS,
+        tables=_EMB_HP_TABLES,
+        max_bucket=100,
+    )
+
+
 def knn_brute_q(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return cosine_knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -2858,6 +2936,12 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_embedding": _sign_lsh_near_dup_sql(
         bits=8, tables=2, max_bucket=100, threshold=0.3
     ),
+    "dedup_embedding_hyperplane": _hyperplane_near_dup_sql(
+        bits=_EMB_HP_BITS,
+        tables=_EMB_HP_TABLES,
+        max_bucket=100,
+        threshold=0.3,
+    ),
     "text_bpe_tokens": (
         "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,"
         " len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens,"
@@ -3561,6 +3645,11 @@ _GATE_FRONT = {
     #   118 s vs applyInPandasWithState 342 s at 10M events); full
     #   row-level oracle over the strictly-closed session set.
     "stream_sessionize_native": stream_sessionize_native,
+    # - hyperplane embedding dedup — the upgrade path past coordinate-
+    #   sign's dim/bits table cap that the 100× bucket-wall experiment
+    #   demanded; same threshold/guard as dedup_embedding for direct
+    #   comparison, coefficient literals baked into both engines.
+    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
     # r7 late-round reshapes from the 100x sweep findings (plans differ
     # from their last green rows, so each must re-attest):
     # - simhash family widened 16 -> 32 bits (the 2^8 band buckets
@@ -3606,9 +3695,9 @@ _GATE_FRONT = {
     "knn_ivf": knn_ivf_q,
 }
 
-# r7 suspends the standing sentinel block for one round: 3 new + 20
-# reshaped queries + the r4 drain's first 27 fill the window exactly
-# (3 + 20 + 27 = 50), and every operator class the sentinels existed to
+# r7 suspends the standing sentinel block for one round: 4 new + 20
+# reshaped queries + the r4 drain's first 26 fill the window exactly
+# (4 + 20 + 26 = 50), and every operator class the sentinels existed to
 # re-attest is
 # represented anyway — emoji kernel + tweet end-to-end by the q4/q5/q6
 # reshape block, dedup by the four reshaped dedup queries, streaming by

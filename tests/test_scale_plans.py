@@ -292,6 +292,52 @@ def test_ann_recall_floors(spark, sf_dir):
         assert hits / total >= floor, f"{name} recall {hits}/{total}"
 
 
+def test_embedding_hyperplane_dedup_planted_twin_recall(spark, sf_dir):
+    """Quality pin for the hyperplane embedding-dedup upgrade path:
+    every 10th fixture vector gets a deterministic near-identical twin
+    (alternating ±0.01 perturbation, cosine ≈ 0.999) and the operator
+    must recover the planted pairs at threshold 0.99. Deterministic
+    end-to-end (seeded planes, exact-cosine verify), so the floor is a
+    regression pin, not a statistical bound (measured 50/50 at sf0.001
+    for both 6-table hyperplane and 8-table coordinate-sign — fixture
+    buckets are tiny; the schemes separate at corpus scale, where
+    coordinate-sign's dim/bits table cap costs 15% recall — SCALE.md)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs_hyperplane,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i % 2 == 0, F.lit(0.01)).otherwise(F.lit(-0.01)),
+            ),
+        )
+    )
+    planted = {
+        (r[0] - 10_000_000, r[0]) for r in twins.select("vec_id").collect()
+    }
+    pairs = embedding_near_dup_pairs_hyperplane(
+        emb.unionByName(twins),
+        threshold=0.99,
+        bits=8,
+        tables=6,
+        max_bucket=100,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = len(planted & found)
+    assert hits / len(planted) >= 0.95, f"recall {hits}/{len(planted)}"
+    # precision is structural (exact-cosine verify): nothing below the
+    # threshold can appear, and at 0.99 only planted twins qualify.
+    assert found <= planted, f"unexpected pairs: {sorted(found - planted)[:5]}"
+
+
 def test_minhash_recall_vs_exact_truth(spark, sf_dir):
     """Retrieval-quality regression for the MinHash pipeline: compare
     against EXACT all-pairs Jaccard ground truth (computed in DuckDB —
