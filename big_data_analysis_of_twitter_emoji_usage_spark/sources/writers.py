@@ -62,6 +62,40 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sort-on-write clustering: range-partition then sort each file by
+    ``cluster_cols`` so every Parquet row group covers a narrow range of
+    the cluster key, and the footer min/max statistics prune row groups
+    for selective filters the directory layout can't (high-cardinality
+    keys that would explode ``partitionBy``, secondary keys under a date
+    partition — the Z-order/liquid-clustering niche, done with plain
+    open APIs).
+
+    Measured (SCALE.md "Session & layout invariants"): on a 10M-row
+    events table in 32 files, a one-user filter must read 32/32 row
+    groups under the default (arrival-order) layout and exactly 1/32
+    after clustering by user_id — a 32× scan reduction at IO-bound
+    scale (1.5× wall-clock locally where the table sits in page cache).
+    Like bucketing, the sort is paid once at write time; unlike
+    bucketing it composes with any reader (no table catalog needed) and
+    keeps pruning through secondary sort columns for range scans
+    (``cluster_cols=["user_id", "ts"]`` → user slice + time slice).
+    """
+    n = num_files if num_files is not None else df.rdd.getNumPartitions()
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSONL export — the reference's interchange format (q1:250)."""
     df.write.mode(mode).json(path)

@@ -98,3 +98,53 @@ def test_corrupt_records_captured_not_dropped(spark, tmp_path):
         assert df.filter(F.col("_bad").isNotNull()).count() == 2
     finally:
         df.unpersist()
+
+
+def test_clustered_write_prunes_row_groups(spark, sf_dir, tmp_path):
+    """Sort-on-write clustering: after write_parquet_clustered by
+    user_id, a single user's data is confined to few files/row groups —
+    the footer min/max stats exclude the rest — and the roundtrip is
+    lossless. The default arrival-order layout (same data, same file
+    count) leaves every row group overlapping every user."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import write_parquet_clustered
+
+    ev = load_events(spark, sf_dir)
+    uid = ev.select("user_id").first()[0]
+
+    clustered = str(tmp_path / "clustered")
+    write_parquet_clustered(ev, clustered, ["user_id", "ts"], num_files=8)
+    plain = str(tmp_path / "plain")
+    ev.repartition(8).write.parquet(plain)
+
+    def surviving(path):
+        total = match = 0
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            ci = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["user_id"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                total += 1
+                if st is None or (st.min <= uid <= st.max):
+                    match += 1
+        return match, total
+
+    c_match, c_total = surviving(clustered)
+    p_match, p_total = surviving(plain)
+    assert c_total >= 8 and p_total >= 8
+    # random layout: the user's rows are spread across (essentially)
+    # every row group; clustered: confined to a narrow key range.
+    assert c_match < p_match, (c_match, c_total, p_match, p_total)
+    assert c_match <= 2
+
+    # lossless roundtrip (values, not order)
+    back = spark.read.parquet(clustered)
+    assert back.count() == ev.count()
+    a = ev.groupBy("user_id").count().collect()
+    b = back.groupBy("user_id").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
