@@ -3709,10 +3709,12 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- r4 drain (VERDICT r6 #1): the entire r4-attested block,
-    # oldest-first. 28 of its 38 members fit the window behind the
-    # 22-entry gate front; the ten leftovers (the tail from
-    # salted_agg_events on — all locally parity-green every round) are
-    # the r8 drain head.
+    # oldest-first. 26 of its 38 members fit the window behind the
+    # 24-entry gate front (the two late-r7 additions —
+    # stream_sessionize_native and dedup_embedding_hyperplane — each
+    # displaced one drain slot, the documented cost of new surface);
+    # the twelve leftovers (the tail from funnel_events on — all
+    # locally parity-green every round) are the r8 drain head.
     # shuffle_shards left this block for _GATE_FRONT (reshaped). ----
     "q1_top_words": q1_top_words,
     "text_langid": text_langid_q,
@@ -3740,6 +3742,8 @@ _PROVEN = {
     "tfidf_top_terms": tfidf_top_terms_q,
     "inverted_index": inverted_index_q,
     "tpch_q5_local_supply": tpch_q5_local_supply,
+    # ---- window boundary: slots above re-attest in r7. ----
+    # r4-attested leftovers — r8 drain head.
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
     "salted_agg_events": salted_agg_events,
@@ -3747,11 +3751,6 @@ _PROVEN = {
     "q1_kernel_equiv": q1_kernel_equiv,
     "text_ngrams": text_ngrams_q,
     "text_logprob": text_logprob_q,
-    # ---- window boundary: slots above re-attest in r7 (the knn_wta and
-    # knn_ivf retunes claimed the last two slots, bumping
-    # dedup_fuzzy_names and stream_quality_docs into the leftover
-    # group) ----
-    # r4-attested leftovers — r8 drain head.
     "dedup_fuzzy_names": dedup_fuzzy_names_q,
     "stream_quality_docs": stream_quality_docs,
     "embedding_quantize": embedding_quantize_q,
