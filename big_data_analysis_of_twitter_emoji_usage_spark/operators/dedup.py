@@ -465,9 +465,20 @@ def connected_components(
     """
     import warnings
 
-    sym = edges.select(
-        F.col(src).alias("n"), F.col(dst).alias("m")
-    ).unionAll(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+    # Materialize the symmetrized edge relation ONCE (r7): ``edges`` is
+    # usually the tail of an expensive pipeline (MinHash/LSH candidate
+    # generation + exact verify), and ``sym`` is re-joined against the
+    # labels EVERY iteration — without this checkpoint each CC round
+    # re-executed the whole upstream pair plan from the scan up
+    # (measured: dedup_keep_best 5.3 s → 2.6 s at sf0.1). The
+    # checkpointed state is O(|pairs|) two-id rows — the near-dup
+    # subset, tiny relative to the corpus — so pinning it in executor
+    # storage is safe at any scale.
+    sym = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .unionAll(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.groupBy("n").agg(F.min("m").alias("lbl"))
         .select("n", F.least("n", "lbl").alias("lbl"))
