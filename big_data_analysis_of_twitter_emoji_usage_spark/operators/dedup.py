@@ -465,20 +465,23 @@ def connected_components(
     """
     import warnings
 
-    # Materialize the symmetrized edge relation ONCE (r7): ``edges`` is
-    # usually the tail of an expensive pipeline (MinHash/LSH candidate
-    # generation + exact verify), and ``sym`` is re-joined against the
-    # labels EVERY iteration — without this checkpoint each CC round
-    # re-executed the whole upstream pair plan from the scan up
-    # (measured: dedup_keep_best 5.3 s → 2.6 s at sf0.1). The
-    # checkpointed state is O(|pairs|) two-id rows — the near-dup
-    # subset, tiny relative to the corpus — so pinning it in executor
-    # storage is safe at any scale.
-    sym = (
-        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
-        .unionAll(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
-        .localCheckpoint(eager=True)
-    )
+    # Materialize the edge relation ONCE (r7): ``edges`` is usually the
+    # tail of an expensive pipeline (MinHash/LSH candidate generation +
+    # exact verify), and it is consumed MANY times — twice by the
+    # symmetrizing union (each union branch is an independent execution
+    # of the input plan), then by every propagation round's join.
+    # Without this checkpoint the whole upstream pair plan re-executed
+    # from the scan up 2·(1 + iterations) times; recomputation of this
+    # kind never shows in any single action's .explain, because each
+    # job's plan is individually optimal. Measured at sf0.1:
+    # dedup_keep_best 5.3 s → 2.3 s. The checkpointed state is
+    # O(|pairs|) two-id rows — the near-dup subset, tiny relative to
+    # the corpus — so pinning it in executor storage is safe at any
+    # scale.
+    e = edges.select(
+        F.col(src).alias("n"), F.col(dst).alias("m")
+    ).localCheckpoint(eager=True)
+    sym = e.unionAll(e.select(F.col("m").alias("n"), F.col("n").alias("m")))
     labels = (
         sym.groupBy("n").agg(F.min("m").alias("lbl"))
         .select("n", F.least("n", "lbl").alias("lbl"))
