@@ -113,3 +113,29 @@ def test_containment_stop_shingle_guard_drops_boilerplate(spark):
     assert capped.count() == 0
     open_df = containment_pairs(docs, k=3, threshold=0.1, max_df=10)
     assert open_df.count() > 0
+
+
+def test_cc_executes_edge_plan_exactly_once(spark):
+    """The edge input is typically the tail of the whole MinHash/LSH
+    pair pipeline; the label-propagation loop must NOT re-execute it
+    per round (r7: pre-checkpoint, the plan ran 2·(1 + iterations)
+    times — twice per symmetrizing union branch, again per join). An
+    accumulator-ticking UDF in the edge plan counts actual row
+    evaluations: exactly one per edge row across the whole run."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(x):
+        acc.add(1)
+        return x
+
+    tick = F.udf(_tick, LongType())
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["a", "b"]
+    )
+    edges = base.select(tick("a").alias("id_a"), F.col("b").alias("id_b"))
+    out = connected_components(edges, max_iterations=20).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert acc.value == 6
