@@ -661,6 +661,39 @@ def wta_bucket(vec: Column, pairs_row: list[tuple[int, int]], dim: int) -> Colum
     )
 
 
+def wta_sigs_expr(vec_col: str, pairs: list[list[tuple[int, int]]], dim: int) -> str:
+    """SQL expression string producing ALL per-table WTA sig strings as
+    one ``array<string>`` (table order = schedule order).
+
+    Why a SQL string and not a Column tree: the column-DSL form of this
+    kernel is ``tables × bits`` nested ``when(element_at > element_at)``
+    builders — every one a driver→JVM round trip — and constructing it
+    measured ~2 s of DRIVER time per query build at 26×4 (the execution
+    itself is ~1.2 s; the bench was timing py4j, not Spark). One
+    ``F.expr`` call ships the whole schedule as a literal
+    array-of-struct-arrays and two higher-order ``transform``s; the
+    comparisons, their order, and the '1'/'0' encoding are unchanged,
+    so bucket membership stays bit-identical to ``wta_bucket`` and to
+    the SQL oracle (pinned by ``test_wta_sigs_expr_matches_wta_bucket``).
+    Comparisons read the RAW float column — float comparison and
+    double-cast comparison order identically (oracle compares raw
+    elements too)."""
+    tables_sql = ",".join(
+        "array("
+        + ",".join(f"named_struct('i',{i},'j',{j})" for i, j in row)
+        + ")"
+        for row in pairs
+    )
+    return (
+        f"CASE WHEN size({vec_col}) >= {dim} THEN "
+        f"transform(array({tables_sql}), r -> concat_ws('', transform(r, "
+        f"p -> IF(element_at({vec_col}, p.i) > element_at({vec_col}, p.j),"
+        f" '1', '0')))) "
+        f"ELSE raise_error(concat('wta_bucket: vector has fewer than "
+        f"{dim} dims; got size=', cast(size({vec_col}) as string))) END"
+    )
+
+
 def cosine_knn_wta(
     corpus: DataFrame,
     queries: DataFrame,
@@ -673,8 +706,8 @@ def cosine_knn_wta(
 ) -> DataFrame:
     """Approximate top-k via multi-table ORDINAL LSH: ``tables``
     independent hash tables whose bits are pairwise coordinate
-    comparisons (``wta_bucket``); candidates collide in ANY table, then
-    exact cosine ranks them.
+    comparisons (``wta_bucket`` semantics, built by ``wta_sigs_expr``);
+    candidates collide in ANY table, then exact cosine ranks them.
 
     Same bounded fan-out as ``cosine_knn_sign_lsh`` (each row emits
     exactly ``tables`` band rows; the (band, sig) equi-join is the only
@@ -684,46 +717,26 @@ def cosine_knn_wta(
     membership bit-for-bit.
     """
     pr = wta_pairs(bits, tables, dim)
+    sig_arr = F.expr(wta_sigs_expr(vec_col, pr, dim))
 
     def banded(df, out_id):
-        # Sigs live in their OWN projection and the explode consumes an
-        # array built from plain column refs (r6): inlining the
-        # tables×bits comparison trees into the Generate node's input
-        # re-evaluated them through the generator's consume path and
-        # duplicated the whole-array double cast under every element_at
-        # (measured ~3.2-3.6 s warm at sf0.1; this shape ~2.2-2.7 s). The
-        # comparisons read the RAW float column — float comparison and
-        # double-cast comparison order identically, so bucket membership
-        # is unchanged (oracle compares ::DOUBLE[] elements).
-        raw = F.col(vec_col)
+        # Sigs live in their OWN projection (r6 finding: inlining the
+        # comparison trees into the Generate input re-evaluated them
+        # through the generator's consume path); posexplode_outer is
+        # the posexplode analog of core.explode_nonempty — on this
+        # literal-sized, never-empty array it is bit-identical to
+        # posexplode but skips InferFiltersFromGenerate's size() filter,
+        # which CollapseProject would otherwise feed the whole sig
+        # expression a second time.
         sigs = df.select(
             F.col(id_col).alias(out_id),
-            _as_double(raw).alias(f"_{out_id}_v"),
-            *[
-                wta_bucket(raw, pr[t], dim).alias(f"_sig{t}")
-                for t in range(tables)
-            ],
-        )
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("band"), F.col(f"_sig{t}").alias("sig")
-                )
-                for t in range(tables)
-            ]
+            _as_double(F.col(vec_col)).alias(f"_{out_id}_v"),
+            sig_arr.alias("_sigarr"),
         )
         return sigs.select(
             out_id,
             f"_{out_id}_v",
-            # explode_nonempty: literal band array, never empty; inner
-            # explode would clone the inlined sig comparisons into a
-            # pre-Generate Filter (core.explode_nonempty).
-            explode_nonempty(bands).alias("b"),
-        ).select(
-            out_id,
-            f"_{out_id}_v",
-            F.col("b.band").alias("band"),
-            F.col("b.sig").alias("sig"),
+            F.posexplode_outer("_sigarr").alias("band", "sig"),
         )
 
     q = banded(queries, "query_id")

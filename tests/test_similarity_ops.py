@@ -80,3 +80,58 @@ def test_hyperplane_expression_and_udf_sigs_bit_identical(spark, sf_dir):
     b = sorted(map(tuple, udf_sigs.collect()))
     assert len(a) > 0
     assert a == b
+
+
+def test_wta_sigs_expr_matches_wta_bucket(spark, sf_dir):
+    """The single-SQL-string signature builder (wta_sigs_expr — one
+    F.expr call instead of tables×bits py4j-built when-chains; the
+    column-DSL form cost ~2 s of DRIVER time per query build at 26×4)
+    must emit bit-identical sig strings to the per-table wta_bucket
+    column kernel it replaces in cosine_knn_wta — same comparisons,
+    same order, same '1'/'0' encoding — on the real embeddings
+    fixture. This is the contract that keeps the DuckDB oracle's
+    unrolled CASE/concat SQL a faithful mirror."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        wta_bucket,
+        wta_pairs,
+        wta_sigs_expr,
+    )
+
+    bits, tables, dim = 4, 26, 64
+    pr = wta_pairs(bits, tables, dim)
+    emb = load_table(spark, sf_dir, "embeddings")
+    col_sigs = emb.select(
+        "vec_id",
+        *[
+            wta_bucket(F.col("embedding"), pr[t], dim).alias(f"s{t}")
+            for t in range(tables)
+        ],
+    )
+    expr_sigs = emb.select(
+        "vec_id", F.expr(wta_sigs_expr("embedding", pr, dim)).alias("arr")
+    ).select(
+        "vec_id", *[F.col("arr")[t].alias(f"s{t}") for t in range(tables)]
+    )
+    a = sorted(map(tuple, col_sigs.collect()))
+    b = sorted(map(tuple, expr_sigs.collect()))
+    assert len(a) > 0
+    assert a == b
+
+
+def test_wta_sigs_expr_short_vector_errors(spark):
+    """The SQL-string form must keep wta_bucket's dim guard: a vector
+    shorter than dim raises instead of silently comparing nulls."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        wta_pairs,
+        wta_sigs_expr,
+    )
+
+    pr = wta_pairs(2, 2, 8)
+    short = spark.createDataFrame(
+        [(1, [0.1] * 4)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="fewer than 8 dims"):
+        short.select(
+            F.expr(wta_sigs_expr("embedding", pr, 8)).alias("arr")
+        ).collect()
