@@ -22,7 +22,7 @@ the md5 cost is dwarfed by the shuffle it feeds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
 
@@ -364,12 +364,26 @@ def containment_pairs(
 
     100 TB shape: the postings relation shuffles on the shingle key
     twice (df count with map-side partial agg, then the semi-join that
-    co-partitions on the same key) and every downstream buffer is
-    bounded by ``max_df`` — the collect_list runs AFTER the df cut, so
-    no degenerate shingle can balloon an aggregation buffer; candidate
-    volume is ≤ max_df · |kept postings|, never O(n²). Pair counting is
-    one more uniform-key shuffle; the sizes join touches candidate
-    pairs only.
+    co-partitions on the same key; the join leg gets AQE skew-split,
+    which is why the cap is a join and not a window) and every
+    downstream buffer is bounded by ``max_df`` — the collect_list runs
+    AFTER the df cut, so no degenerate shingle can balloon an
+    aggregation buffer; candidate volume is ≤ max_df · |kept
+    postings|, never O(n²). Pair counting is one more uniform-key
+    shuffle. Per-doc kept-shingle sizes ride ALONG the pipeline (a
+    doc-key window on the capped postings, then carried through the
+    member structs into the pair rows) instead of being re-derived and
+    self-joined twice: the r7-initial shape consumed ``sizes`` once per
+    containment direction, and since each consumer of a DataFrame
+    re-executes its subtree, the whole scan→shingle→cap pipeline ran
+    ~6× per query (12 parquet scans in the formatted plan; AQE's
+    broadcast joins defeat ReusedExchange dedup). The restructure cuts
+    that to the irreducible 2 (df pass + join probe; 4 scan nodes
+    counting AQE's re-printed subplans) — measured 2.6 → 2.2 s at
+    sf0.1, where map work is cheap; at 100 TB the win is the pass
+    count, 6 corpus-scans → 2. The doc-key window is skew-safe: its
+    partition is one document's kept shingles, bounded by document
+    length.
     """
     arrays = doc_shingle_arrays(df, text_col, id_col, k, unit)
     postings = arrays.select(
@@ -385,42 +399,58 @@ def containment_pairs(
         .select("shingle")
     )
     kept = postings.join(keep, "shingle")
-    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    members = kept.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    kept_n = kept.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
-    # Ordered pairs from each sorted member list, map-side. The size>=2
-    # filter is load-bearing twice over: singleton shingles produce no
-    # pairs, and F.sequence(1, 0) would be a DESCENDING [1, 0] sequence
-    # (Spark auto-negates the step), not an empty one.
+    # sort_array on (id, n) structs orders by id (unique per list), so
+    # pair orientation id_a < id_b matches the plain-id sort it replaces.
+    members = kept_n.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("_n").alias("n"))
+            )
+        ).alias("_ms")
+    )
+    # Ordered pairs from each sorted member list, map-side — each pair
+    # row carries BOTH docs' kept-shingle counts, so no sizes join is
+    # needed downstream. The size>=2 filter is load-bearing twice over:
+    # singleton shingles produce no pairs, and F.sequence(1, 0) would
+    # be a DESCENDING [1, 0] sequence (Spark auto-negates the step),
+    # not an empty one.
     pair_structs = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.size("_ids") - 1),
+            F.sequence(F.lit(1), F.size("_ms") - 1),
             lambda i: F.transform(
-                F.sequence(i + 1, F.size("_ids")),
+                F.sequence(i + 1, F.size("_ms")),
                 lambda j: F.struct(
-                    F.element_at(F.col("_ids"), i).alias("a"),
-                    F.element_at(F.col("_ids"), j).alias("b"),
+                    F.element_at(F.col("_ms"), i)["id"].alias("a"),
+                    F.element_at(F.col("_ms"), j)["id"].alias("b"),
+                    F.element_at(F.col("_ms"), i)["n"].alias("na"),
+                    F.element_at(F.col("_ms"), j)["n"].alias("nb"),
                 ),
             ),
         )
     )
     pairs = (
-        members.filter(F.size("_ids") >= 2)
+        members.filter(F.size("_ms") >= 2)
         .select(explode_nonempty(pair_structs).alias("_p"))
-        .select(F.col("_p.a").alias("id_a"), F.col("_p.b").alias("id_b"))
+        .select(
+            F.col("_p.a").alias("id_a"),
+            F.col("_p.b").alias("id_b"),
+            F.col("_p.na").alias("_na"),
+            F.col("_p.nb").alias("_nb"),
+        )
     )
-    inter = pairs.groupBy("id_a", "id_b").agg(
+    # _na/_nb are functionally determined by (id_a, id_b); keeping them
+    # as grouping keys (constant within each group) preserves map-side
+    # partial aggregation with no first()/max() indirection.
+    inter = pairs.groupBy("id_a", "id_b", "_na", "_nb").agg(
         F.count(F.lit(1)).alias("n_common")
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
     cont_a = F.col("n_common") / F.col("_na")
     cont_b = F.col("n_common") / F.col("_nb")
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .filter(F.greatest(cont_a, cont_b) >= threshold)
+        inter.filter(F.greatest(cont_a, cont_b) >= threshold)
         .select(
             "id_a",
             "id_b",
