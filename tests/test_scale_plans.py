@@ -591,3 +591,24 @@ def test_freq_sketch_keeps_groups_when_no_provable_heavy_hitter(spark):
     for r in rows:
         assert r["n_rows"] == 2000
         assert r["bound_ok"] is True and r["coverage_ok"] is True
+
+
+def test_containment_scan_count_bounded(spark, sf_dir):
+    """containment_pairs must keep the corpus pass count at the
+    irreducible two (df-cap count + join probe). The r7-initial shape
+    re-derived per-doc sizes and self-joined them once per containment
+    direction, and every DataFrame consumer re-executes its subtree —
+    12 parquet scans in one optimized plan (SCALE.md, subtree-recompute
+    caveat). Carrying sizes through the member structs removed the
+    joins; this pins the scan count so a refactor can't silently
+    reintroduce the fan-out."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
+
+    plan = (
+        QUERIES["dedup_containment"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    scans = plan.count("parquet")
+    assert 0 < scans <= 2, f"expected <=2 corpus scans, plan has {scans}"
