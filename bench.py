@@ -63,6 +63,20 @@ def main() -> None:
         timings[name] = run_once(fn)
         runs[name] = 1
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    # Previous run's recorded minima (same sf only): used both to steer
+    # re-sampling and, after it, for the regression tripwire.
+    prev: dict[str, float] = {}
+    try:
+        with open(detail_path, encoding="utf-8") as f:
+            prev_detail = json.load(f)
+        if prev_detail.get("sf") == float(sf):
+            prev = prev_detail.get("queries", {})
+    except (OSError, ValueError):
+        pass
+
     # Re-sample stall-suspect outliers (slowest first, up to 4 samples
     # each), while the budget holds; min-of-samples is the reported
     # figure. A single extra sample is not enough when a host-freeze
@@ -70,10 +84,18 @@ def main() -> None:
     # (was 3.0): the r6 A/B on three untouched plans showed single
     # samples at ~2 s whose min-of-6 sat at ~1.0-1.3 s — stall windows
     # pollute readings well under the old cutoff (SCALE.md, host
-    # variance).
+    # variance). A sub-threshold query is ALSO re-sampled when it reads
+    # ≥2× its previous-run minimum (r7): a stall window during the
+    # first pass once left two ~0.6 s queries recorded at ~1.2 s with
+    # no resample, tripping the regr flag on plans nobody touched.
+    def _suspect(n: str) -> bool:
+        return timings[n] >= 1.5 or (
+            n in prev and timings[n] >= 0.5 and timings[n] >= 2 * prev[n]
+        )
+
     for _ in range(3):
         hot = [n for n in sorted(timings, key=timings.get, reverse=True)
-               if timings[n] >= 1.5]
+               if _suspect(n)]
         if not hot:
             break
         for name in hot:
@@ -88,31 +110,16 @@ def main() -> None:
     # machine-parsed line keeps individual entries for the slowest
     # queries and folds the fastest into a fast_n/fast_sec bucket until
     # the serialized line fits a 1900-byte budget.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    # Regression tripwire vs the PREVIOUS run's recorded minima: queries
-    # folded into the fast bucket still get a named callout if they blow
-    # up (≥1 s and ≥2× the prior min — under that is host noise; see the
-    # A/B variance study in SCALE.md).
-    regr = {}
-    try:
-        with open(detail_path, encoding="utf-8") as f:
-            prev_detail = json.load(f)
-        # Same-sf runs only: minima at different scale factors are not
-        # comparable.
-        prev = (
-            prev_detail.get("queries", {})
-            if prev_detail.get("sf") == float(sf)
-            else {}
-        )
-        regr = {
-            k: [round(prev[k], 2), round(v, 2)]
-            for k, v in timings.items()
-            if k in prev and v >= 1.0 and v >= 2 * prev[k]
-        }
-    except (OSError, ValueError):
-        pass
+    #
+    # Regression tripwire vs the PREVIOUS run's recorded minima (loaded
+    # above, same-sf only): queries folded into the fast bucket still
+    # get a named callout if they blow up (≥1 s and ≥2× the prior min —
+    # under that is host noise; see the A/B variance study in SCALE.md).
+    regr = {
+        k: [round(prev[k], 2), round(v, 2)]
+        for k, v in timings.items()
+        if k in prev and v >= 1.0 and v >= 2 * prev[k]
+    }
 
     detail = {
         "queries": {k: round(v, 4) for k, v in timings.items()},
