@@ -137,30 +137,73 @@ def doc_shingles(
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime permutation modulus)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i) for the
+    MinHash permutations, seeded from md5 so both engines bake the SAME
+    literals (the lsh_hyperplanes pattern): a_i in [1, P-1] (never 0 —
+    a zero multiplier is a constant hash), b_i in [0, P-1]."""
+    import hashlib
+
+    def h32(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+    return [
+        (1 + h32(f"mh-a-{i}") % (MINHASH_P - 1), h32(f"mh-b-{i}") % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     shingle_arrays: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
 ) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min(md5(i || ':' || shingle)).
+    """Per-doc MinHash signature over ONE base hash per shingle:
+    x = first 8 md5-hex chars as an integer, then
+    h_i = min((a_i * x + b_i) mod P) with P = 2^31 - 1 and seeded
+    ``minhash_coeffs`` literals.
 
-    The min over lexicographic md5-hex order is a valid MinHash (any
-    uniform hash into a totally ordered space works); hex strings keep it
-    engine-portable. Input is the array form, so each signature column is
-    ``array_min(transform(...))`` — pure map-side expression work with no
-    shuffle at all (vs. the naive explode → groupBy(min) which shuffles
-    every (doc, shingle, i) row).
+    Base-hash-plus-permutations is the standard MinHash construction
+    (Broder '97; Spark MLlib's MinHashLSH is the same shape), and it is
+    the hashing-cost lever: the r1–r7 scheme evaluated md5 ONCE PER
+    HASH FUNCTION per shingle (num_hashes × |shingles| digests — the
+    measured dominant cost of the char-4-gram query: the 16-hash
+    signature stage alone was 3× the whole rest of the plan), where
+    this computes one digest per shingle and derives the family with
+    integer multiply-add — measured 3.1× faster at 16 hashes / sf0.1,
+    and the gap widens with num_hashes. Still pure map-side
+    ``array_min(transform(...))`` expression work, no shuffle.
+
+    Portability: md5 is bit-identical in Spark and DuckDB, the hex→int
+    conversion (Spark ``conv``, DuckDB ``'0x'||…::BIGINT``) yields the
+    same 32-bit value, and the mod-arithmetic operands stay under 2^63
+    (a < 2^31, x < 2^32), so ANSI mode never overflows and the oracle
+    mirrors bit-for-bit. Base-hash collisions (32-bit space) merge a
+    vanishing fraction of shingle pairs CONSISTENTLY across docs —
+    candidate recall is unaffected and the verify stage computes exact
+    Jaccard over the full shingle sets regardless.
     """
-    sigs = [
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)),
-            )
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return shingle_arrays.select(F.col(id_col), *sigs)
+    base = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+
+    def perm(a: int, b: int):
+        return lambda x: (F.lit(a).cast("bigint") * x + F.lit(b)) % F.lit(
+            MINHASH_P
+        )
+
+    coeffs = minhash_coeffs(num_hashes)
+    return shingle_arrays.select(F.col(id_col), base.alias("_x")).select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("_x"), perm(a, b))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
 
 
 def lsh_candidate_pairs(
@@ -194,8 +237,16 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat(
-                    *[F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+                # ':' separator — integer hash values are variable-width
+                # strings, so bare concat would alias (1, 23) with
+                # (12, 3); the r1–r7 fixed-width md5-hex sigs didn't
+                # need one.
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{i}").cast("string")
+                        for i in range(b * band_size, (b + 1) * band_size)
+                    ],
                 ).alias("sig"),
             )
             for b in range(n_bands)
@@ -244,6 +295,7 @@ def near_dup_pairs(
     unit: str = "word",
     max_bucket: int | None = None,
     sig_sample_hex: int | None = None,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -269,11 +321,25 @@ def near_dup_pairs(
     signature stage. ``None`` (the default) keeps ALL shingles — 16/16
     has no keep-all encoding because hex-nibble-mod-16 < 16 is a
     tautology; ``sample_shingles`` rejects values outside 1..15.
+
+    ``materialize_shingles`` lazily ``localCheckpoint``s the per-doc
+    shingle relation so its two consumers (signature pass, verify
+    melt) compute the k-gram build ONCE instead of re-executing the
+    scan→shingle subtree each (every DataFrame consumer re-executes
+    its subtree — SCALE.md execution caveat). Worth it when the
+    shingle build dominates — char n-grams, whose distinct sets are
+    ~|doc| short strings (measured 3.07 → 2.0 s at sf0.1 for the
+    char-4-gram catalog query); default OFF for word shingles, where
+    the build is cheap and the checkpoint's write+read round trip and
+    executor-storage pin buy nothing. The blocks are non-replicated
+    executor-local state: a lost executor under cluster dynamic
+    allocation makes them unrecoverable (same caveat as
+    ``connected_components``; the checkpoint is lazy, so merely
+    building the plan executes nothing).
     """
-    # No cache: the shingle projection is map-side work worth recomputing
-    # on each of its three uses — materializing it pins executor memory
-    # for the whole query (and, in a long-lived session, beyond it).
     arrays = doc_shingle_arrays(df, text_col, id_col, k, unit)
+    if materialize_shingles:
+        arrays = arrays.localCheckpoint(eager=False)
     sig_arrays = arrays
     if sig_sample_hex is not None:
         sig_arrays = arrays.withColumn(
@@ -341,6 +407,7 @@ def containment_pairs(
     unit: str = "word",
     threshold: float = 0.7,
     max_df: int = 20,
+    materialize_postings: bool = True,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: the dedup mode Jaccard
     misses. When a small document A is quoted/embedded inside a much
@@ -384,11 +451,25 @@ def containment_pairs(
     count, 6 corpus-scans → 2. The doc-key window is skew-safe: its
     partition is one document's kept shingles, bounded by document
     length.
+
+    ``materialize_postings`` (default on, r8) lazily
+    ``localCheckpoint``s the exploded postings relation, collapsing
+    those 2 remaining corpus passes to 1: the df-cap count and the
+    join probe both re-executed the scan→shingle→explode subtree;
+    checkpointed, the k-gram kernel runs once and both consumers read
+    the stored (id, shingle) rows (measured 2.70 → 2.0 s at sf0.1).
+    Storage is one row per shingle INSTANCE — ~k bytes × corpus — in
+    non-replicated executor-local blocks (lost-executor caveat as in
+    ``connected_components``; lazy, so plan construction executes
+    nothing). Turn it off to trade the repeated kernel pass for zero
+    executor-storage residency.
     """
     arrays = doc_shingle_arrays(df, text_col, id_col, k, unit)
     postings = arrays.select(
         id_col, explode_nonempty("shingles").alias("shingle")
     )
+    if materialize_postings:
+        postings = postings.localCheckpoint(eager=False)
     # df pass FIRST, membership collection second: computing
     # collect_list before the cap would buffer a df-10M stop shingle's
     # whole posting list in one aggregation buffer.
@@ -506,8 +587,19 @@ def connected_components(
     # job's plan is individually optimal. Measured at sf0.1:
     # dedup_keep_best 5.3 s → 2.3 s. The checkpointed state is
     # O(|pairs|) two-id rows — the near-dup subset, tiny relative to
-    # the corpus — so pinning it in executor storage is safe at any
-    # scale.
+    # the corpus — so its executor-storage FOOTPRINT is safe at any
+    # scale. Two deliberate costs of eager localCheckpoint, accepted
+    # here and owed to callers: (1) merely BUILDING this DataFrame
+    # (explain, schema checks, plan tests) executes the whole upstream
+    # pair pipeline — intended for this iterative operator, whose
+    # construction is inseparable from running the loop anyway, but a
+    # surprise for plan-only tooling; (2) localCheckpoint blocks are
+    # NON-REPLICATED executor-local state — on a real cluster a lost
+    # executor (failure OR dynamic-allocation scale-in) makes them
+    # unrecoverable and fails the job, so long-running cluster jobs
+    # should disable executor deallocation or use reliable
+    # checkpointing (sparkContext.setCheckpointDir + .checkpoint())
+    # at the price of a distributed-FS round trip per iteration.
     e = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).localCheckpoint(eager=True)

@@ -677,7 +677,16 @@ def wta_sigs_expr(vec_col: str, pairs: list[list[tuple[int, int]]], dim: int) ->
     the SQL oracle (pinned by ``test_wta_sigs_expr_matches_wta_bucket``).
     Comparisons read the RAW float column — float comparison and
     double-cast comparison order identically (oracle compares raw
-    elements too)."""
+    elements too). ``vec_col`` is spliced into SQL text, so it is
+    backtick-quoted (a dotted/spaced/keyword column name would
+    otherwise break parsing where the Column-based ``wta_bucket``
+    accepted any name); a name containing a backtick is rejected
+    rather than escaped."""
+    if "`" in vec_col:
+        raise ValueError(
+            f"wta_sigs_expr: column name {vec_col!r} contains a backtick"
+        )
+    vc = f"`{vec_col}`"
     tables_sql = ",".join(
         "array("
         + ",".join(f"named_struct('i',{i},'j',{j})" for i, j in row)
@@ -685,12 +694,12 @@ def wta_sigs_expr(vec_col: str, pairs: list[list[tuple[int, int]]], dim: int) ->
         for row in pairs
     )
     return (
-        f"CASE WHEN size({vec_col}) >= {dim} THEN "
+        f"CASE WHEN size({vc}) >= {dim} THEN "
         f"transform(array({tables_sql}), r -> concat_ws('', transform(r, "
-        f"p -> IF(element_at({vec_col}, p.i) > element_at({vec_col}, p.j),"
+        f"p -> IF(element_at({vc}, p.i) > element_at({vc}, p.j),"
         f" '1', '0')))) "
         f"ELSE raise_error(concat('wta_bucket: vector has fewer than "
-        f"{dim} dims; got size=', cast(size({vec_col}) as string))) END"
+        f"{dim} dims; got size=', cast(size({vc}) as string))) END"
     )
 
 

@@ -42,10 +42,12 @@ from big_data_analysis_of_twitter_emoji_usage_spark.plans.queries import (
     token_counts,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+    MINHASH_P,
     connected_components,
     containment_pairs,
     exact_duplicates,
     keep_best_per_cluster,
+    minhash_coeffs,
     near_dup_pairs,
     simhash_fingerprints,
     simhash_near_dup_pairs,
@@ -209,18 +211,30 @@ def _minhash_cand_sql(
         )
         mh_src = "shs"
     n_bands = num_hashes // band_size
+    # r8 signature scheme: one 32-bit base hash per shingle + seeded
+    # universal-hash permutations mod 2^31-1 — the SAME minhash_coeffs
+    # literals the Spark operator bakes (dedup.minhash_signatures),
+    # mirrored here as plain integer arithmetic. The ':' band separator
+    # disambiguates variable-width integer sigs.
+    coeffs = minhash_coeffs(num_hashes)
+    base_x = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
     return (
         shingles_cte
         + sample_cte
-        + ",\nmh AS (SELECT doc_id, "
-        + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes))
-        + f" FROM {mh_src} GROUP BY doc_id),\n"
+        + f",\nshx AS (SELECT doc_id, {base_x} AS x FROM {mh_src}),\n"
+        + "mh AS (SELECT doc_id, "
+        + ", ".join(
+            f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+            for i, (a, b) in enumerate(coeffs)
+        )
+        + " FROM shx GROUP BY doc_id),\n"
         "bands AS ("
         + " UNION ALL ".join(
             "SELECT doc_id, {b} AS band, {sig} AS sig FROM mh".format(
                 b=b,
-                sig=" || ".join(
-                    f"h{i}" for i in range(b * band_size, (b + 1) * band_size)
+                sig=" || ':' || ".join(
+                    f"h{i}::VARCHAR"
+                    for i in range(b * band_size, (b + 1) * band_size)
                 ),
             )
             for b in range(n_bands)
@@ -1913,10 +1927,16 @@ def dedup_ngram_jaccard_q(spark, sf):
     noise INFLATED candidates (62k sampled vs 26k full, measured).
     Sweep table in SCALE.md §dedup. The per-doc md5 fold grows to
     16×|shingles| but stays map-side-parallel — the 100 TB cost center
-    is the candidate verify, which this config shrinks 2.6×."""
+    is the candidate verify, which this config shrinks 2.6×.
+
+    r8: ``materialize_shingles`` — char-4-gram sets are the one
+    shingle build heavy enough that computing them once (lazy
+    localCheckpoint) beats re-running the kernel for the signature
+    and verify passes (see near_dup_pairs docstring; word-unit
+    consumers keep the recompute default)."""
     return near_dup_pairs(
         _docs(spark, sf), k=4, threshold=0.5, unit="char", max_bucket=20,
-        num_hashes=16, band_size=4,
+        num_hashes=16, band_size=4, materialize_shingles=True,
     )
 
 

@@ -86,8 +86,19 @@ def write_parquet_clustered(
     bucketing it composes with any reader (no table catalog needed) and
     keeps pruning through secondary sort columns for range scans
     (``cluster_cols=["user_id", "ts"]`` → user slice + time slice).
+
+    ``num_files`` defaults to the session's ``defaultParallelism``
+    (one file per core) — NOT the input plan's partition count, which
+    for a shuffled input is whatever ``spark.sql.shuffle.partitions``
+    happened to be (an arbitrary fan-out) and whose inspection forces
+    a plan-to-RDD compile at call time. Size it explicitly to the
+    target file size (total bytes / ~128 MB) for production writes.
     """
-    n = num_files if num_files is not None else df.rdd.getNumPartitions()
+    n = (
+        num_files
+        if num_files is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
     (
         df.repartitionByRange(n, *[F.col(c) for c in cluster_cols])
         .sortWithinPartitions(*cluster_cols)

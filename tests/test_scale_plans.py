@@ -594,14 +594,22 @@ def test_freq_sketch_keeps_groups_when_no_provable_heavy_hitter(spark):
 
 
 def test_containment_scan_count_bounded(spark, sf_dir):
-    """containment_pairs must keep the corpus pass count at the
-    irreducible two (df-cap count + join probe). The r7-initial shape
-    re-derived per-doc sizes and self-joined them once per containment
-    direction, and every DataFrame consumer re-executes its subtree —
-    12 parquet scans in one optimized plan (SCALE.md, subtree-recompute
-    caveat). Carrying sizes through the member structs removed the
-    joins; this pins the scan count so a refactor can't silently
-    reintroduce the fan-out."""
+    """containment_pairs must run the scan→shingle→explode kernel ONCE.
+
+    History: the r7-initial shape re-derived per-doc sizes and
+    self-joined them once per containment direction, and every
+    DataFrame consumer re-executes its subtree — 12 parquet relations
+    in one optimized plan (SCALE.md, subtree-recompute caveat).
+    Carrying sizes through the member structs cut that to 2 (df-cap
+    count + join probe); r8's lazy localCheckpoint of the postings
+    relation collapses those 2 to 1 — the kernel runs inside the
+    checkpoint materialization and BOTH consumers read the stored
+    rows, so the final plan has ZERO parquet relations and exactly two
+    LogicalRDD references to the shared checkpoint. Counts are
+    structural (logical node names, not substring-of-path matches —
+    a fixture path containing 'parquet' can't flake the pin)."""
+    import re
+
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
 
     plan = (
@@ -610,5 +618,7 @@ def test_containment_scan_count_bounded(spark, sf_dir):
         .optimizedPlan()
         .toString()
     )
-    scans = plan.count("parquet")
-    assert 0 < scans <= 2, f"expected <=2 corpus scans, plan has {scans}"
+    relations = len(re.findall(r"Relation \[", plan))
+    rdds = len(re.findall(r"LogicalRDD", plan))
+    assert relations == 0, f"expected 0 file relations (checkpointed), got {relations}"
+    assert rdds == 2, f"expected 2 LogicalRDD consumers of the checkpoint, got {rdds}"
