@@ -119,6 +119,9 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import 
     resize_batch,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+    SESSION_DELAY_MINUTES,
+    SESSION_GAP,
+    SESSION_GAP_MINUTES,
     native_sessionize_stream,
     run_stream_to_memory,
     stateful_sessionize,
@@ -1734,7 +1737,7 @@ def range_join_events(spark, sf):
 
 def sessionize_events(spark, sf):
     """Gap sessionization via native session_window (30-min gap)."""
-    return sessionize(load_events(spark, sf), gap="30 minutes")
+    return sessionize(load_events(spark, sf), gap=SESSION_GAP)
 
 
 def _event_stream(spark, sf):
@@ -1805,26 +1808,32 @@ def dedup_keep_best_q(spark, sf):
     return keep_best_per_cluster(scored, pairs).orderBy("doc_id")
 
 
-def stream_sessionize_events(spark, sf):
-    """Custom stateful streaming sessionization (applyInPandasWithState)
-    made SELF-VERIFYING (r4; previously a rows-only gate entry):
-    per-key mutable state with custom close/emit logic is the one
-    catalog operator the SQL surface can't express, so the equivalence
-    proof runs INSIDE the plan instead — the streamed CLOSED sessions
-    (the trailing open session per user stays in state, conservative
-    append semantics) are set-compared against batch ``sessionize``
-    minus each user's trailing session, and the driver hashes the
-    (n_closed_sessions, n_mismatch) summary. The oracle computes the
-    expected closed-session count from the batch-session SQL and pins
-    the mismatch count to zero. The full row-level equivalence also
-    remains pinned in tests/test_stateful_streaming.py."""
+def stream_sessionize_stateful_demo(spark, sf):
+    """applyInPandasWithState sessionization DEMONSTRATOR (renamed from
+    stream_sessionize_events in r8 — the catalog's default streaming
+    sessionization is ``stream_sessionize_native``; the decade A/B
+    measured this Arrow-per-key-group path at ~8× wall-clock per 10×
+    events vs ~linear native, SCALE.md "Streaming"). It stays in the
+    catalog as the worked example of the operator class the built-in
+    surface can't express — per-key mutable state with custom
+    close/emit logic — which a complete engine must still offer.
+
+    SELF-VERIFYING (r4; previously a rows-only gate entry): the
+    streamed CLOSED sessions (the trailing open session per user stays
+    in state, conservative append semantics) are set-compared against
+    batch ``sessionize`` minus each user's trailing session, and the
+    driver hashes the (n_closed_sessions, n_mismatch) summary. The
+    oracle computes the expected closed-session count from the
+    batch-session SQL and pins the mismatch count to zero. The full
+    row-level equivalence also remains pinned in
+    tests/test_stateful_streaming.py."""
     closed = run_stream_to_memory(
         spark,
         stateful_sessionize(load_events_stream(spark, sf)),
         "stream_sessionize_sink",
         output_mode="append",
     )
-    batch = sessionize(load_events(spark, sf), gap="30 minutes")
+    batch = sessionize(load_events(spark, sf), gap=SESSION_GAP)
     w = Window.partitionBy("user_id")
     expected = (
         batch.withColumn("_mx", F.max("session_start").over(w))
@@ -1854,7 +1863,10 @@ def stream_sessionize_native(spark, sf):
     engine detail, so the result is post-filtered to STRICTLY closed
     sessions with the same predicate the oracle uses — any boundary row
     the engine emits (or withholds) is outside the compared set either
-    way. The filter's threshold is one broadcast scalar row."""
+    way. The filter's threshold is one broadcast scalar row. Gap and
+    delay derive from streaming.jobs.SESSION_GAP/_DELAY — the single
+    definition the stream plan, this post-filter, and the generated
+    oracle all share (r8; three independent literals before)."""
     res = run_stream_to_memory(
         spark,
         native_sessionize_stream(load_events_stream(spark, sf)),
@@ -1862,12 +1874,16 @@ def stream_sessionize_native(spark, sf):
         output_mode="append",
     )
     wm = load_events(spark, sf).agg(
-        (F.max("ts") - F.expr("INTERVAL 10 minutes")).alias("_wm")
+        (
+            F.max("ts")
+            - F.expr(f"INTERVAL {SESSION_DELAY_MINUTES} minutes")
+        ).alias("_wm")
     )
     return (
         res.crossJoin(F.broadcast(wm))
         .filter(
-            F.col("session_end") + F.expr("INTERVAL 30 minutes")
+            F.col("session_end")
+            + F.expr(f"INTERVAL {SESSION_GAP_MINUTES} minutes")
             < F.col("_wm")
         )
         .drop("_wm")
@@ -2829,11 +2845,13 @@ ORACLE_SQL: dict[str, str] = {
     ),
     # Self-verifying stream-vs-batch sessionization: expected closed
     # sessions = batch sessions minus each user's trailing session; the
-    # in-plan set comparison must come out empty.
-    "stream_sessionize_events": (
+    # in-plan set comparison must come out empty. Gap/delay literals in
+    # this oracle and the native one below interpolate the SAME
+    # streaming.jobs.SESSION_* constants the Spark plans use.
+    "stream_sessionize_stateful_demo": (
         "WITH b AS (SELECT user_id, ts, event_id,"
         " CASE WHEN lag(ts) OVER w IS NULL"
-        "  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'"
+        f"  OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MINUTES} minutes'"
         " THEN 1 ELSE 0 END AS brk FROM events"
         " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
         " s AS (SELECT user_id, ts, sum(brk) OVER ("
@@ -2853,7 +2871,7 @@ ORACLE_SQL: dict[str, str] = {
     "stream_sessionize_native": (
         "WITH b AS (SELECT user_id, ts, event_id,"
         " CASE WHEN lag(ts) OVER w IS NULL"
-        "  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'"
+        f"  OR ts - lag(ts) OVER w > INTERVAL '{SESSION_GAP_MINUTES} minutes'"
         " THEN 1 ELSE 0 END AS brk FROM events"
         " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
         " s AS (SELECT user_id, ts, sum(brk) OVER ("
@@ -2863,8 +2881,9 @@ ORACLE_SQL: dict[str, str] = {
         "  max(ts) AS session_end, count(*) AS n_events"
         "  FROM s GROUP BY user_id, sid)"
         " SELECT user_id, session_start, session_end, n_events FROM g"
-        " WHERE session_end + INTERVAL '30 minutes'"
-        "  < (SELECT max(ts) - INTERVAL '10 minutes' FROM events)"
+        f" WHERE session_end + INTERVAL '{SESSION_GAP_MINUTES} minutes'"
+        f"  < (SELECT max(ts) - INTERVAL '{SESSION_DELAY_MINUTES} minutes'"
+        " FROM events)"
     ),
     "stream_stream_join_events": (
         "WITH c AS (SELECT event_id, user_id, ts FROM events"
@@ -3652,55 +3671,113 @@ ORACLE_SQL["stream_quality_docs"] = ORACLE_SQL["text_quality"]
 # --------------------------------------------------------------------------
 
 _GATE_FRONT = {
-    # r7 NEW surface (no driver row yet — must sit in the window):
-    # - asymmetric containment dedup (posting-list candidates, df-capped
-    #   stop-shingle guard — the near-dup mode the symmetric family
-    #   can't recall);
-    "dedup_containment": dedup_containment_q,
-    # - frequent-items sketch (approx_top_k), completing the sketch
-    #   triad with the same in-plan pinned-boolean contract.
-    "event_top_users_sketch": event_top_users_sketch,
-    # - JVM-native streaming sessionization (session_window + watermark,
-    #   append mode) — the scale path the decade A/B demanded (native
-    #   118 s vs applyInPandasWithState 342 s at 10M events); full
-    #   row-level oracle over the strictly-closed session set.
-    "stream_sessionize_native": stream_sessionize_native,
-    # - hyperplane embedding dedup — the upgrade path past coordinate-
-    #   sign's dim/bits table cap that the 100× bucket-wall experiment
-    #   demanded; same threshold/guard as dedup_embedding for direct
-    #   comparison, coefficient literals baked into both engines.
-    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
-    # r7 late-round reshapes from the 100x sweep findings (plans differ
-    # from their last green rows, so each must re-attest):
-    # - simhash family widened 16 -> 32 bits (the 2^8 band buckets
-    #   guard-dropped EVERYTHING at 500k docs — zero recall);
-    "dedup_simhash": dedup_simhash_q,
-    "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    # - stream decontam's benchmark made a FIXED doc-id prefix (the
-    #   grows-with-corpus benchmark sent the O(|bench|)/row array probe
-    #   quadratic: >20 min at 500k docs vs 9.7 s for the batch join twin);
-    "stream_decontam_docs": stream_decontam_docs,
-    # r7 reshaped — every entry here executes a DIFFERENT plan than its
-    # last green driver row attested, so each re-attests this round:
-    # - char-n-gram LSH rebanded to 4 bands of 4 + the agg-once exact
-    #   verify (dedup.near_dup_pairs), which also reshapes every other
-    #   near_dup_pairs consumer;
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    # ---- r8 reshaped surface (plans differ from their last green
+    # driver rows, so each must re-attest): ----
+    # - the applyInPandasWithState sessionization renamed to an explicit
+    #   demonstrator (r8; native session_window is the default path) —
+    #   a new key to the driver, so it needs its first row;
+    "stream_sessionize_stateful_demo": stream_sessionize_stateful_demo,
+    # - the MinHash family moved to one base hash + seeded universal-
+    #   hash permutations (dedup.minhash_signatures; the 16x-md5 fold
+    #   was the measured dominant cost of the char-4-gram query) —
+    #   every near_dup_pairs consumer executes new signatures/bands:
     "dedup_minhash_pairs": dedup_minhash_pairs_q,
-    # - connected-components convergence folded into the label-update
-    #   pass (clusters/keep_best also inherit the agg-once verify);
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best_q,
-    # - sign-LSH retuned to 4 bits × 18 tables (recall@3 0.667 → 0.933);
+    # - containment's postings relation is lazily localCheckpoint'ed
+    #   (2 kernel passes -> 1), and ngram_jaccard materializes its
+    #   char-shingle arrays the same way.
+    "dedup_containment": dedup_containment_q,
+    # ---- r4 drain head (VERDICT r7 #1): the 12 r4-attested leftovers,
+    # oldest rows in the catalog. ----
+    "funnel_events": funnel_events,
+    "cohort_retention_events": cohort_retention_events,
+    "salted_agg_events": salted_agg_events,
+    "anomaly_zscore_events": anomaly_zscore_events,
+    "q1_kernel_equiv": q1_kernel_equiv,
+    "text_ngrams": text_ngrams_q,
+    "text_logprob": text_logprob_q,
+    "dedup_fuzzy_names": dedup_fuzzy_names_q,
+    "stream_quality_docs": stream_quality_docs,
+    "embedding_quantize": embedding_quantize_q,
+    "multimodal_pairs": multimodal_pairs_q,
+    "tpch_q18_topk": tpch_q18_topk,
+    # ---- r5 drain: the remaining 8 r5-attested rows (the ninth,
+    # stream_sessionize_events, is the renamed demo above). ----
+    "event_value_percentiles_approx": event_value_percentiles_approx,
+    "salted_join_events": salted_join_events,
+    "asof_join_events": asof_join_events,
+    "range_join_events": range_join_events,
+    "sessionize_events": sessionize_events,
+    "stream_stream_join_events": stream_stream_join_events,
+    "stream_dedup_events": stream_dedup_events,
+    "dedup_exact": dedup_exact_q,
+    # ---- r6 drain: 24 of the 32 r6-attested rows (plans unchanged;
+    # re-attesting for freshness). The 8 left behind — pure-relational
+    # set-op/grouping-set/window/JSON queries with every-round local
+    # parity (word_position_counts, setop_intersect, setop_except,
+    # rollup_doc_counts, cube_doc_counts, pivot_events_by_day,
+    # events_json_props, window_running_value) — are the r9 drain head.
+    "knn_brute": knn_brute_q,
+    "q1_rare_words": q1_rare_words,
+    "q1_word_search": q1_word_search,
+    "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
+    "q3_ratio_synth": q3_ratio_synth,
+    "q3_corpus_counts": q3_corpus_counts,
+    "q7_events_late": q7_events_late,
+    "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
+    "stream_windowed_events": stream_windowed_events,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q3_topk": tpch_q3_topk,
+    "join_revenue_by_nation": join_revenue_by_nation,
+    "window_top_customer_per_nation": window_top_customer_per_nation,
+    "event_value_percentiles": event_value_percentiles,
+    "events_partitioned_prune": events_partitioned_prune,
+    "events_partitioned_dpp": events_partitioned_dpp,
+    "event_value_percentiles_sketch": event_value_percentiles_sketch,
+    "bucketed_join_events": bucketed_join_events,
+    "event_distinct_users_sketch": event_distinct_users_sketch,
+    "decontam_docs": decontam_docs_q,
+    "dedup_embedding": dedup_embedding_q,
+    "q1_top_emojis": q1_top_emojis,
+    "q7_events_early": q7_events_early,
+    "q2_stream_top_words": q2_stream_top_words,
+}
+
+# r8 again suspends the standing sentinel block: 6 reshaped/renamed +
+# the full 12-query r4 drain + 8 r5 + 24 r6 fill the window exactly
+# (6 + 12 + 8 + 24 = 50), and every operator class a sentinel would
+# re-attest is represented (emoji kernel by q1_kernel_equiv/
+# q1_emoji_kernel_synth, tweets by q1_top_emojis and friends, events
+# by the funnel/cohort/salted block, streaming by stream_quality_docs/
+# stream_windowed_events, dedup by the reshaped family).
+_SENTINELS = {}
+
+_PROVEN = {
+    # ---- window boundary: slots above re-attest in r8. ----
+    # r6-attested leftovers (8) — the r9 drain head; all pure-SQL
+    # relational plans, unchanged since r6, locally parity-verified
+    # every round by tests/test_oracle_parity.py.
+    "word_position_counts": word_position_counts,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "rollup_doc_counts": rollup_doc_counts,
+    "cube_doc_counts": cube_doc_counts,
+    "pivot_events_by_day": pivot_events_by_day,
+    "events_json_props": events_json_props,
+    "window_running_value": window_running_value,
+    # ---- driver-attested green in r7 (CORRECTNESS_r07 window),
+    # plans unchanged in r8, oldest-first for the r9+ rotation ----
+    "event_top_users_sketch": event_top_users_sketch,
+    "stream_sessionize_native": stream_sessionize_native,
+    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    "stream_decontam_docs": stream_decontam_docs,
     "knn_lsh": knn_lsh_q,
-    # - shuffle_shards' shard hash gained the mod-2^31 overflow guard
-    #   (both the standalone query and the training pipeline's shard
-    #   stage — found by the r7 10× scale run);
     "shuffle_shards": shuffle_shards_q,
     "training_pipeline": training_pipeline_q,
-    # - token_by_dimension moved to outer-explode + output-null-filter
-    #   (single kernel evaluation; SCALE.md Catalyst-caveat audit) —
-    #   every q4/q5/q6 dimension query executes the new shape.
     "q4_tweets_end_to_end": q4_tweets_end_to_end,
     "q4_words_by_source": q4_words_by_source,
     "q5_words_by_lang": q5_words_by_lang,
@@ -3709,33 +3786,8 @@ _GATE_FRONT = {
     "q6_word_search_by_lang": q6_word_search_by_lang,
     "q5_tweets_categories": q5_tweets_categories,
     "q6_tweets_geo": q6_tweets_geo,
-    # - ordinal LSH retuned to 4 bits × 26 tables (recall@3 0.63 → 0.933);
     "knn_wta": knn_wta_q,
-    # - IVF probe width retuned to nprobe 6/16 (recall@3 0.667 → 0.767).
     "knn_ivf": knn_ivf_q,
-}
-
-# r7 suspends the standing sentinel block for one round: 4 new + 20
-# reshaped queries + the r4 drain's first 26 fill the window exactly
-# (4 + 20 + 26 = 50), and every operator class the sentinels existed to
-# re-attest is
-# represented anyway — emoji kernel + tweet end-to-end by the q4/q5/q6
-# reshape block, dedup by the four reshaped dedup queries, streaming by
-# the drained stream_pii_redact, events by the drained
-# funnel/cohort/salted/anomaly queries. The round-old sentinels
-# (q1_top_emojis, q7_events_early, q2_stream_top_words) sit at the tail
-# of _PROVEN with r6-green rows.
-_SENTINELS = {}
-
-_PROVEN = {
-    # ---- r4 drain (VERDICT r6 #1): the entire r4-attested block,
-    # oldest-first. 26 of its 38 members fit the window behind the
-    # 24-entry gate front (the two late-r7 additions —
-    # stream_sessionize_native and dedup_embedding_hyperplane — each
-    # displaced one drain slot, the documented cost of new surface);
-    # the twelve leftovers (the tail from funnel_events on — all
-    # locally parity-green every round) are the r8 drain head.
-    # shuffle_shards left this block for _GATE_FRONT (reshaped). ----
     "q1_top_words": q1_top_words,
     "text_langid": text_langid_q,
     "text_quality": text_quality_q,
@@ -3762,67 +3814,7 @@ _PROVEN = {
     "tfidf_top_terms": tfidf_top_terms_q,
     "inverted_index": inverted_index_q,
     "tpch_q5_local_supply": tpch_q5_local_supply,
-    # ---- window boundary: slots above re-attest in r7. ----
-    # r4-attested leftovers — r8 drain head.
-    "funnel_events": funnel_events,
-    "cohort_retention_events": cohort_retention_events,
-    "salted_agg_events": salted_agg_events,
-    "anomaly_zscore_events": anomaly_zscore_events,
-    "q1_kernel_equiv": q1_kernel_equiv,
-    "text_ngrams": text_ngrams_q,
-    "text_logprob": text_logprob_q,
-    "dedup_fuzzy_names": dedup_fuzzy_names_q,
-    "stream_quality_docs": stream_quality_docs,
-    "embedding_quantize": embedding_quantize_q,
-    "multimodal_pairs": multimodal_pairs_q,
-    "tpch_q18_topk": tpch_q18_topk,
-    # ---- driver-attested green in r5, unchanged since ----
-    "event_value_percentiles_approx": event_value_percentiles_approx,
-    "stream_sessionize_events": stream_sessionize_events,
-    "salted_join_events": salted_join_events,
-    "asof_join_events": asof_join_events,
-    "range_join_events": range_join_events,
-    "sessionize_events": sessionize_events,
-    "stream_stream_join_events": stream_stream_join_events,
-    "stream_dedup_events": stream_dedup_events,
-    "dedup_exact": dedup_exact_q,
-    # ---- driver-attested green in r6 (CORRECTNESS_r06 window),
-    # plans unchanged in r7 ----
-    "knn_brute": knn_brute_q,
-    "q1_rare_words": q1_rare_words,
-    "q1_word_search": q1_word_search,
-    "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
-    "q3_ratio_synth": q3_ratio_synth,
-    "word_position_counts": word_position_counts,
-    "q3_corpus_counts": q3_corpus_counts,
-    "q7_events_late": q7_events_late,
-    "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
-    "stream_windowed_events": stream_windowed_events,
-    "tpch_q1_pricing": tpch_q1_pricing,
-    "tpch_q3_topk": tpch_q3_topk,
-    "join_revenue_by_nation": join_revenue_by_nation,
-    "window_top_customer_per_nation": window_top_customer_per_nation,
-    "setop_intersect": setop_intersect,
-    "setop_except": setop_except,
-    "rollup_doc_counts": rollup_doc_counts,
-    "cube_doc_counts": cube_doc_counts,
-    "pivot_events_by_day": pivot_events_by_day,
-    "event_value_percentiles": event_value_percentiles,
-    "events_json_props": events_json_props,
-    "window_running_value": window_running_value,
-    "events_partitioned_prune": events_partitioned_prune,
-    "events_partitioned_dpp": events_partitioned_dpp,
-    "event_value_percentiles_sketch": event_value_percentiles_sketch,
-    # bucketed_join_events' REUSE check hardened in r7 (_BUCKETED_DONE
-    # marker), but the write path and the executed join plan its r6 row
-    # attested are unchanged — not a reshape.
-    "bucketed_join_events": bucketed_join_events,
-    "event_distinct_users_sketch": event_distinct_users_sketch,
-    "decontam_docs": decontam_docs_q,
-    "dedup_embedding": dedup_embedding_q,
-    "q1_top_emojis": q1_top_emojis,
-    "q7_events_early": q7_events_early,
-    "q2_stream_top_words": q2_stream_top_words,
 }
+
 
 QUERIES = {**_GATE_FRONT, **_SENTINELS, **_PROVEN}

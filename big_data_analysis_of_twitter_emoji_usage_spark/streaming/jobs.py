@@ -88,17 +88,36 @@ SESSION_OUT_SCHEMA = (
 )
 _SESSION_STATE_SCHEMA = "start long, end long, n long"
 
+# ONE definition of the engine's sessionization parameters, consumed by
+# both streaming variants, the batch catalog queries, their post-filter
+# predicates, AND the generated DuckDB oracles (f-string interpolation
+# in plans.catalog) — the three hard-coded copies the r7 advice flagged
+# would silently break strictly-closed-session parity if edited
+# independently.
+SESSION_GAP_MINUTES = 30
+SESSION_GAP = f"{SESSION_GAP_MINUTES} minutes"
+SESSION_GAP_SECONDS = SESSION_GAP_MINUTES * 60
+SESSION_DELAY_MINUTES = 10
+SESSION_DELAY = f"{SESSION_DELAY_MINUTES} minutes"
+
 
 def stateful_sessionize(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    gap_seconds: int = 1800,
+    gap_seconds: int = SESSION_GAP_SECONDS,
 ) -> DataFrame:
     """Custom stateful streaming sessionization via
-    ``applyInPandasWithState`` — the engine's example of an operator the
-    built-in surface can't express (per-key mutable state with custom
-    close/emit logic; SURVEY §2.8 lists the reference as having none).
+    ``applyInPandasWithState`` — the engine's DEMONSTRATOR of an
+    operator class the built-in surface can't express (per-key mutable
+    state with custom close/emit logic; SURVEY §2.8 lists the
+    reference as having none). NOT the default sessionization: for
+    plain gap sessions use ``sessionize_stream`` (the JVM-native
+    ``session_window`` plan below) — the decade A/B measured this
+    Arrow-per-key-group path at 342 s vs 118 s native at 10M events,
+    ~8× wall-clock growth per 10× events (SCALE.md "Streaming").
+    Reach for this shape only when the semantics genuinely need custom
+    state (per-key timeouts, non-gap close rules, emit-on-update).
 
     State per user = the open session (start, end, count) as epoch
     micros. Each micro-batch folds its events in timestamp order into
@@ -166,12 +185,12 @@ def native_sessionize_stream(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    gap: str = "30 minutes",
-    delay: str = "10 minutes",
+    gap: str = SESSION_GAP,
+    delay: str = SESSION_DELAY,
 ) -> DataFrame:
     """JVM-native streaming sessionization: watermark + ``session_window``
-    aggregation in append mode — the SCALE-PATH twin of
-    ``stateful_sessionize`` above.
+    aggregation in append mode — the engine's DEFAULT streaming
+    sessionization (aliased as ``sessionize_stream``; r8).
 
     Both compute identical gap sessions (``session_window`` merges events
     exactly ``gap`` apart, and so does the stateful fold). The difference
@@ -223,6 +242,14 @@ def native_sessionize_stream(
             "n_events",
         )
     )
+
+
+# The default streaming sessionization. Gap sessions are what
+# session_window computes natively, in the JVM state store, with
+# watermark-driven eviction — measured 2.9× the applyInPandasWithState
+# demonstrator at 10M events and scaling ~linearly where the stateful
+# path grew ~8× per decade (SCALE.md "Streaming").
+sessionize_stream = native_sessionize_stream
 
 
 def stream_stream_interval_join(

@@ -122,7 +122,7 @@ def test_stream_reader_all_encodings(spark, dir_fixture, request):
     [
         "stream_windowed_events",    # _event_stream + watermarked window
         "stream_dedup_events",       # dropDuplicates state
-        "stream_sessionize_events",  # applyInPandasWithState probe path
+        "stream_sessionize_stateful_demo",  # applyInPandasWithState probe path
     ],
 )
 def test_streaming_events_queries_micros(spark, micros_sf_dir, name):
