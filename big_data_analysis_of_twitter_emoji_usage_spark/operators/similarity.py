@@ -118,14 +118,62 @@ def sign_bucket(vec: Column, bits: int = 6, offset: int = 0) -> Column:
     )
 
 
+def auto_sign_bits(
+    n_rows: int,
+    target_occupancy: int = 8,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """The bits ~ log₂(n / occupancy) sizing rule, in code (r8).
+
+    Sign-LSH bucket granularity must GROW with the corpus: at fixed
+    bits, expected occupancy is n / 2^bits, and once it passes the
+    ``max_bucket`` skew guard EVERY typical bucket is guard-dropped —
+    recall collapses to zero silently (measured at the r7 decade sweep:
+    the 8-bit fixture operating point returned 0 pairs at 200k
+    vectors, while the rule's 16-bit point recovered recall 0.845 at
+    precision 1.0; SCALE.md "Measured scaling"). This derives the
+    operating point from the corpus size so the same caller code holds
+    across decades: ceil(log2(n / target_occupancy)), clamped to
+    [min_bits, max_bits] (max_bits=24 matches the documented LUT guard
+    of the vectorized signature path).
+    """
+    import math
+
+    raw = math.ceil(
+        math.log2(max(1.0, float(n_rows) / max(1, target_occupancy)))
+    )
+    return max(min_bits, min(max_bits, raw))
+
+
+def _warn_if_buckets_collapse(
+    n_rows: int, bits: int, max_bucket: int | None, op: str
+) -> None:
+    """Surface the silent-0-rows regime: expected bucket occupancy
+    beyond the skew guard means typical buckets get dropped wholesale."""
+    import warnings
+
+    if max_bucket is not None and n_rows / float(1 << bits) > max_bucket:
+        warnings.warn(
+            f"{op}: expected bucket occupancy "
+            f"{n_rows / float(1 << bits):.0f} (n={n_rows}, bits={bits}) "
+            f"exceeds max_bucket={max_bucket} — the skew guard will drop "
+            "typical buckets and recall will collapse toward zero. Raise "
+            "bits (or target_occupancy/table budget) or max_bucket.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    bits: int = 4,
+    bits: int | None = None,
     tables: int = 1,
     max_bucket: int | None = None,
+    target_occupancy: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
     pairs sharing a sign-LSH bucket in ANY of ``tables`` hash tables,
@@ -155,7 +203,31 @@ def embedding_near_dup_pairs(
     Candidate pairs are distinct-ed, then scored by joining each side
     back to its vector — two hash joins on ids, same verified-candidates
     shape as near_dup_pairs.
+
+    ``bits=None`` (the r8 default) applies the sizing rule in code:
+    one cheap count + first-row dim probe derives
+    ``auto_sign_bits(n, target_occupancy)``, further capped at
+    dim // tables (the coordinate-sign structural budget — table t
+    reads dims [t·bits, (t+1)·bits)), and warns if even the capped
+    point implies occupancy past ``max_bucket`` (the silent-0-rows
+    regime; the capped scheme's escape hatch is
+    ``embedding_near_dup_pairs_hyperplane``, whose mixed-coordinate
+    tables have no dim cap). The two jobs run at plan-BUILD time —
+    explicit ``bits`` skips both and bakes a static operating point
+    (what the catalog queries do, so their DuckDB oracles can bake the
+    same literals).
     """
+    if bits is None:
+        n_rows = corpus.count()
+        row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(row["d"]) if row is not None else 64
+        bits = min(
+            auto_sign_bits(n_rows, target_occupancy),
+            max(1, dim // max(1, tables)),
+        )
+        _warn_if_buckets_collapse(
+            n_rows, bits, max_bucket, "embedding_near_dup_pairs"
+        )
     e = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
@@ -216,11 +288,12 @@ def embedding_near_dup_pairs_hyperplane(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    bits: int = 8,
+    bits: int | None = None,
     tables: int = 6,
     dim: int = 64,
     nnz: int = 16,
     max_bucket: int | None = None,
+    target_occupancy: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs over seeded sparse-Rademacher
     HYPERPLANE projections — the documented upgrade path past
@@ -247,7 +320,20 @@ def embedding_near_dup_pairs_hyperplane(
     into both the Spark plan and the SQL oracle as literals
     (plans.catalog), with the schedule-order summation contract keeping
     buckets bit-identical across engines.
+
+    ``bits=None`` (the r8 default) derives the operating point from a
+    cheap build-time corpus count via ``auto_sign_bits`` — with no
+    dim // tables cap, since hyperplane tables draw from all stored
+    dims — and warns when the point still implies occupancy past
+    ``max_bucket``. Explicit ``bits`` skips the count (the catalog
+    query does this so its oracle can bake the schedule literals).
     """
+    if bits is None:
+        n_rows = corpus.count()
+        bits = auto_sign_bits(n_rows, target_occupancy)
+        _warn_if_buckets_collapse(
+            n_rows, bits, max_bucket, "embedding_near_dup_pairs_hyperplane"
+        )
     planes = lsh_hyperplanes(bits, tables, dim, nnz)
     sig_udf = _hyperplane_sigs_udf(planes, dim)
     e = corpus.select(

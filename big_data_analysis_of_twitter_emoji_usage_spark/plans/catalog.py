@@ -1974,8 +1974,13 @@ def dedup_embedding_q(spark, sf):
 
     8-bit buckets (256/table — scale-appropriate granularity) across two
     independent hash tables for recall, with the degenerate-bucket skew
-    guard on. See operators.similarity.embedding_near_dup_pairs for the
-    knob/scale discussion and SCALE.md for the measured recall curve."""
+    guard on. ``bits`` is EXPLICIT here — the r8 API default (bits=None)
+    derives it from a corpus count (similarity.auto_sign_bits), which a
+    static DuckDB oracle string cannot follow across the sf0.001/sf0.01
+    gate scales; the auto path is pinned instead by
+    test_embedding_dedup_auto_bits_same_caller_both_decades. See
+    operators.similarity.embedding_near_dup_pairs for the knob/scale
+    discussion and SCALE.md for the measured recall curve."""
     emb = load_table(spark, sf, "embeddings")
     return embedding_near_dup_pairs(
         emb, threshold=0.3, bits=8, tables=2, max_bucket=100

@@ -593,6 +593,85 @@ def test_freq_sketch_keeps_groups_when_no_provable_heavy_hitter(spark):
         assert r["bound_ok"] is True and r["coverage_ok"] is True
 
 
+def _synthetic_embeddings(spark, n):
+    """Deterministic pseudo-random 64-dim corpus, partition-layout
+    independent (hash-fold expression, not F.rand): values ~uniform
+    in [-0.5, 0.5), every 100th vector given a near-identical twin
+    (cosine ≈ 0.99999) at id + 10_000_000."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            # pmod, not %: Spark's % keeps the dividend sign, which
+            # would make half the dims always-negative (P(bit)=0.25,
+            # skewed buckets) instead of ~uniform in [-0.5, 0.5).
+            lambda d: F.pmod(
+                F.sin(F.col("id") * 12.9898 + d * 78.233) * 43758.5453,
+                F.lit(1.0),
+            )
+            - 0.5,
+        ).alias("embedding"),
+    )
+    twins = (
+        base.filter(F.col("vec_id") % 100 == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i % 2 == 0, F.lit(0.001)).otherwise(F.lit(-0.001)),
+            ),
+        )
+    )
+    return base.unionByName(twins)
+
+
+@pytest.mark.parametrize("n", [2_000, 50_000])
+def test_embedding_dedup_auto_bits_same_caller_both_decades(spark, n):
+    """The r8 auto-sizing contract: bits=None derives the operating
+    point from the corpus (auto_sign_bits: ceil(log2(n/occupancy)),
+    dim//tables-capped), so the SAME caller code recovers planted
+    twins at 2k AND 50k vectors. The r7 decade sweep showed why this
+    must be code, not documentation: the static 8-bit fixture point
+    bucket-collapses at 200k vectors (occupancy ~780 > max_bucket →
+    every bucket guard-dropped → silent 0 rows), and at 50k here the
+    same static point would already put ~195 in a typical bucket vs
+    the guard's 100."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    corpus = _synthetic_embeddings(spark, n)
+    planted = {(i, i + 10_000_000) for i in range(0, n, 100)}
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            corpus, threshold=0.99, tables=2, max_bucket=100
+        ).collect()
+    }
+    hits = len(planted & found)
+    assert hits / len(planted) >= 0.9, f"recall {hits}/{len(planted)} at n={n}"
+    assert found <= planted, f"unexpected pairs: {sorted(found - planted)[:5]}"
+
+
+def test_embedding_dedup_auto_bits_warns_on_collapse(spark):
+    """The occupancy warning must fire when even the derived operating
+    point implies typical buckets past the skew guard."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    corpus = _synthetic_embeddings(spark, 2_000)
+    with pytest.warns(RuntimeWarning, match="bucket occupancy"):
+        # target_occupancy 512 drives bits down to min_bits=4 →
+        # expected occupancy ~126 > max_bucket=10.
+        embedding_near_dup_pairs(
+            corpus, threshold=0.99, tables=2, max_bucket=10,
+            target_occupancy=512,
+        )
+
+
 def test_containment_scan_count_bounded(spark, sf_dir):
     """containment_pairs must run the scan→shingle→explode kernel ONCE.
 
