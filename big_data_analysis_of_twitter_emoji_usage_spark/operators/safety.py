@@ -107,6 +107,7 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 13,
     strategy: str = "join",
+    array_bench_limit: int = 20_000,
 ) -> DataFrame:
     """Benchmark decontamination by exact n-gram overlap (the standard
     13-gram rule): flag every corpus document sharing ≥1 word n-gram
@@ -130,11 +131,24 @@ def decontaminate(
       (SCALE.md); only right when the benchmark list is tiny (≲1e3
       n-grams) and the shuffle-free plan matters more than the probe.
 
+    ``array_bench_limit`` (r8) guards the quadratic regime at the API
+    layer: requesting ``strategy='array'`` first bounds the benchmark
+    with a cheap ``limit(k+1).count()`` probe (never a full count of a
+    large suite), and a benchmark past the limit AUTO-SWITCHES to the
+    join strategy with a ``RuntimeWarning`` — the r7 decade sweep
+    measured the unguarded shape going 32× per 10× data once the
+    benchmark grew with the corpus (140 s vs ~8 s at 500k docs;
+    SCALE.md "Second decade"). When the CORPUS side is a streaming
+    DataFrame the switch is impossible (the join strategy's per-doc
+    aggregation would need stateful output), so an oversized benchmark
+    raises instead of silently degrading the stream.
+
     Documents with fewer than ``n`` tokens have no n-grams and are
     excluded (they cannot be contaminated under this rule).
 
     Returns (doc_id, n_ngrams, n_contaminated_ngrams, contaminated).
     """
+    import warnings
     def ngram_hashes(c):
         # total expression: short docs yield an EMPTY array rather than
         # relying on the upstream filter (optimizers may evaluate the
@@ -163,6 +177,29 @@ def decontaminate(
         bench_df.filter(F.size(F.split(F.col(text_col), " ")) >= n)
         .select(explode_nonempty(ngram_hashes(text_col)).alias("_h"))
     )
+    if strategy == "array":
+        probed = bench_grams.limit(array_bench_limit + 1).count()
+        if probed > array_bench_limit:
+            if df.isStreaming:
+                raise ValueError(
+                    "decontaminate(strategy='array'): benchmark exceeds "
+                    f"array_bench_limit={array_bench_limit} n-grams and the "
+                    "corpus is streaming, so the O(|bench|)-per-row probe "
+                    "cannot be auto-switched to the join strategy "
+                    "(stateless append mode rules out per-doc aggregation). "
+                    "Bound the benchmark suite, or decontaminate batch "
+                    "micro-batch outputs with strategy='join'."
+                )
+            warnings.warn(
+                "decontaminate: benchmark exceeds array_bench_limit="
+                f"{array_bench_limit} n-grams — the array probe's "
+                "corpus_rows x |bench| cost goes quadratic when the "
+                "benchmark grows with the corpus (measured 32x per 10x "
+                "data, SCALE.md); switching to strategy='join'.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            strategy = "join"
     if strategy == "array":
         bench = bench_grams.agg(F.collect_set("_h").alias("_bench"))
         hits = F.size(F.array_intersect("_sh", "_bench"))

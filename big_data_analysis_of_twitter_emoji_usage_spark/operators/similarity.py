@@ -756,34 +756,48 @@ def wta_sigs_expr(vec_col: str, pairs: list[list[tuple[int, int]]], dim: int) ->
     builders — every one a driver→JVM round trip — and constructing it
     measured ~2 s of DRIVER time per query build at 26×4 (the execution
     itself is ~1.2 s; the bench was timing py4j, not Spark). One
-    ``F.expr`` call ships the whole schedule as a literal
-    array-of-struct-arrays and two higher-order ``transform``s; the
-    comparisons, their order, and the '1'/'0' encoding are unchanged,
-    so bucket membership stays bit-identical to ``wta_bucket`` and to
-    the SQL oracle (pinned by ``test_wta_sigs_expr_matches_wta_bucket``).
-    Comparisons read the RAW float column — float comparison and
-    double-cast comparison order identically (oracle compares raw
-    elements too). ``vec_col`` is spliced into SQL text, so it is
-    backtick-quoted (a dotted/spaced/keyword column name would
-    otherwise break parsing where the Column-based ``wta_bucket``
-    accepted any name); a name containing a backtick is rejected
-    rather than escaped."""
+    ``F.expr`` call ships the whole schedule in a single parse.
+
+    Why FLAT ``array(concat(IF…))`` terms and not ``transform`` over a
+    literal schedule array (the r7-initial form): higher-order
+    functions are ``CodegenFallback`` — a transform-based signature
+    projection runs INTERPRETED per row, outside whole-stage codegen
+    (verified by plan inspection; the executed plan showed a bare
+    ``Project`` above ``*(1) ColumnarToRow``). Spelling the schedule
+    out as plain nested expressions keeps the one-parse driver cost
+    AND compiles into the codegen stage
+    (``test_wta_sigs_projection_is_codegened`` pins this). Term-count
+    headroom under janino's 64 KB method cliff (documented at ~800
+    terms for the sign-LSH family): 26×4 = 104 comparisons, ~8×
+    margin; grow tables past that and the projection must split.
+
+    The comparisons, their order, and the '1'/'0' encoding are
+    unchanged, so bucket membership stays bit-identical to
+    ``wta_bucket`` and to the SQL oracle (pinned by
+    ``test_wta_sigs_expr_matches_wta_bucket``). Comparisons read the
+    RAW float column — float comparison and double-cast comparison
+    order identically (oracle compares raw elements too). ``vec_col``
+    is spliced into SQL text, so it is backtick-quoted (a
+    dotted/spaced/keyword column name would otherwise break parsing
+    where the Column-based ``wta_bucket`` accepted any name); a name
+    containing a backtick is rejected rather than escaped."""
     if "`" in vec_col:
         raise ValueError(
             f"wta_sigs_expr: column name {vec_col!r} contains a backtick"
         )
     vc = f"`{vec_col}`"
     tables_sql = ",".join(
-        "array("
-        + ",".join(f"named_struct('i',{i},'j',{j})" for i, j in row)
+        "concat("
+        + ",".join(
+            # wta_pairs indices are already 1-based (element_at's base)
+            f"IF(element_at({vc},{i})>element_at({vc},{j}),'1','0')"
+            for i, j in row
+        )
         + ")"
         for row in pairs
     )
     return (
-        f"CASE WHEN size({vc}) >= {dim} THEN "
-        f"transform(array({tables_sql}), r -> concat_ws('', transform(r, "
-        f"p -> IF(element_at({vc}, p.i) > element_at({vc}, p.j),"
-        f" '1', '0')))) "
+        f"CASE WHEN size({vc}) >= {dim} THEN array({tables_sql}) "
         f"ELSE raise_error(concat('wta_bucket: vector has fewer than "
         f"{dim} dims; got size=', cast(size({vc}) as string))) END"
     )

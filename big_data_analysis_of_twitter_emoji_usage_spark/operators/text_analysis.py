@@ -461,6 +461,7 @@ def training_data_pipeline(
     min_distinct_ratio: float = 0.2,
     ngram: int = 13,
     decontam_strategy: str = "join",
+    array_bench_limit: int = 20_000,
 ) -> DataFrame:
     """The COMPLETE pre-training data pipeline composed into one plan:
     exact-dedup keeper → quality gate → benchmark decontamination →
@@ -531,6 +532,25 @@ def training_data_pipeline(
     bench_grams = bench_df.filter(
         F.size(F.split(F.col(text_col), " ")) >= ngram
     ).select(F.explode(grams(text_col)).alias("_h"))
+    if decontam_strategy == "array":
+        # Same API-layer quadratic guard as safety.decontaminate (r8):
+        # the fused arrays_overlap probe pays O(|bench|) per corpus
+        # row, so a benchmark past the limit (cheap limit(k+1).count()
+        # probe, never a full count) auto-switches to the join
+        # strategy — the measured 32x-per-decade failure shape.
+        import warnings
+
+        if bench_grams.limit(array_bench_limit + 1).count() > array_bench_limit:
+            warnings.warn(
+                "training_data_pipeline: benchmark exceeds "
+                f"array_bench_limit={array_bench_limit} n-grams; switching "
+                "decontam_strategy to 'join' (the array probe goes "
+                "quadratic when the benchmark grows with the corpus — "
+                "SCALE.md 'Second decade').",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            decontam_strategy = "join"
     if decontam_strategy == "array":
         bench = bench_grams.agg(F.collect_set("_h").alias("_bench"))
         keep = (

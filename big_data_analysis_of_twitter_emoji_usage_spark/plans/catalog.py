@@ -3694,6 +3694,12 @@ _GATE_FRONT = {
     #   (2 kernel passes -> 1), and ngram_jaccard materializes its
     #   char-shingle arrays the same way.
     "dedup_containment": dedup_containment_q,
+    # - knn_wta's signature projection rewritten from transform-over-
+    #   literal-schedule (CodegenFallback: interpreted per row) to flat
+    #   array(concat(IF...)) terms that compile into whole-stage
+    #   codegen; buckets bit-identical (pinned), but the executed plan
+    #   differs from the r7 row.
+    "knn_wta": knn_wta_q,
     # ---- r4 drain head (VERDICT r7 #1): the 12 r4-attested leftovers,
     # oldest rows in the catalog. ----
     "funnel_events": funnel_events,
@@ -3718,12 +3724,13 @@ _GATE_FRONT = {
     "stream_stream_join_events": stream_stream_join_events,
     "stream_dedup_events": stream_dedup_events,
     "dedup_exact": dedup_exact_q,
-    # ---- r6 drain: 24 of the 32 r6-attested rows (plans unchanged;
-    # re-attesting for freshness). The 8 left behind — pure-relational
+    # ---- r6 drain: 23 of the 32 r6-attested rows (plans unchanged;
+    # re-attesting for freshness). The 9 left behind — pure-relational
     # set-op/grouping-set/window/JSON queries with every-round local
     # parity (word_position_counts, setop_intersect, setop_except,
     # rollup_doc_counts, cube_doc_counts, pivot_events_by_day,
-    # events_json_props, window_running_value) — are the r9 drain head.
+    # events_json_props, window_running_value, event_value_percentiles)
+    # — are the r9 drain head.
     "knn_brute": knn_brute_q,
     "q1_rare_words": q1_rare_words,
     "q1_word_search": q1_word_search,
@@ -3737,7 +3744,6 @@ _GATE_FRONT = {
     "tpch_q3_topk": tpch_q3_topk,
     "join_revenue_by_nation": join_revenue_by_nation,
     "window_top_customer_per_nation": window_top_customer_per_nation,
-    "event_value_percentiles": event_value_percentiles,
     "events_partitioned_prune": events_partitioned_prune,
     "events_partitioned_dpp": events_partitioned_dpp,
     "event_value_percentiles_sketch": event_value_percentiles_sketch,
@@ -3750,9 +3756,9 @@ _GATE_FRONT = {
     "q2_stream_top_words": q2_stream_top_words,
 }
 
-# r8 again suspends the standing sentinel block: 6 reshaped/renamed +
+# r8 again suspends the standing sentinel block: 7 reshaped/renamed +
 # the full 12-query r4 drain + 8 r5 + 24 r6 fill the window exactly
-# (6 + 12 + 8 + 24 = 50), and every operator class a sentinel would
+# (7 + 12 + 8 + 23 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_kernel_equiv/
 # q1_emoji_kernel_synth, tweets by q1_top_emojis and friends, events
 # by the funnel/cohort/salted block, streaming by stream_quality_docs/
@@ -3761,7 +3767,7 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r8. ----
-    # r6-attested leftovers (8) — the r9 drain head; all pure-SQL
+    # r6-attested leftovers (9) — the r9 drain head; all pure-SQL
     # relational plans, unchanged since r6, locally parity-verified
     # every round by tests/test_oracle_parity.py.
     "word_position_counts": word_position_counts,
@@ -3772,6 +3778,7 @@ _PROVEN = {
     "pivot_events_by_day": pivot_events_by_day,
     "events_json_props": events_json_props,
     "window_running_value": window_running_value,
+    "event_value_percentiles": event_value_percentiles,
     # ---- driver-attested green in r7 (CORRECTNESS_r07 window),
     # plans unchanged in r8, oldest-first for the r9+ rotation ----
     "event_top_users_sketch": event_top_users_sketch,
@@ -3791,7 +3798,6 @@ _PROVEN = {
     "q6_word_search_by_lang": q6_word_search_by_lang,
     "q5_tweets_categories": q5_tweets_categories,
     "q6_tweets_geo": q6_tweets_geo,
-    "knn_wta": knn_wta_q,
     "knn_ivf": knn_ivf_q,
     "q1_top_words": q1_top_words,
     "text_langid": text_langid_q,

@@ -72,6 +72,57 @@ def test_decontaminate_short_docs_excluded(spark):
     assert [r["doc_id"] for r in out] == [1]
 
 
+def test_decontaminate_array_guard_switches_to_join(spark):
+    """The r8 quadratic guard: an over-limit benchmark requested with
+    strategy='array' must warn and auto-switch to the join strategy,
+    with identical output rows (the two strategies are semantically
+    equal by construction — this pins that the switch path really runs
+    the join shape on the same inputs)."""
+    words = [f"w{i}" for i in range(40)]
+    df = docs_df(
+        spark,
+        [" ".join(words), " ".join(words[5:25]), " ".join(reversed(words))],
+    )
+    bench = df.filter(F.col("doc_id") == 0).select("text")
+    # bench has 40-13+1 = 28 distinct 13-grams > limit of 5.
+    with pytest.warns(RuntimeWarning, match="array_bench_limit"):
+        switched = decontaminate(
+            df, bench, strategy="array", array_bench_limit=5
+        )
+    joined = decontaminate(df, bench, strategy="join")
+    assert sorted(map(tuple, switched.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
+    # under the limit, the array shape runs without warning
+    small = decontaminate(df, bench, strategy="array", array_bench_limit=100)
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
+
+
+def test_training_pipeline_array_guard_switches_to_join(spark):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
+        training_data_pipeline,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    rows = [
+        (0, " ".join(words), "web"),
+        (1, " ".join(words[5:30]), "web"),
+        (2, " ".join(f"x{i}" for i in range(30)), "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = df.filter(F.col("doc_id") == 0).select("text")
+    with pytest.warns(RuntimeWarning, match="array_bench_limit"):
+        switched = training_data_pipeline(
+            df, bench, decontam_strategy="array", array_bench_limit=5
+        )
+    joined = training_data_pipeline(df, bench, decontam_strategy="join")
+    assert sorted(map(tuple, switched.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
+
+
 def test_repetition_thresholds(spark):
     df = docs_df(spark, [
         "a a a a a a a a a b",            # dup_word_frac 0.8 -> flag

@@ -292,6 +292,39 @@ def test_ann_recall_floors(spark, sf_dir):
         assert hits / total >= floor, f"{name} recall {hits}/{total}"
 
 
+def test_wta_sigs_projection_is_codegened(spark, sf_dir):
+    """The WTA signature projection must stay inside whole-stage
+    codegen at the SHIPPED 4-bit × 26-table fan-out. The r7-initial
+    expression built the schedule as transform() over a literal array —
+    higher-order functions are CodegenFallback, so the projection ran
+    INTERPRETED per row (the executed plan showed a bare Project above
+    *(1) ColumnarToRow). The r8 flat array(concat(IF…)) form compiles;
+    a regression to a fallback expression shape fails here. Headroom
+    note: 104 comparison terms vs janino's ~800-term/64 KB method
+    cliff documented for the sign-LSH family."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        wta_pairs,
+        wta_sigs_expr,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _KNN_WTA_BITS,
+        _KNN_WTA_TABLES,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = wta_pairs(_KNN_WTA_BITS, _KNN_WTA_TABLES, 64)
+    df = emb.select(
+        "vec_id", F.expr(wta_sigs_expr("embedding", pairs, 64)).alias("_sigs")
+    )
+    top = (
+        df._jdf.queryExecution().executedPlan().toString().split("\n")[0]
+    ).lstrip()
+    assert top.startswith("*("), (
+        "WTA sig projection fell out of whole-stage codegen "
+        f"(CodegenFallback expression shape?): {top[:120]}"
+    )
+
+
 def test_embedding_hyperplane_dedup_planted_twin_recall(spark, sf_dir):
     """Quality pin for the hyperplane embedding-dedup upgrade path:
     every 10th fixture vector gets a deterministic near-identical twin
