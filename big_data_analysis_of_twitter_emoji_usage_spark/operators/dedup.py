@@ -327,11 +327,13 @@ def near_dup_pairs(
     melt) compute the k-gram build ONCE instead of re-executing the
     scan→shingle subtree each (every DataFrame consumer re-executes
     its subtree — SCALE.md execution caveat). Worth it when the
-    shingle build dominates — char n-grams, whose distinct sets are
-    ~|doc| short strings (measured 3.07 → 2.0 s at sf0.1 for the
-    char-4-gram catalog query); default OFF for word shingles, where
-    the build is cheap and the checkpoint's write+read round trip and
-    executor-storage pin buy nothing. The blocks are non-replicated
+    shingle build dominates AND the checkpointed relation stays
+    compact — char n-grams, whose expensive kernel feeds a per-DOC
+    arrays row (measured 8% faster at the 50k-doc decade, a wash
+    under sf0.1 host noise); default OFF for word shingles, where the
+    build is cheap and the round trip buys nothing (containment's
+    exploded-postings twin measured the checkpoint LOSING 14% at
+    500k docs — see containment_pairs). The blocks are non-replicated
     executor-local state: a lost executor under cluster dynamic
     allocation makes them unrecoverable (same caveat as
     ``connected_components``; the checkpoint is lazy, so merely
@@ -407,7 +409,7 @@ def containment_pairs(
     unit: str = "word",
     threshold: float = 0.7,
     max_df: int = 20,
-    materialize_postings: bool = True,
+    materialize_postings: bool = False,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: the dedup mode Jaccard
     misses. When a small document A is quoted/embedded inside a much
@@ -452,17 +454,21 @@ def containment_pairs(
     partition is one document's kept shingles, bounded by document
     length.
 
-    ``materialize_postings`` (default on, r8) lazily
-    ``localCheckpoint``s the exploded postings relation, collapsing
-    those 2 remaining corpus passes to 1: the df-cap count and the
-    join probe both re-executed the scan→shingle→explode subtree;
-    checkpointed, the k-gram kernel runs once and both consumers read
-    the stored (id, shingle) rows (measured 2.70 → 2.0 s at sf0.1).
-    Storage is one row per shingle INSTANCE — ~k bytes × corpus — in
-    non-replicated executor-local blocks (lost-executor caveat as in
-    ``connected_components``; lazy, so plan construction executes
-    nothing). Turn it off to trade the repeated kernel pass for zero
-    executor-storage residency.
+    ``materialize_postings`` (r8, default OFF after measuring both
+    decades) lazily ``localCheckpoint``s the exploded postings
+    relation so the df-cap count and the join probe share one kernel
+    run instead of re-executing the scan→shingle→explode subtree
+    each. The decade A/B says the default is the recompute: at sf0.1
+    the checkpoint wins ~10% (2.70 → 2.45 s), but at 100× (500k docs,
+    min-of-3 same-session) it LOSES 14% (46.1 vs 40.3 s) — the
+    exploded relation is one row per shingle INSTANCE (~corpus-sized
+    text), and writing+reading those non-replicated executor-local
+    blocks costs more than re-running the cheap word-shingle kernel
+    over a scan that rides idle cores. Turn it on when the kernel is
+    the expensive side (char n-grams — see near_dup_pairs'
+    ``materialize_shingles``, whose PER-DOC arrays relation measured
+    8% faster materialized at the 50k-doc decade) and executor loss
+    is acceptable (same caveat as ``connected_components``).
     """
     arrays = doc_shingle_arrays(df, text_col, id_col, k, unit)
     postings = arrays.select(

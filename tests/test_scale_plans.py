@@ -712,14 +712,14 @@ def test_containment_scan_count_bounded(spark, sf_dir):
     self-joined them once per containment direction, and every
     DataFrame consumer re-executes its subtree — 12 parquet relations
     in one optimized plan (SCALE.md, subtree-recompute caveat).
-    Carrying sizes through the member structs cut that to 2 (df-cap
-    count + join probe); r8's lazy localCheckpoint of the postings
-    relation collapses those 2 to 1 — the kernel runs inside the
-    checkpoint materialization and BOTH consumers read the stored
-    rows, so the final plan has ZERO parquet relations and exactly two
-    LogicalRDD references to the shared checkpoint. Counts are
-    structural (logical node names, not substring-of-path matches —
-    a fixture path containing 'parquet' can't flake the pin)."""
+    Carrying sizes through the member structs cut that to the
+    irreducible 2 (df-cap count + join probe). r8 A/B'd collapsing
+    those 2 to 1 via a postings localCheckpoint and the DECADE
+    measurement said no (wins 10% at sf0.1, loses 14% at 500k docs —
+    the exploded relation is corpus-sized), so the recompute default
+    stays and this pins the 2-scan shape. Counts are structural
+    (logical node names, not substring-of-path matches — a fixture
+    path containing 'parquet' can't flake the pin)."""
     import re
 
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
@@ -732,5 +732,5 @@ def test_containment_scan_count_bounded(spark, sf_dir):
     )
     relations = len(re.findall(r"Relation \[", plan))
     rdds = len(re.findall(r"LogicalRDD", plan))
-    assert relations == 0, f"expected 0 file relations (checkpointed), got {relations}"
-    assert rdds == 2, f"expected 2 LogicalRDD consumers of the checkpoint, got {rdds}"
+    assert rdds == 0, f"expected no checkpoint in the default plan, got {rdds}"
+    assert 0 < relations <= 2, f"expected <=2 corpus scans, got {relations}"
