@@ -1,5 +1,6 @@
 from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (  # noqa: F401
     run_stream_to_memory,
+    sessionize_stream,
     stream_query,
     windowed_event_counts,
 )

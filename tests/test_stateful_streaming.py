@@ -68,6 +68,19 @@ def _throttled_events_stream(spark, sf_dir):
     return _normalize_ts(stream)
 
 
+def test_sessionize_stream_default_is_native():
+    """r8 contract: the package's default streaming sessionization is
+    the JVM-native session_window plan; the applyInPandasWithState
+    path is the explicit custom-state demonstrator (measured ~8x
+    wall-clock per decade vs ~linear native — SCALE.md 'Streaming')."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming import sessionize_stream
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        native_sessionize_stream,
+    )
+
+    assert sessionize_stream is native_sessionize_stream
+
+
 def test_native_sessionize_matches_batch_strictly_closed(spark, sf_dir):
     """The JVM-native twin (session_window + watermark, append) must
     equal batch sessionization restricted to sessions strictly closed by
