@@ -100,6 +100,21 @@ def test_decontaminate_array_guard_switches_to_join(spark):
     )
 
 
+def test_decontaminate_array_guard_raises_on_streaming_corpus(spark, tmp_path):
+    """With a STREAMING corpus the array→join auto-switch is impossible
+    (append mode rules out the join strategy's per-doc aggregation), so
+    an over-limit benchmark must raise at plan build, not silently run
+    the quadratic probe."""
+    words = [f"w{i}" for i in range(40)]
+    bench = docs_df(spark, [" ".join(words)]).select("text")
+    static = docs_df(spark, [" ".join(words[3:20])])
+    p = str(tmp_path / "docs")
+    static.write.parquet(p)
+    stream = spark.readStream.schema(static.schema).parquet(p)
+    with pytest.raises(ValueError, match="streaming"):
+        decontaminate(stream, bench, strategy="array", array_bench_limit=5)
+
+
 def test_training_pipeline_array_guard_switches_to_join(spark):
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
         training_data_pipeline,
