@@ -35,6 +35,34 @@ def test_cc_converged_run_does_not_warn(spark):
     assert rows == {i: 0 for i in range(7)}
 
 
+def test_cc_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """r8: with sparkContext.setCheckpointDir configured, the CC loop
+    must use RELIABLE (.checkpoint) lineage truncation — executor-loss-
+    safe on a cluster where localCheckpoint blocks are unrecoverable —
+    and produce identical labels. Verified by the checkpoint files
+    actually landing in the configured dir."""
+    import os
+
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        edges = _path_edges(spark, 6)
+        rows = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(edges).collect()
+        }
+        assert rows == {i: 0 for i in range(7)}
+        landed = any(files for _, _, files in os.walk(ckdir))
+        assert landed, "no reliable checkpoint files written under the dir"
+    finally:
+        # unset so other tests keep the fast local path ($-named scala
+        # setter needs getattr; no public Python unset exists)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+
+
 def test_cc_two_components(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
