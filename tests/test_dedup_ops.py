@@ -71,6 +71,45 @@ def test_cc_two_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_minhash_coeffs_are_valid_and_deterministic():
+    """Universal-hash coefficient invariants: a_i never 0 (a zero
+    multiplier is a constant hash), both in modulus range, stable
+    across calls (they are baked into the DuckDB oracle as literals),
+    and extending num_hashes only appends."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    c16 = minhash_coeffs(16)
+    assert c16 == minhash_coeffs(16)
+    assert c16[:8] == minhash_coeffs(8)
+    assert len(set(c16)) == 16
+    for a, b in c16:
+        assert 1 <= a < MINHASH_P
+        assert 0 <= b < MINHASH_P
+
+
+def test_auto_sign_bits_rule():
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        auto_sign_bits,
+    )
+
+    assert auto_sign_bits(0) == 4            # empty corpus -> min_bits
+    assert auto_sign_bits(2_000) == 8        # ceil(log2(250))
+    assert auto_sign_bits(50_000) == 13      # ceil(log2(6250))
+    assert auto_sign_bits(200_000) == 15
+    assert auto_sign_bits(10**12) == 24      # max_bits clamp (LUT guard)
+    # monotone in n
+    prev = 0
+    for n in (10, 100, 10**4, 10**6, 10**9):
+        b = auto_sign_bits(n)
+        assert b >= prev
+        prev = b
+    # occupancy target moves bits the right way
+    assert auto_sign_bits(2_000, target_occupancy=512) == 4
+
+
 def test_sample_shingles_rejects_out_of_range_keep_hex():
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import sample_shingles
     from pyspark.sql import functions as F

@@ -135,3 +135,22 @@ def test_wta_sigs_expr_short_vector_errors(spark):
         short.select(
             F.expr(wta_sigs_expr("embedding", pr, 8)).alias("arr")
         ).collect()
+
+
+def test_wta_sigs_expr_handles_awkward_column_names(spark):
+    """ADVICE r7: vec_col is spliced into SQL text, so non-identifier
+    names (dots, spaces) must parse via backtick quoting, and a name
+    containing a backtick is rejected instead of escaped."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        wta_pairs,
+        wta_sigs_expr,
+    )
+
+    pr = wta_pairs(2, 2, 4)
+    df = spark.createDataFrame([(1, [0.4, 0.1, 0.3, 0.2])], ["vec_id", "em b.x"])
+    rows = df.select(
+        F.expr(wta_sigs_expr("em b.x", pr, 4)).alias("arr")
+    ).collect()
+    assert len(rows[0]["arr"]) == 2
+    with pytest.raises(ValueError, match="backtick"):
+        wta_sigs_expr("bad`name", pr, 4)
