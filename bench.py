@@ -54,6 +54,19 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Host-noise calibration (r8): min-of-3 of the same trivial scan
+    # query at bench START and END. The host stalls the JVM in
+    # multi-second quanta and drifts on minute scales (SCALE.md host
+    # caveat), so a cross-round total is only interpretable next to a
+    # fixed yardstick: if cal rises 1.3x between rounds on an untouched
+    # plan, a 1.3x total is the host, not the engine.
+    def _calibrate() -> float:
+        return round(
+            min(run_once(QUERIES["q7_events_early"]) for _ in range(3)), 3
+        )
+
+    cal_start = _calibrate()
+
     bench_start = time.perf_counter()
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
 
@@ -121,10 +134,13 @@ def main() -> None:
         if k in prev and v >= 1.0 and v >= 2 * prev[k]
     }
 
+    cal = {"q": "q7_events_early", "start": cal_start, "end": _calibrate()}
+
     detail = {
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "runs": runs,
         "sf": float(sf),
+        "cal": cal,
     }
     with open(detail_path, "w", encoding="utf-8") as f:
         json.dump(detail, f, indent=1)
@@ -140,6 +156,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {k: round(v, 2) for k, v in kept.items()},
             "sf": float(sf),
+            "cal": cal,
         }
         if rest:
             payload["fast_n"] = len(rest)
