@@ -240,13 +240,21 @@ def lsh_candidate_pairs(
                 # ':' separator — integer hash values are variable-width
                 # strings, so bare concat would alias (1, 23) with
                 # (12, 3); the r1–r7 fixed-width md5-hex sigs didn't
-                # need one.
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col(f"h{i}").cast("string")
-                        for i in range(b * band_size, (b + 1) * band_size)
-                    ],
+                # need one. concat_ws SKIPS nulls (it never returns
+                # null), so an empty-shingle doc — every h_i null —
+                # would get sig '' in every band and all such docs
+                # would collide into one degenerate bucket; guard on
+                # the band's first hash so a null signature stays null
+                # (all h_i derive from the same array: null together).
+                F.when(
+                    F.col(f"h{b * band_size}").isNotNull(),
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"h{i}").cast("string")
+                            for i in range(b * band_size, (b + 1) * band_size)
+                        ],
+                    ),
                 ).alias("sig"),
             )
             for b in range(n_bands)
@@ -257,9 +265,18 @@ def lsh_candidate_pairs(
     # CollapseProject-inlined minhash signature expressions — the
     # num_hashes × |shingles| md5 folds — into a pre-Generate Filter
     # that re-evaluates them per row (core.explode_nonempty).
-    bands = signatures.select(
-        F.col(id_col), explode_nonempty(band_structs).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = (
+        signatures.select(
+            F.col(id_col), explode_nonempty(band_structs).alias("bs")
+        )
+        .select(
+            id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+        # Empty-shingle docs (null signature) can never be candidates —
+        # mirrors the SQL oracle, where the null sig drops out of the
+        # equi-join on its own.
+        .filter(F.col("sig").isNotNull())
+    )
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -615,18 +632,50 @@ def connected_components(
     # fast executor-local path (right for local mode and
     # static-allocation clusters that accept the retry-the-job
     # failure mode).
-    reliable = (
-        edges.sparkSession.sparkContext.getCheckpointDir() is not None
-    )
+    sc = edges.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
 
-    def ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
-            eager=True
-        )
+    # Reliable-path file hygiene: Spark never deletes .checkpoint()
+    # data unless spark.cleaner.referenceTracking.cleanCheckpoints is
+    # enabled (default false) AND the RDD is GC'd, so an O(iterations)-
+    # checkpoints-per-run loop would leak checkpoint dirs unboundedly
+    # on the distributed FS (review find). Each superseded iteration's
+    # files are deleted as soon as the NEXT eager checkpoint
+    # materializes (its lineage is then self-contained); created dirs
+    # are identified by diffing the checkpoint-dir listing around the
+    # call (the dir is per-SparkContext-UUID, so only this session
+    # writes there — concurrent checkpointing THREADS in one session
+    # would race this and should not share a CC run). Only the FINAL
+    # labels checkpoint survives: it backs the returned DataFrame.
+    def _hadoop_fs_and_path():
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(sc.getCheckpointDir())
+        return hpath.getFileSystem(sc._jsc.hadoopConfiguration()), hpath
 
-    e = ckpt(edges.select(F.col(src).alias("n"), F.col(dst).alias("m")))
+    def _list_ckpt_dirs() -> set:
+        fs, hpath = _hadoop_fs_and_path()
+        if not fs.exists(hpath):
+            return set()
+        return {st.getPath().toString() for st in fs.listStatus(hpath)}
+
+    def _delete_ckpt_dirs(paths: set) -> None:
+        if not (reliable and paths):  # local path tracks no dirs
+            return
+        fs, _ = _hadoop_fs_and_path()
+        for p in paths:
+            fs.delete(sc._jvm.org.apache.hadoop.fs.Path(p), True)
+
+    def ckpt(df: DataFrame) -> tuple[DataFrame, set]:
+        """Checkpoint ``df`` eagerly; also return the set of checkpoint
+        dirs the call created (empty on the local path)."""
+        if not reliable:
+            return df.localCheckpoint(eager=True), set()
+        before = _list_ckpt_dirs()
+        out = df.checkpoint(eager=True)
+        return out, _list_ckpt_dirs() - before
+
+    e, e_dirs = ckpt(edges.select(F.col(src).alias("n"), F.col(dst).alias("m")))
     sym = e.unionAll(e.select(F.col("m").alias("n"), F.col("n").alias("m")))
-    labels = ckpt(
+    labels, labels_dirs = ckpt(
         sym.groupBy("n").agg(F.min("m").alias("lbl"))
         .select("n", F.least("n", "lbl").alias("lbl"))
     )
@@ -652,9 +701,12 @@ def connected_components(
                 (F.col("_new") < F.col("lbl")).cast("int").alias("_chg"),
             )
         )
-        new_labels = ckpt(new_labels)
+        new_labels, new_dirs = ckpt(new_labels)
         changed = new_labels.agg(F.max("_chg")).first()[0]
-        labels = new_labels.drop("_chg")
+        # the new checkpoint is materialized and self-contained — the
+        # previous iteration's files are dead weight from here
+        _delete_ckpt_dirs(labels_dirs)
+        labels, labels_dirs = new_labels.drop("_chg"), new_dirs
         if not changed:
             break
     else:
@@ -665,6 +717,9 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    # the loop is the edge checkpoint's only consumer; the returned
+    # labels are backed solely by their own (final) checkpoint
+    _delete_ckpt_dirs(e_dirs)
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

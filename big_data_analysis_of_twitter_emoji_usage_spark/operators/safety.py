@@ -100,6 +100,22 @@ def pii_redact(
     )
 
 
+def bench_grams_exceed_limit(bench_grams: DataFrame, limit: int) -> bool:
+    """True iff the benchmark's DISTINCT n-gram count exceeds ``limit``.
+
+    The array strategy's real cost driver is the size of the
+    ``collect_set`` broadcast probed per corpus row — the DISTINCT gram
+    count — not raw exploded rows: a duplicate-heavy benchmark (many
+    docs sharing boilerplate grams) can have 10× more rows than set
+    elements and must not falsely trip the guard (on a streaming
+    corpus a false trip is a hard error). ``limit(k+1)`` caps the
+    probe; the distinct shuffle is bounded by the benchmark side,
+    never the corpus. Shared by ``decontaminate`` and
+    ``text_analysis.training_data_pipeline`` so the probe semantics
+    cannot drift between them."""
+    return bench_grams.select("_h").distinct().limit(limit + 1).count() > limit
+
+
 def decontaminate(
     df: DataFrame,
     bench_df: DataFrame,
@@ -133,7 +149,8 @@ def decontaminate(
 
     ``array_bench_limit`` (r8) guards the quadratic regime at the API
     layer: requesting ``strategy='array'`` first bounds the benchmark
-    with a cheap ``limit(k+1).count()`` probe (never a full count of a
+    with a cheap ``distinct().limit(k+1).count()`` probe (the distinct
+    gram count is the collect_set cost driver; never a full count of a
     large suite), and a benchmark past the limit AUTO-SWITCHES to the
     join strategy with a ``RuntimeWarning`` — the r7 decade sweep
     measured the unguarded shape going 32× per 10× data once the
@@ -178,8 +195,7 @@ def decontaminate(
         .select(explode_nonempty(ngram_hashes(text_col)).alias("_h"))
     )
     if strategy == "array":
-        probed = bench_grams.limit(array_bench_limit + 1).count()
-        if probed > array_bench_limit:
+        if bench_grams_exceed_limit(bench_grams, array_bench_limit):
             if df.isStreaming:
                 raise ValueError(
                     "decontaminate(strategy='array'): benchmark exceeds "

@@ -219,7 +219,14 @@ def embedding_near_dup_pairs(
     """
     if bits is None:
         n_rows = corpus.count()
-        row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        # first NON-NULL vector: under the non-ANSI default size(NULL)
+        # is NULL, so probing the literal first row would int(None) on
+        # a corpus whose first scanned row has a null embedding.
+        row = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
         dim = int(row["d"]) if row is not None else 64
         bits = min(
             auto_sign_bits(n_rows, target_occupancy),

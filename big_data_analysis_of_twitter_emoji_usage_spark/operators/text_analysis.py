@@ -533,14 +533,19 @@ def training_data_pipeline(
         F.size(F.split(F.col(text_col), " ")) >= ngram
     ).select(F.explode(grams(text_col)).alias("_h"))
     if decontam_strategy == "array":
-        # Same API-layer quadratic guard as safety.decontaminate (r8):
-        # the fused arrays_overlap probe pays O(|bench|) per corpus
-        # row, so a benchmark past the limit (cheap limit(k+1).count()
-        # probe, never a full count) auto-switches to the join
-        # strategy — the measured 32x-per-decade failure shape.
+        # The API-layer quadratic guard, shared with
+        # safety.decontaminate (one probe implementation — distinct
+        # gram count, the collect_set cost driver): the fused
+        # arrays_overlap probe pays O(|bench|) per corpus row, so a
+        # benchmark past the limit auto-switches to the join strategy
+        # — the measured 32x-per-decade failure shape.
         import warnings
 
-        if bench_grams.limit(array_bench_limit + 1).count() > array_bench_limit:
+        from big_data_analysis_of_twitter_emoji_usage_spark.operators.safety import (
+            bench_grams_exceed_limit,
+        )
+
+        if bench_grams_exceed_limit(bench_grams, array_bench_limit):
             warnings.warn(
                 "training_data_pipeline: benchmark exceeds "
                 f"array_bench_limit={array_bench_limit} n-grams; switching "

@@ -3770,7 +3770,7 @@ _GATE_FRONT = {
 }
 
 # r8 again suspends the standing sentinel block: 7 reshaped/renamed +
-# the full 12-query r4 drain + 8 r5 + 24 r6 fill the window exactly
+# the full 12-query r4 drain + 8 r5 + 23 r6 fill the window exactly
 # (7 + 12 + 8 + 23 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_kernel_equiv/
 # q1_emoji_kernel_synth, tweets by q1_top_emojis and friends, events

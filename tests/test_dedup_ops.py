@@ -55,6 +55,18 @@ def test_cc_reliable_checkpoint_when_dir_configured(spark, tmp_path):
         assert rows == {i: 0 for i in range(7)}
         landed = any(files for _, _, files in os.walk(ckdir))
         assert landed, "no reliable checkpoint files written under the dir"
+        # File hygiene (review find): Spark never deletes .checkpoint()
+        # data on its own, so the loop must clean up superseded
+        # iterations — exactly ONE rdd-* dir (the final labels
+        # checkpoint backing the returned DataFrame) may survive a run
+        # that checkpointed edges + O(diameter) label iterations.
+        rdd_dirs = [
+            d
+            for _, dirs, _ in os.walk(ckdir)
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+        assert len(rdd_dirs) == 1, f"leaked checkpoint dirs: {rdd_dirs}"
     finally:
         # unset so other tests keep the fast local path ($-named scala
         # setter needs getattr; no public Python unset exists)
@@ -206,3 +218,27 @@ def test_cc_executes_edge_plan_exactly_once(spark):
     out = connected_components(edges, max_iterations=20).collect()
     assert {r["cluster_id"] for r in out} == {0}
     assert acc.value == 6
+
+
+def test_empty_shingle_docs_never_pair(spark):
+    """Docs whose signature-stage shingle set is empty (every MinHash
+    null) must produce NO candidate pairs — concat_ws skips nulls, so
+    without the null-sig guard they'd all share an '' signature in
+    every band and pair with each other (jaccard NULL/1.0 noise), while
+    the DuckDB oracle's null-propagating || drops them (review find)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+
+    # 'alpha beta gamma delta': every word-3-shingle md5 starts with a
+    # hex digit outside keep<1's range, so sig_sample_hex=1 samples the
+    # signature sets empty for both docs (reproduces the review repro).
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    out = near_dup_pairs(df, k=3, sig_sample_hex=1).collect()
+    assert out == []
+
+    # Control: same docs without sampling DO pair (the guard must not
+    # drop real signatures).
+    out2 = near_dup_pairs(df, k=3).collect()
+    assert len(out2) == 1 and out2[0]["id_a"] == 1 and out2[0]["id_b"] == 2

@@ -100,6 +100,27 @@ def test_decontaminate_array_guard_switches_to_join(spark):
     )
 
 
+def test_decontaminate_guard_probes_distinct_grams_not_rows(spark):
+    """The guard's probe is the DISTINCT benchmark gram count — the
+    collect_set broadcast size that actually drives the array
+    strategy's per-row cost. A duplicate-heavy benchmark (many docs
+    sharing the same 13-grams) whose raw exploded rows exceed the
+    limit but whose distinct set does not must NOT trip the guard
+    (review find: a false trip is a hard ValueError on a streaming
+    corpus)."""
+    import warnings
+
+    words = [f"w{i}" for i in range(15)]  # 15-13+1 = 3 distinct grams
+    # 10 identical benchmark docs: 30 exploded gram rows, 3 distinct.
+    bench = docs_df(spark, [" ".join(words)] * 10).select("text")
+    df = docs_df(spark, [" ".join(words), "unrelated " * 14])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails
+        out = decontaminate(df, bench, strategy="array", array_bench_limit=5)
+    rows = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+    assert rows[0] is True and rows[1] is False
+
+
 def test_decontaminate_array_guard_raises_on_streaming_corpus(spark, tmp_path):
     """With a STREAMING corpus the array→join auto-switch is impossible
     (append mode rules out the join strategy's per-doc aggregation), so

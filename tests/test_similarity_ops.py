@@ -154,3 +154,21 @@ def test_wta_sigs_expr_handles_awkward_column_names(spark):
     assert len(rows[0]["arr"]) == 2
     with pytest.raises(ValueError, match="backtick"):
         wta_sigs_expr("bad`name", pr, 4)
+
+
+def test_auto_bits_dim_probe_skips_null_vectors(spark):
+    """bits=None's dim probe must read the first NON-NULL vector:
+    size(NULL) is NULL under the non-ANSI default, so a corpus whose
+    first scanned row has a null embedding would crash int(None) at
+    plan-build time (review find)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = [(0, None)] + [
+        (i, [float(i + j) for j in range(8)]) for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # the null row is FIRST in scan order: plan build must not raise
+    out = embedding_near_dup_pairs(df, bits=None, tables=2)
+    assert {"id_a", "id_b"} <= set(out.columns)
