@@ -104,14 +104,26 @@ def decode_batch(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        _null_meta = {"width": None, "height": None, "mode": None}
         for pdf in batches:
-            metas = [decode_image_stub(p, fake=fake) for p in pdf[payload_col]]
+            # null payloads yield null metadata — the same semantics as
+            # the JVM pre-pass (octet_length/md5 of NULL are NULL); the
+            # codec must never see None (len/md5/PIL all crash the
+            # whole job on one null row otherwise)
+            payloads = list(pdf[payload_col])
+            metas = [
+                decode_image_stub(p, fake=fake) if p is not None else _null_meta
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "n_bytes": [len(p) for p in pdf[payload_col]],
+                    "n_bytes": [
+                        len(p) if p is not None else None for p in payloads
+                    ],
                     "content_hash": [
-                        hashlib.md5(p).hexdigest() for p in pdf[payload_col]
+                        hashlib.md5(p).hexdigest() if p is not None else None
+                        for p in payloads
                     ],
                     "width": [m["width"] for m in metas],
                     "height": [m["height"] for m in metas],
@@ -152,6 +164,9 @@ def resize_batch(
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:  # null payload -> null geometry row
+                    rows.append((doc_id, None, None, None, None, None))
+                    continue
                 m = decode_image_stub(p, fake=fake)
                 w, h = m["width"], m["height"]
                 longest = max(w, h)
@@ -206,6 +221,8 @@ def frame_sample_batch(
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:  # no frames decodable from a null payload
+                    continue
                 decode_image_stub(p, fake=fake)  # codec gate, parity with decode
                 n_frames = max(1, len(p) // bytes_per_frame)
                 stride = max(1, n_frames // n_samples)

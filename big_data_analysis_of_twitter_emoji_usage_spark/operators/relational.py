@@ -30,11 +30,19 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_payload: list[str],
-    tolerance: None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts`` <= ``left_ts`` for the same ``key`` (DuckDB/pandas
     ``ASOF JOIN`` semantics; unmatched left rows keep nulls).
+
+    ``tolerance`` (seconds, optional): when set, a match more than
+    ``tolerance`` seconds older than the left timestamp is discarded —
+    the left row keeps nulls, pandas ``merge_asof(tolerance=...)``
+    semantics. Implemented as a second running-``last`` (the matched
+    timestamp) over the SAME window frame, so the bound costs no extra
+    shuffle. Previously this parameter was accepted and silently
+    ignored (unbounded lookback) — an API lie; it is now honored.
 
     ONE shuffle total: the union is hash-partitioned on the key once and
     the window resolves the match in-partition. Determinism under
@@ -79,11 +87,24 @@ def asof_join(
     carried = r1.unionByName(l1).withColumn(
         "_match", F.last("_payload", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("_side") == 1).select(
-        *[F.col("_lrow")[c].alias(c) for c in left_cols],
-        *[F.col("_match")[c].alias(c) for c in right_payload],
+    if tolerance is None:
+        return carried.filter(F.col("_side") == 1).select(
+            *[F.col("_lrow")[c].alias(c) for c in left_cols],
+            *[F.col("_match")[c].alias(c) for c in right_payload],
+        )
+    carried = carried.withColumn(
+        "_mts",
+        F.last(
+            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+        ).over(w),
     )
-    return out
+    within = F.col("_mts") + F.expr(
+        f"INTERVAL {int(tolerance)} seconds"
+    ) >= F.col("_ts")
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col("_lrow")[c].alias(c) for c in left_cols],
+        *[F.when(within, F.col("_match")[c]).alias(c) for c in right_payload],
+    )
 
 
 def range_join(
@@ -246,6 +267,7 @@ def salted_aggregate(
     keys: list[str],
     sum_cols: list[str] | None = None,
     salt_buckets: int = 16,
+    sum_decimal: str = "decimal(38,9)",
 ) -> DataFrame:
     """Two-stage salted aggregation for hot-key groupBys: counts and
     DECIMAL-exact sums per key, computed skew-free.
@@ -259,9 +281,20 @@ def salted_aggregate(
     key over the cluster — then combines the |keys| × salt_buckets
     partials in a second, trivially small exchange. Both stages are
     decomposable aggregates (count → sum, sum → sum), so the result is
-    bit-identical to the unsalted groupBy: the salt changes the
-    EXCHANGE DISTRIBUTION, never the answer, which is why the plain
-    GROUP BY oracle checks it.
+    identical to the same decimal-cast unsalted groupBy: the salt
+    changes the EXCHANGE DISTRIBUTION, never the answer, which is why
+    the plain GROUP BY oracle checks it.
+
+    ``sum_decimal`` is the partial-sum type: double sums are
+    partition-order dependent (the salt would then change the ANSWER,
+    not just the exchange), so inputs are cast to a decimal FIRST and
+    every fractional digit beyond its scale is rounded at that cast —
+    the decimal scale is part of the operator's declared contract, not
+    an implementation detail. The (38,9) default keeps 9 fractional
+    digits (the engine's float output-rounding edge) with ~1e28 of
+    headroom; under ANSI mode a value past the precision raises
+    NUMERIC_VALUE_OUT_OF_RANGE rather than silently wrapping — widen
+    the type for such data.
 
     Returns (*keys, n, sum_<col>... ) sorted by keys.
     """
@@ -273,7 +306,7 @@ def salted_aggregate(
         .agg(
             F.count(F.lit(1)).alias("_n"),
             *[
-                F.sum(F.col(c).cast("decimal(18,2)")).alias(f"_s_{c}")
+                F.sum(F.col(c).cast(sum_decimal)).alias(f"_s_{c}")
                 for c in sum_cols
             ],
         )

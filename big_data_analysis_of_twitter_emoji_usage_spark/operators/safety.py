@@ -79,6 +79,14 @@ def pii_redact(
     projection, no shuffle; Catalyst fuses the chain into one codegen
     stage.
 
+    ``n_redactions`` counts each class's matches on the ORIGINAL text
+    independently (same numbers as ``pii_scan`` — the two stay
+    reconcilable by construction). A PII shape nested inside another
+    match (an IPv4 inside an email local-part) is therefore counted
+    even though the replacement chain emits a single placeholder for
+    the outer match: n_redactions is "PII instances detected", an
+    upper bound on placeholders inserted, not a placeholder count.
+
     Returns (doc_id, n_redactions, redacted).
     """
     redacted = F.col(text_col)

@@ -75,15 +75,24 @@ def chunk_documents(
 
     Built entirely from higher-order array functions (sequence →
     slice) + one explode — a pure map-side generator, no Python and no
-    shuffle; a document's chunk count is ceil(n/step), so output size
-    scales with the corpus, not with a driver loop. Returns
-    (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+    shuffle; a document's chunk count is ~n/step (a final window that
+    would only repeat the previous chunk's tokens is skipped), so
+    output size scales with the corpus, not with a driver loop.
+    Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
     """
     assert 0 <= overlap < chunk_tokens
     step = chunk_tokens - overlap
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    # last start bound: a start s > 0 with s + overlap >= n would add
+    # NO tokens beyond the previous chunk's coverage (which ends at
+    # s - step + chunk_tokens = s + overlap) — a fully-redundant
+    # sub-overlap fragment duplicating training content. Standard
+    # chunkers emit s only when it contributes new tokens: s = 0 or
+    # s < n - overlap, hence the inclusive bound n - overlap - 1.
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - (overlap + 1), F.lit(0)), F.lit(step)
+    )
     chunks = F.transform(
         starts,
         lambda s: F.struct(

@@ -29,8 +29,16 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns, JVM-side."""
-    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+    """Cosine similarity of two array<double> columns, JVM-side.
+
+    NULL (not an error) when either vector has zero magnitude: cosine
+    is undefined there, and under Spark 4's default ANSI mode a plain
+    division would raise DIVIDE_BY_ZERO and kill the whole job on one
+    bad row — the classic single-poison-row failure at scale. Null
+    drops through every consumer's threshold filter and sorts after
+    all real scores in the top-k rank windows (desc puts nulls last).
+    """
+    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a) * _dot(b, b)))
 
 
 def _as_double(vec: Column) -> Column:
@@ -897,7 +905,14 @@ def quantize_embeddings(
     """
     v = _as_double(F.col(vec_col))
     vmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    qarr = F.transform(v, lambda x: F.round(x * 127 / vmax).cast("long"))
+    # all-zero vector: quantize to zero codes (scale is already 0)
+    # rather than raising ANSI DIVIDE_BY_ZERO on x * 127 / 0
+    qarr = F.transform(
+        v,
+        lambda x: F.round(
+            F.when(vmax != 0, x * 127 / vmax).otherwise(F.lit(0.0))
+        ).cast("long"),
+    )
     return df.select(
         F.col(id_col),
         F.round(vmax / 127, 9).alias("scale"),

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Real pipelines plug in fastText-style models via mapInPandas (see
 # operators/multimodal.py for the pandas plumbing pattern); the heuristic
@@ -529,9 +531,15 @@ def training_data_pipeline(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
+    # explode_nonempty on both gram explodes (the sibling decontaminate
+    # does the same): inner explode lets InferFiltersFromGenerate clone
+    # the md5 13-gram transform into a pre-Generate Filter that
+    # re-evaluates it per row — the measured 10x constant (core.py).
+    # Bench side is provably non-empty (>= ngram token filter); corpus
+    # side's null rows from short docs drop at the equality semi-join.
     bench_grams = bench_df.filter(
         F.size(F.split(F.col(text_col), " ")) >= ngram
-    ).select(F.explode(grams(text_col)).alias("_h"))
+    ).select(explode_nonempty(grams(text_col)).alias("_h"))
     if decontam_strategy == "array":
         # The API-layer quadratic guard, shared with
         # safety.decontaminate (one probe implementation — distinct
@@ -569,7 +577,7 @@ def training_data_pipeline(
         # once per task), distinct over the doc id — only overlap HITS
         # reach the exchange, one id row each.
         contaminated = (
-            keep.select(id_col, F.explode(grams(text_col)).alias("_g"))
+            keep.select(id_col, explode_nonempty(grams(text_col)).alias("_g"))
             .join(
                 F.broadcast(bench_grams),
                 F.col("_g") == F.col("_h"),

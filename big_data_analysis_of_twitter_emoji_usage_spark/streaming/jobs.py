@@ -141,8 +141,17 @@ def stateful_sessionize(
         else:
             start, end, n = None, None, 0
         closed: list[tuple[int, int, int]] = []
-        for pdf in pdfs:
-            for ts in pdf[ts_col].sort_values():
+        # Drain ALL Arrow chunks before sorting: a key group larger
+        # than arrow.maxRecordsPerBatch arrives as several pdfs in
+        # shuffle order, and sorting each chunk independently can
+        # close a session mid-group before an earlier-timestamped
+        # event in a later chunk arrives (wrongly-split sessions).
+        # Memory is bounded by the group's events in THIS micro-batch
+        # — and the JVM-native session_window path is the scale
+        # default anyway (this operator is the custom-state demo).
+        chunks = [pdf[ts_col] for pdf in pdfs]
+        if chunks:
+            for ts in pd.concat(chunks).sort_values():
                 t = int(ts.value) // 1000  # pandas ns -> us
                 if start is None:
                     start, end, n = t, t, 1
@@ -349,7 +358,13 @@ def run_stream_to_parquet(
     exactly-once at the file level, not just at-least-once. Drains with
     availableNow and returns a batch DataFrame over the files written
     (the batch_id partition column is an implementation detail and is
-    dropped)."""
+    dropped). A drain that produced ZERO micro-batches (empty source
+    dir, or every file already committed in the checkpoint from a
+    prior run) never creates ``out_dir`` — that is a successful run
+    with no new data, so an empty DataFrame with the stream's schema
+    is returned instead of letting the read fail PATH_NOT_FOUND."""
+    import os
+
     query = (
         stream_df.writeStream.foreachBatch(
             lambda bdf, bid: write_batch_idempotent(bdf, bid, out_dir)
@@ -359,4 +374,6 @@ def run_stream_to_parquet(
         .start()
     )
     query.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], stream_df.schema)
     return spark.read.parquet(out_dir).drop("batch_id")

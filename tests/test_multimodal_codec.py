@@ -67,3 +67,31 @@ def test_decode_batch_fake_false_matches_probe(spark, sf_dir):
     else:
         with pytest.raises(PySparkException, match="NotImplementedError"):
             df.collect()
+
+
+def test_null_payloads_survive_all_pandas_stages(spark):
+    """Null binary payloads must not crash the Arrow workers (review
+    find: len(None)/md5(None) killed the whole job). decode/resize
+    emit null metadata rows — the same semantics as the JVM
+    binary_metadata pre-pass — and frame sampling emits no frames."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import (
+        decode_batch,
+        frame_sample_batch,
+        resize_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    dec = {r["doc_id"]: r for r in decode_batch(df).collect()}
+    assert dec[1]["n_bytes"] == 6 and dec[1]["width"] is not None
+    assert dec[2]["n_bytes"] is None and dec[2]["content_hash"] is None
+    assert dec[2]["width"] is None and dec[2]["mode"] is None
+
+    rez = {r["doc_id"]: r for r in resize_batch(df).collect()}
+    assert rez[1]["resized_hash"] is not None
+    assert rez[2]["width"] is None and rez[2]["resized_hash"] is None
+
+    frames = frame_sample_batch(df).collect()
+    assert {r["doc_id"] for r in frames} == {1}

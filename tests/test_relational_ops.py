@@ -150,3 +150,40 @@ def test_range_join_key_isolation_and_multi_left(spark):
          (2, ts("2024-01-01T11:30:00"), "k2")],
     )
     assert got == [(1, "k1"), (2, "k2")]
+
+
+def test_asof_tolerance_bounds_lookback(spark):
+    """tolerance (seconds) discards matches older than the bound —
+    pandas merge_asof semantics; previously the parameter was accepted
+    and silently ignored (review find)."""
+    left = make(
+        spark,
+        [(1, ts("2024-01-01T10:00:00"), 1), (1, ts("2024-01-01T10:04:00"), 2)],
+        "k long, lts timestamp, lid long",
+    )
+    right = make(
+        spark,
+        [(1, ts("2024-01-01T09:59:00"), "a")],
+        "k long, rts timestamp, payload string",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["payload"], tolerance=120,
+    )
+    got = {r.lid: r.payload for r in out.collect()}
+    # lid 1: match 60s old (within 120s); lid 2: match 300s old (out)
+    assert got == {1: "a", 2: None}
+
+
+def test_salted_aggregate_preserves_sub_cent_values(spark):
+    """The partial-sum decimal cast must not silently round inputs:
+    the old decimal(18,2) cast turned 1000 x 0.004 into 0.0 (review
+    find); the (38,9) default keeps 9 fractional digits."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 0.004)] * 1000, "k string, v double"
+    )
+    row = salted_aggregate(df, ["k"], sum_cols=["v"]).collect()[0]
+    assert row["n"] == 1000
+    assert abs(row["sum_v"] - 4.0) < 1e-9

@@ -196,3 +196,25 @@ def test_shuffle_shards_is_a_permutation(spark):
     # deterministic across invocations
     again = shuffle_shards(df, n_shards=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_chunk_documents_skips_redundant_trailing_chunk(spark):
+    """A final window start that adds no tokens beyond the previous
+    chunk's coverage (s > 0 with s + overlap >= n) must not be emitted
+    — it is a strict subset of the previous chunk, duplicated training
+    content (review find)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.shaping import chunk_documents
+
+    toks16 = " ".join(f"t{i}" for i in range(16))   # old: chunk1 = 1 token
+    toks21 = " ".join(f"t{i}" for i in range(21))   # chunk1 adds 1 new token
+    df = spark.createDataFrame(
+        [(1, toks16), (2, toks21)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=20, overlap=5)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 16
+    assert len(by_doc[2]) == 2
+    c1 = next(r for r in by_doc[2] if r["chunk_idx"] == 1)
+    assert c1["n_chunk_tokens"] == 6  # tokens 16..21: 1 new + 5 overlap

@@ -172,3 +172,37 @@ def test_auto_bits_dim_probe_skips_null_vectors(spark):
     # the null row is FIRST in scan order: plan build must not raise
     out = embedding_near_dup_pairs(df, bits=None, tables=2)
     assert {"id_a", "id_b"} <= set(out.columns)
+
+
+def test_cosine_zero_vector_is_null_not_error(spark):
+    """A zero-magnitude vector must yield NULL cosine (undefined), not
+    an ANSI DIVIDE_BY_ZERO that kills the job on one poison row
+    (review find: Spark 4 defaults ansi.enabled=true)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([3.0, 4.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert rows[0]["c"] is None
+    assert abs(rows[1]["c"] - 0.6) < 1e-9
+
+
+def test_quantize_zero_vector_yields_zero_codes(spark):
+    """An all-zero embedding quantizes to zero codes with scale 0
+    instead of raising ANSI DIVIDE_BY_ZERO on 127/vmax (review find)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = quantize_embeddings(df).collect()
+    z = [r for r in rows if r["vec_id"] == 1]
+    assert len(z) == 3
+    assert all(r["q"] == 0 and r["scale"] == 0.0 for r in z)
+    nz = {r["pos"]: r["q"] for r in rows if r["vec_id"] == 2}
+    assert nz == {1: 64, 2: -127, 3: 32}

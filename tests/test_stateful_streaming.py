@@ -139,3 +139,53 @@ def test_native_sessionize_multibatch(spark, sf_dir):
     multi = run(_throttled_events_stream(spark, sf_dir), "test_native_multibatch")
     assert len(one) > 0
     assert one == multi
+
+
+def test_stateful_sessionize_chunk_split_groups(spark, sf_dir):
+    """A key group larger than arrow.maxRecordsPerBatch arrives as
+    SEVERAL pdfs in shuffle order; the fold must drain and sort the
+    whole group before folding (review find: per-chunk sorting could
+    close a session before an earlier-timestamped event in a later
+    chunk arrived). Forcing 2-row Arrow chunks, the stream must still
+    equal the batch sessionization's closed sessions."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        batch = sessionize(load_events(spark, sf_dir), gap="30 minutes")
+        w = Window.partitionBy("user_id")
+        expected = (
+            batch.withColumn("_last", F.max("session_start").over(w))
+            .filter(F.col("session_start") != F.col("_last"))
+            .drop("_last")
+        )
+        exp_rows = sorted(map(tuple, expected.collect()))
+        got = run_stream_to_memory(
+            spark,
+            stateful_sessionize(load_events_stream(spark, sf_dir)),
+            "test_stateful_sessions_chunked",
+            output_mode="append",
+        )
+        got_rows = sorted(map(tuple, got.collect()))
+        assert len(got_rows) > 0
+        assert got_rows == exp_rows
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_run_stream_to_parquet_zero_batches_returns_empty(spark, tmp_path):
+    """A drain that produced no micro-batches (empty source dir) is a
+    successful run with no data: return an empty DataFrame with the
+    stream's schema, not a PATH_NOT_FOUND crash (review find)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import run_stream_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out = run_stream_to_parquet(
+        spark, stream, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "text"]
