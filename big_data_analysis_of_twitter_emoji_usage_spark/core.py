@@ -45,6 +45,14 @@ def explode_nonempty(col):
     return F.explode_outer(col)
 
 
+def as_col(c):
+    """Coerce a column name or Column to a Column — the 2-line helper
+    formerly duplicated as ``_col`` in queries.py / emoji.py / text.py."""
+    from pyspark.sql import Column, functions as F
+
+    return F.col(c) if isinstance(c, str) else c
+
+
 def get_spark(
     app_name: str = "big_data_analysis_of_twitter_emoji_usage_spark",
     master: str | None = None,
@@ -85,8 +93,6 @@ def get_spark(
         # UTC-naive and the session tz is pinned UTC, so reading them as
         # session-tz TIMESTAMP is value-preserving.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # Streaming tests/micro-batches: don't fan tiny files into 200 tasks.
-        .config("spark.sql.streaming.fileSource.log.compactInterval", "10")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -245,6 +251,24 @@ def stream_table_path(sf_dir: str, name: str) -> str:
     the streaming source requires (a bare single-file path is rejected
     with "Option 'basePath' must be a directory")."""
     return table_path(sf_dir, name) + "*"
+
+
+def load_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+):
+    """Generic streaming twin of ``load_table``: one fixture table as a
+    file-source stream — batch schema probe (streaming JSON/parquet
+    sources require a declared schema, the reference's own idiom,
+    SURVEY §1.1) + the globbed basePath form, optionally projected to
+    ``columns``. The four documents-stream catalog queries previously
+    each repeated this boilerplate inline."""
+    stream = spark.readStream.schema(
+        read_parquet_schema(spark, sf_dir, name)
+    ).parquet(stream_table_path(sf_dir, name))
+    return stream.select(*columns) if columns else stream
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str):

@@ -26,11 +26,21 @@ Semantics replicated exactly (all observable in reference output):
   U+1F900–1F9FF (Supplemental S&P).
 * ZWJ sequences are split into their component emoji; skin-tone modifiers
   are outside the ranges and get stripped (reference deck slide 7).
-* The space-insertion pattern ``(\\B\\uD83D.{1})|...`` operates on UTF-16
-  code units (lead surrogate + one unit). Lone surrogates cannot cross the
-  Py4J bridge (UTF-8), so that pattern is materialized JVM-side via a Spark
-  SQL string literal with ``\\uXXXX`` escapes (``F.expr``) — bit-identical
-  to the reference's Scala literal once in the JVM.
+* The space-insertion pattern ``(\\B\\uD83D.{1})|...`` LOOKS like it
+  matches a lead surrogate plus one code unit, but a LONE lead
+  surrogate in a compiled Java pattern matches ZERO-WIDTH against
+  well-formed text (it can never match half of a real surrogate
+  pair), so what the alternation actually does — verified empirically
+  in a local JVM session — is insert a space at every ``\\B`` position
+  of the stripped text, i.e. before EVERY code point. The observable
+  tokens still match the reference exactly because both engines run
+  the same JVM regex quirk (bug-for-bug fidelity is the point); do
+  NOT "fix" the pattern to match surrogate pairs properly — that
+  changes tokenization and breaks the synth oracles. Lone surrogates
+  cannot cross the Py4J bridge (UTF-8), so the pattern is materialized
+  JVM-side via a Spark SQL string literal with ``\\uXXXX`` escapes
+  (``F.expr``) — bit-identical to the reference's Scala literal once
+  in the JVM.
 
 ``PORTABLE_EMOJI`` is the sane, artifact-free equivalent used for
 DuckDB-oracle-checked queries (SURVEY §7.3): same three ranges, no
@@ -42,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from big_data_analysis_of_twitter_emoji_usage_spark.core import as_col as _col
+
 # Reference q1:97 — written with real code points here; the JVM receives the
 # identical UTF-16 sequence the Scala literal produced.
 EMOJI = (
@@ -51,9 +63,12 @@ EMOJI = (
 NOT_EMOJI = (
     "[^(\U0001f600-\U0001f64f)|(\U0001f300-\U0001f5ff)|(\U0001f900-\U0001f9ff)]"
 )
-# Reference q1:99 — matches a lead surrogate (\B: not at a "word boundary")
-# plus one following code unit. Expressed as a Spark-SQL string literal
-# because Python strings with lone surrogates cannot be sent over Py4J.
+# Reference q1:99 — nominally "lead surrogate plus one code unit", but a
+# lone lead surrogate matches zero-width in a compiled Java pattern, so
+# in practice this inserts a space at every \B position (see module
+# docstring; keep verbatim — bug-for-bug). Expressed as a Spark-SQL
+# string literal because Python strings with lone surrogates cannot be
+# sent over Py4J.
 REGEX_SPACE_SQL_LITERAL = (
     r"'(\\B\uD83D.{1})|(\\B\uD83C.{1})|(\\B\uD83E.{1})'"
 )
@@ -64,10 +79,6 @@ PORTABLE_EMOJI = "[\U0001f300-\U0001f5ff\U0001f600-\U0001f64f\U0001f900-\U0001f9
 
 # The metachars the buggy class admits; filtered out post-split (q1:109).
 _METACHAR_ARTIFACTS = ("(", ")", "|")
-
-
-def _col(c: Column | str) -> Column:
-    return F.col(c) if isinstance(c, str) else c
 
 
 def _regex_space_pattern() -> Column:

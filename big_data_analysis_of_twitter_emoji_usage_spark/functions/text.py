@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from big_data_analysis_of_twitter_emoji_usage_spark.core import as_col as _col
+
 # Reference q3:167. The Java class uses `&&` intersection syntax which is
 # Java-regex-only; kept verbatim for reference-parity mode.
 RANDOM_THINGS_JAVA = "[(\\s)(\\p{C})(\\p{Cntrl}&&[^\r\n\t])()]"
@@ -23,10 +25,6 @@ RANDOM_THINGS_JAVA = "[(\\s)(\\p{C})(\\p{Cntrl}&&[^\r\n\t])()]"
 RANDOM_THINGS_PORTABLE = "[()\\s\\pC]"
 # Reference q3:168 ("notWords", used positively as the keep-filter).
 WORD_KEEP = "^[A-Za-z0-9']+$"
-
-
-def _col(c: Column | str) -> Column:
-    return F.col(c) if isinstance(c, str) else c
 
 
 def tokenize_words(col: Column | str, compat: bool = False) -> Column:

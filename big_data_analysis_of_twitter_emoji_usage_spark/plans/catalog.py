@@ -29,8 +29,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.core import (
     load_events,
     load_events_stream,
     load_table,
-    read_parquet_schema,
-    stream_table_path,
+    load_table_stream,
     table_path,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.functions.text import WORD_KEEP, tokenize_words
@@ -308,6 +307,37 @@ def _containment_sql(shingles_cte: str, threshold: float, max_df: int) -> str:
     )
 
 
+def _bucket_join_cosine_verify_sql(
+    max_bucket: int | None, threshold: float
+) -> str:
+    """Shared tail of the two sign-LSH dedup oracles (coordinate-sign
+    and hyperplane): optional bucket-size guard over b(vec_id, t, bk),
+    DISTINCT candidate pairs, cosine verification. ONE definition so a
+    guard or threshold fix cannot silently desynchronize the mirrors
+    (they were previously verbatim copies)."""
+    src = "b"
+    guard = ""
+    if max_bucket is not None:
+        guard = (
+            ", bf AS (SELECT vec_id, t, bk FROM ("
+            " SELECT *, count(*) OVER (PARTITION BY t, bk) AS bc FROM b)"
+            f" WHERE bc <= {max_bucket})"
+        )
+        src = "bf"
+    return (
+        guard
+        + ", cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b"
+        f" FROM {src} a JOIN {src} b2"
+        " ON a.t = b2.t AND a.bk = b2.bk AND a.vec_id < b2.vec_id),"
+        " p AS (SELECT id_a, id_b, list_dot_product(ea.v, eb.v) /"
+        " sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v))"
+        " AS cos FROM cand JOIN e ea ON ea.vec_id = id_a"
+        " JOIN e eb ON eb.vec_id = id_b)"
+        " SELECT id_a, id_b, round(cos, 6) AS cosine FROM p"
+        f" WHERE cos >= {threshold}"
+    )
+
+
 def _sign_lsh_near_dup_sql(
     bits: int, tables: int, max_bucket: int | None, threshold: float
 ) -> str:
@@ -325,28 +355,10 @@ def _sign_lsh_near_dup_sql(
         )
         for t in range(tables)
     )
-    src = "b"
-    guard = ""
-    if max_bucket is not None:
-        guard = (
-            ", bf AS (SELECT vec_id, t, bk FROM ("
-            " SELECT *, count(*) OVER (PARTITION BY t, bk) AS bc FROM b)"
-            f" WHERE bc <= {max_bucket})"
-        )
-        src = "bf"
     return (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
         f" b AS ({tbl_selects})"
-        + guard
-        + ", cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b"
-        f" FROM {src} a JOIN {src} b2"
-        " ON a.t = b2.t AND a.bk = b2.bk AND a.vec_id < b2.vec_id),"
-        " p AS (SELECT id_a, id_b, list_dot_product(ea.v, eb.v) /"
-        " sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v))"
-        " AS cos FROM cand JOIN e ea ON ea.vec_id = id_a"
-        " JOIN e eb ON eb.vec_id = id_b)"
-        " SELECT id_a, id_b, round(cos, 6) AS cosine FROM p"
-        f" WHERE cos >= {threshold}"
+        + _bucket_join_cosine_verify_sql(max_bucket, threshold)
     )
 
 
@@ -373,29 +385,11 @@ def _hyperplane_near_dup_sql(
         f"SELECT vec_id, {t} AS t, sig{t} AS bk FROM sigs"
         for t in range(tables)
     )
-    src = "b"
-    guard = ""
-    if max_bucket is not None:
-        guard = (
-            ", bf AS (SELECT vec_id, t, bk FROM ("
-            " SELECT *, count(*) OVER (PARTITION BY t, bk) AS bc FROM b)"
-            f" WHERE bc <= {max_bucket})"
-        )
-        src = "bf"
     return (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
         f" sigs AS (SELECT vec_id, {sig_exprs} FROM embeddings),"
         f" b AS ({tbl_selects})"
-        + guard
-        + ", cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b"
-        f" FROM {src} a JOIN {src} b2"
-        " ON a.t = b2.t AND a.bk = b2.bk AND a.vec_id < b2.vec_id),"
-        " p AS (SELECT id_a, id_b, list_dot_product(ea.v, eb.v) /"
-        " sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v))"
-        " AS cos FROM cand JOIN e ea ON ea.vec_id = id_a"
-        " JOIN e eb ON eb.vec_id = id_b)"
-        " SELECT id_a, id_b, round(cos, 6) AS cosine FROM p"
-        f" WHERE cos >= {threshold}"
+        + _bucket_join_cosine_verify_sql(max_bucket, threshold)
     )
 
 
@@ -433,6 +427,20 @@ def q1_word_search(spark, sf):
     )
 
 
+def _synth_emoji_cols():
+    """The doc_id → (e1, e2) emoji-synthesis arithmetic shared by all
+    five kernel-synth builders. EXACTLY one definition on purpose: the
+    DuckDB oracles reproduce these tokens with chr(128512 + doc_id % 80)
+    / chr(128512 + doc_id * 7 % 80) ground-truth algebra, so the Spark
+    side must stay in lockstep everywhere at once — editing the
+    arithmetic in one builder but not the others silently broke that
+    pairing when each carried its own copy."""
+    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
+    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
+    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    return e1, e2
+
+
 def q1_top_emojis(spark, sf):
     """q1 flagship 'most popular emoji' (q1:101-113) through the full
     ``token_counts`` plan — rlike pre-filter, strip, tokenize, group,
@@ -445,9 +453,7 @@ def q1_top_emojis(spark, sf):
     table from the same chr() arithmetic with no regex at all — ground
     truth, not a reimplementation. The verbatim Java-regex kernel is
     covered by q1_emoji_kernel_synth + PySpark-only unit tests."""
-    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
-    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
-    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    e1, e2 = _synth_emoji_cols()
     text = F.concat(
         F.lit("lorem ("), e1, F.lit(") ipsum "), e2, F.lit(" "), e2, F.lit(" end")
     )
@@ -488,9 +494,7 @@ def q1_emoji_kernel_synth(spark, sf):
     space-insertion / metachar-filter branches all execute. The oracle
     reproduces the EXPECTED tokens from the same arithmetic (chr()) with
     no regex at all — ground truth, not a reimplementation."""
-    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
-    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
-    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    e1, e2 = _synth_emoji_cols()
     text = F.concat(
         F.lit("lorem ("), e1, F.lit(") ipsum | "), e2, e2, F.lit(" end")
     )
@@ -514,9 +518,7 @@ def q1_kernel_equiv(spark, sf):
     from ground truth), its half of the result hash-mismatches. The text
     exercises the divergence-prone branches (parens, pipe, spacing) on
     input where the two kernels provably agree."""
-    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
-    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
-    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    e1, e2 = _synth_emoji_cols()
     text = F.concat(
         F.lit("lorem ("), e1, F.lit(") ipsum | "),
         e2, F.lit(" "), e2, F.lit(" end"),
@@ -552,9 +554,7 @@ def q4_emoji_by_user_synth(spark, sf):
     every (mention, emoji) pair per row emitted through the same
     chained-explode plan the reference uses. The oracle rebuilds the
     cross product with UNION ALL + a doc_id join — no arrays, no regex."""
-    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
-    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
-    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    e1, e2 = _synth_emoji_cols()
     users = F.array(
         F.concat(F.lit("user"), (F.col("doc_id") % 5).cast("string")),
         F.concat(F.lit("user"), ((F.col("doc_id") + 1) % 5).cast("string")),
@@ -576,9 +576,7 @@ def q3_ratio_synth(spark, sf):
     verbatim kernels on synthesized text whose expected counts are pure
     doc_id arithmetic: per doc, 2 + (doc_id % 4) word tokens and 3 emoji
     tokens (one parenthesized, two as an unseparated run)."""
-    emoji_pool = F.array(*[F.lit(chr(0x1F600 + i)) for i in range(80)])
-    e1 = F.element_at(emoji_pool, (F.col("doc_id") % 80 + 1).cast("int"))
-    e2 = F.element_at(emoji_pool, (F.col("doc_id") * 7 % 80 + 1).cast("int"))
+    e1, e2 = _synth_emoji_cols()
     pad = F.repeat(F.lit("pad "), (F.col("doc_id") % 4).cast("int"))
     text = F.concat(pad, F.lit("alpha ("), e1, F.lit(") beta "), e2, e2)
     prep = _docs(spark, sf).select(text.alias("text"))
@@ -722,25 +720,29 @@ def _synth_tweet_dir(sf: str, shape: str) -> str:
     )
 
     src = table_path(sf, "documents")
-    doc_ids = sorted(
-        pq.read_table(src, columns=["doc_id"]).column("doc_id").to_pylist()
-    )
     dirname = _os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_tweets_{shape}_"
         + hashlib.md5(_os.path.abspath(src).encode()).hexdigest()[:10],
     )
     marker = _os.path.join(dirname, "_SYNTH_DONE")
-    # The marker must identify the INPUT, not just its size: a
-    # regenerated fixture with the same row count but different ids
-    # would otherwise reuse a stale synthesized corpus.
-    want = hashlib.md5("\n".join(map(str, doc_ids)).encode()).hexdigest()
+    # O(1) staleness stamp (the _partitioned_events_dir idiom): a
+    # regenerated fixture changes size or mtime_ns, so the stamp
+    # identifies the input without re-reading + hashing the whole
+    # doc_id column on every cache HIT (the former scheme cost an
+    # O(n) pyarrow read + sort + md5 per call on all five tweet
+    # queries — a repeated driver stall at decade scale).
+    st = _os.stat(src)
+    want = f"{_os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
     if not (
         _os.path.isfile(marker)
         and open(marker, encoding="utf-8").read() == want
     ):
         if _os.path.isdir(dirname):  # partial prior attempt: start clean
             shutil.rmtree(dirname)
+        doc_ids = sorted(
+            pq.read_table(src, columns=["doc_id"]).column("doc_id").to_pylist()
+        )
         RollingJsonlWriter(dirname, lines_per_file=1000).drain(
             _tweet_records(doc_ids, shape)
         )
@@ -1082,10 +1084,7 @@ def _freq_sketch_checked(ev, k: int, tracked: int):
 def q2_stream_top_words(spark, sf):
     """q2: the q1 plan on a file-source stream, complete mode (q2:96-120),
     driven with availableNow into a memory sink; result equals q1's."""
-    schema = read_parquet_schema(spark, sf, "documents")
-    stream = (
-        spark.readStream.schema(schema).parquet(stream_table_path(sf, "documents"))
-    )
+    stream = load_table_stream(spark, sf, "documents")
     counted = token_counts(
         stream, "text", tokenize_words, pre_rlike=None,
         out="word", count_alias="cnt",
@@ -2322,12 +2321,7 @@ def stream_pii_redact(spark, sf):
     unification the engine's projection operators all share. The
     bounded file stream drains via availableNow into a memory sink, so
     the result equals the batch query and carries the same oracle."""
-    schema = read_parquet_schema(spark, sf, "documents")
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_table_path(sf, "documents"))
-        .select("doc_id", "text")
-    )
+    stream = load_table_stream(spark, sf, "documents", ["doc_id", "text"])
     red = pii_redact(_pii_inject(stream)).filter(F.col("n_redactions") > 0)
     return run_stream_to_memory(
         spark, red, "stream_pii_redact_sink", output_mode="append"
@@ -2338,12 +2332,7 @@ def stream_quality_docs(spark, sf):
     """Quality scoring under Structured Streaming — the same stateless
     quality_scores projection in append mode (batch/stream unification;
     carries the batch oracle verbatim)."""
-    schema = read_parquet_schema(spark, sf, "documents")
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_table_path(sf, "documents"))
-        .select("doc_id", "text")
-    )
+    stream = load_table_stream(spark, sf, "documents", ["doc_id", "text"])
     return run_stream_to_memory(
         spark,
         quality_scores(stream),
@@ -2386,12 +2375,7 @@ def stream_decontam_docs(spark, sf):
     fixed-size, so the fixed prefix is the honest semantics, not a
     dodge; for a suite that DOES grow, run the batch
     ``decontam_docs`` join path over micro-batch outputs instead."""
-    schema = read_parquet_schema(spark, sf, "documents")
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_table_path(sf, "documents"))
-        .select("doc_id", "text")
-    )
+    stream = load_table_stream(spark, sf, "documents", ["doc_id", "text"])
     bench = _docs(spark, sf).filter(F.col("doc_id") < 35).select("text")
     out = decontaminate(stream, bench, strategy="array")
     return run_stream_to_memory(

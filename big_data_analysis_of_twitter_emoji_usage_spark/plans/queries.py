@@ -32,15 +32,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from big_data_analysis_of_twitter_emoji_usage_spark.core import as_col as _col
+
 from big_data_analysis_of_twitter_emoji_usage_spark.functions.emoji import (
     EMOJI,
     extract_emojis,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.functions.text import tokenize_words
-
-
-def _col(c: Column | str) -> Column:
-    return F.col(c) if isinstance(c, str) else c
 
 
 def token_counts(

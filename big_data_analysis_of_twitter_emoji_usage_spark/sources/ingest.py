@@ -40,13 +40,22 @@ class RollingJsonlWriter:
         # Resume numbering after any files already present: the streaming
         # source tracks processed files BY NAME, so a restarted ingester
         # that reused names would both clobber data and make the new
-        # files invisible to the stream.
-        existing = [
-            int(n[len("tweetstream-"):-len(".jsonl")])
-            for n in os.listdir(dirname)
-            if n.startswith("tweetstream-") and n.endswith(".jsonl")
-        ]
-        self._file_index = max(existing) + 1 if existing else 0
+        # files invisible to the stream. Only pure-integer middle
+        # segments count — a foreign or hand-copied file like
+        # 'tweetstream-old.jsonl' must be skipped, not crash the resume
+        # scan with ValueError. The protocol is single-writer per
+        # directory (the reference's is too), so any '.tmp-*' litter is
+        # a dead partial from a crashed roll(): reap it here — the
+        # rename that would have published it never happened, and
+        # nothing else will ever clean it up.
+        self._file_index = 0
+        for n in os.listdir(dirname):
+            if n.startswith(".tmp-"):
+                os.remove(os.path.join(dirname, n))
+            elif n.startswith("tweetstream-") and n.endswith(".jsonl"):
+                seg = n[len("tweetstream-"):-len(".jsonl")]
+                if seg.isdigit():
+                    self._file_index = max(self._file_index, int(seg) + 1)
 
     def write(self, record) -> None:
         line = record if isinstance(record, str) else json.dumps(record)

@@ -48,6 +48,24 @@ def test_ingest_protocol(tmp_path):
     assert counts == [50, 50, 20]
 
 
+def test_ingest_resume_skips_foreign_files_and_reaps_tmp(tmp_path):
+    """Resume hardening (review find): a foreign file whose middle
+    segment is not a pure integer must be skipped (int('old') crashed
+    the whole resume scan), and dead '.tmp-*' partials from a crashed
+    roll() are reaped at construction (single-writer protocol — nothing
+    else ever cleans them up)."""
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "tweetstream-000004.jsonl").write_text("{}\n")
+    (d / "tweetstream-old.jsonl").write_text("{}\n")   # foreign: skip
+    (d / ".tmp-deadbeef").write_text("partial")          # crashed roll
+    w = RollingJsonlWriter(str(d), lines_per_file=10)
+    assert not (d / ".tmp-deadbeef").exists()
+    w.write({"a": 1})
+    w.roll()
+    assert (d / "tweetstream-000005.jsonl").exists()  # resumes after 4
+
+
 def test_batch_stream_equivalence_q1(spark, base_dir):
     batch = read_tweets(spark, base_dir, TWEETS_BASE)
     expected = rows(top_emojis(batch))
