@@ -40,7 +40,14 @@ from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Parse the scale factor ONCE, guarded: a dir not ending in
+    # 'sf<number>' must not crash the process AFTER the full sweep ran
+    # (the late float(sf) in the detail payload would otherwise raise
+    # and lose the whole run before anything was written).
+    try:
+        sf_num: float | None = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf_num = None
     spark = get_spark(app_name="big_data_analysis_of_twitter_emoji_usage_spark-bench")
 
     # Warm the JVM/codegen path once with the cheapest query so the first
@@ -85,7 +92,7 @@ def main() -> None:
     try:
         with open(detail_path, encoding="utf-8") as f:
             prev_detail = json.load(f)
-        if prev_detail.get("sf") == float(sf):
+        if prev_detail.get("sf") == sf_num:
             prev = prev_detail.get("queries", {})
     except (OSError, ValueError):
         pass
@@ -128,18 +135,28 @@ def main() -> None:
     # above, same-sf only): queries folded into the fast bucket still
     # get a named callout if they blow up (≥1 s and ≥2× the prior min —
     # under that is host noise; see the A/B variance study in SCALE.md).
-    regr = {
-        k: [round(prev[k], 2), round(v, 2)]
-        for k, v in timings.items()
-        if k in prev and v >= 1.0 and v >= 2 * prev[k]
-    }
+    # Capped at the 8 worst ratios (+ a count of the rest): a
+    # host-stall run can trip dozens of queries at once, and an
+    # unbounded map would blow the 1900-byte line budget no matter how
+    # far the shrink loop folds the per-query timings.
+    _regr_all = sorted(
+        (
+            (k, v / prev[k])
+            for k, v in timings.items()
+            if k in prev and v >= 1.0 and v >= 2 * prev[k]
+        ),
+        key=lambda kv: -kv[1],
+    )
+    regr = {k: [round(prev[k], 2), round(timings[k], 2)] for k, _ in _regr_all[:8]}
+    if len(_regr_all) > 8:
+        regr["_more"] = len(_regr_all) - 8
 
     cal = {"q": "q7_events_early", "start": cal_start, "end": _calibrate()}
 
     detail = {
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "runs": runs,
-        "sf": float(sf),
+        "sf": sf_num if sf_num is not None else sf_dir,
         "cal": cal,
     }
     with open(detail_path, "w", encoding="utf-8") as f:
@@ -155,7 +172,7 @@ def main() -> None:
             "value": round(sum(timings.values()), 2),
             "unit": "sec",
             "queries": {k: round(v, 2) for k, v in kept.items()},
-            "sf": float(sf),
+            "sf": sf_num if sf_num is not None else sf_dir,
             "cal": cal,
         }
         if rest:

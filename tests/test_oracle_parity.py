@@ -33,8 +33,12 @@ def duck(sf_dir):
 
 def canon(cols, rows):
     """Order-insensitive canonical form: sort columns by name, round
-    floats, sort rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    floats, sort rows. Column order is CASE-INSENSITIVE (index as the
+    tiebreak): the name assertion below tolerates casing differences
+    between the engines ('Username' vs 'username'), and a case-SENSITIVE
+    sort would then zip values column-against-wrong-column — ASCII
+    uppercase sorts before all lowercase (review find)."""
+    order = sorted(range(len(cols)), key=lambda i: (cols[i].lower(), i))
     out = []
     for r in rows:
         vals = []
