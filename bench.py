@@ -92,7 +92,11 @@ def main() -> None:
     try:
         with open(detail_path, encoding="utf-8") as f:
             prev_detail = json.load(f)
-        if prev_detail.get("sf") == sf_num:
+        # same expression as the write below: for a non-'sf<number>'
+        # dir the stamp is the dir path itself — comparing against the
+        # None sf_num would silently disable the regression tripwire
+        # and resample steering for exactly those dirs
+        if prev_detail.get("sf") == (sf_num if sf_num is not None else sf_dir):
             prev = prev_detail.get("queries", {})
     except (OSError, ValueError):
         pass

@@ -45,10 +45,10 @@ def explode_nonempty(col):
     return F.explode_outer(col)
 
 
-def as_col(c):
+def as_col(c: "Column | str") -> "Column":
     """Coerce a column name or Column to a Column — the 2-line helper
     formerly duplicated as ``_col`` in queries.py / emoji.py / text.py."""
-    from pyspark.sql import Column, functions as F
+    from pyspark.sql import functions as F
 
     return F.col(c) if isinstance(c, str) else c
 

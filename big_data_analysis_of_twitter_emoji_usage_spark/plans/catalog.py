@@ -731,9 +731,16 @@ def _synth_tweet_dir(sf: str, shape: str) -> str:
     # identifies the input without re-reading + hashing the whole
     # doc_id column on every cache HIT (the former scheme cost an
     # O(n) pyarrow read + sort + md5 per call on all five tweet
-    # queries — a repeated driver stall at decade scale).
+    # queries — a repeated driver stall at decade scale). The parquet
+    # FOOTER tail is hashed in as the content component: an
+    # mtime-preserving same-size replace (tar -x, rsync -a, cp -p)
+    # still changes the footer's row-group stats/offsets, and 64 KB is
+    # a fixed-cost read however large the table grows.
     st = _os.stat(src)
-    want = f"{_os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
+    with open(src, "rb") as fh:
+        fh.seek(max(0, st.st_size - 65536))
+        tail_md5 = hashlib.md5(fh.read()).hexdigest()
+    want = f"{_os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{tail_md5}"
     if not (
         _os.path.isfile(marker)
         and open(marker, encoding="utf-8").read() == want

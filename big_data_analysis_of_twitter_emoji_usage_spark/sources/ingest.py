@@ -44,14 +44,26 @@ class RollingJsonlWriter:
         # segments count — a foreign or hand-copied file like
         # 'tweetstream-old.jsonl' must be skipped, not crash the resume
         # scan with ValueError. The protocol is single-writer per
-        # directory (the reference's is too), so any '.tmp-*' litter is
-        # a dead partial from a crashed roll(): reap it here — the
+        # directory (the reference's is too), so '.tmp-*' litter is a
+        # dead partial from a crashed roll(): reap it here — the
         # rename that would have published it never happened, and
-        # nothing else will ever clean it up.
+        # nothing else will ever clean it up. Only tmp files older
+        # than a minute are reaped: a roll() is sub-second, so the age
+        # gate keeps a mis-deployed SECOND live writer on the same dir
+        # (a protocol violation, but a cheap one to survive) from
+        # having its in-flight tmp deleted mid-write.
+        import time
+
         self._file_index = 0
+        now = time.time()
         for n in os.listdir(dirname):
             if n.startswith(".tmp-"):
-                os.remove(os.path.join(dirname, n))
+                p = os.path.join(dirname, n)
+                try:
+                    if now - os.stat(p).st_mtime > 60:
+                        os.remove(p)
+                except OSError:  # raced with another cleaner/rename
+                    pass
             elif n.startswith("tweetstream-") and n.endswith(".jsonl"):
                 seg = n[len("tweetstream-"):-len(".jsonl")]
                 if seg.isdigit():

@@ -362,8 +362,12 @@ def run_stream_to_parquet(
     dir, or every file already committed in the checkpoint from a
     prior run) never creates ``out_dir`` — that is a successful run
     with no new data, so an empty DataFrame with the stream's schema
-    is returned instead of letting the read fail PATH_NOT_FOUND."""
-    import os
+    is returned instead of letting the read fail. Detected by catching
+    PATH_NOT_FOUND from the read itself, NOT a driver-local isdir
+    probe: out_dir may be file://.../hdfs://.../s3a://... where a
+    local os.path check is always False and would silently discard
+    data that WAS just landed."""
+    from pyspark.errors import AnalysisException
 
     query = (
         stream_df.writeStream.foreachBatch(
@@ -374,6 +378,9 @@ def run_stream_to_parquet(
         .start()
     )
     query.awaitTermination()
-    if not os.path.isdir(out_dir):
-        return spark.createDataFrame([], stream_df.schema)
-    return spark.read.parquet(out_dir).drop("batch_id")
+    try:
+        return spark.read.parquet(out_dir).drop("batch_id")
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], stream_df.schema)
+        raise

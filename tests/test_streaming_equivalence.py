@@ -59,8 +59,11 @@ def test_ingest_resume_skips_foreign_files_and_reaps_tmp(tmp_path):
     (d / "tweetstream-000004.jsonl").write_text("{}\n")
     (d / "tweetstream-old.jsonl").write_text("{}\n")   # foreign: skip
     (d / ".tmp-deadbeef").write_text("partial")          # crashed roll
+    os.utime(d / ".tmp-deadbeef", (0, 0))                # stale: reaped
+    (d / ".tmp-fresh").write_text("inflight")            # young: kept
     w = RollingJsonlWriter(str(d), lines_per_file=10)
     assert not (d / ".tmp-deadbeef").exists()
+    assert (d / ".tmp-fresh").exists()  # age gate protects live writers
     w.write({"a": 1})
     w.roll()
     assert (d / "tweetstream-000005.jsonl").exists()  # resumes after 4
