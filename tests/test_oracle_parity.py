@@ -37,8 +37,14 @@ def canon(cols, rows):
     tiebreak): the name assertion below tolerates casing differences
     between the engines ('Username' vs 'username'), and a case-SENSITIVE
     sort would then zip values column-against-wrong-column — ASCII
-    uppercase sorts before all lowercase (review find)."""
-    order = sorted(range(len(cols)), key=lambda i: (cols[i].lower(), i))
+    uppercase sorts before all lowercase (review find). The tiebreak
+    among same-lowercase duplicates is the EXACT name (then index), so
+    case-variant duplicate columns emitted in different orders by the
+    two engines ('ID','id' vs 'id','ID') still zip name-against-same-
+    name; only identical duplicate names stay position-ambiguous."""
+    order = sorted(
+        range(len(cols)), key=lambda i: (cols[i].lower(), cols[i], i)
+    )
     out = []
     for r in rows:
         vals = []

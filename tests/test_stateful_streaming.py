@@ -11,7 +11,9 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import 
 from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import run_stream_to_memory, stateful_sessionize
 
 
-def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir):
+def _assert_stateful_matches_batch_closed(spark, sf_dir, sink):
+    """The conservative-emission contract, ONCE: the stream emits
+    exactly the batch sessions minus each user's trailing open one."""
     batch = sessionize(load_events(spark, sf_dir), gap="30 minutes")
     w = Window.partitionBy("user_id")
     expected = (
@@ -24,12 +26,18 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir):
     got = run_stream_to_memory(
         spark,
         stateful_sessionize(load_events_stream(spark, sf_dir)),
-        "test_stateful_sessions",
+        sink,
         output_mode="append",
     )
     got_rows = sorted(map(tuple, got.collect()))
     assert len(got_rows) > 0
     assert got_rows == exp_rows
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir):
+    _assert_stateful_matches_batch_closed(
+        spark, sf_dir, "test_stateful_sessions"
+    )
 
 
 def test_stateful_sessionize_multibatch(spark, sf_dir):
@@ -152,23 +160,9 @@ def test_stateful_sessionize_chunk_split_groups(spark, sf_dir):
     prev = spark.conf.get(key)
     spark.conf.set(key, "2")
     try:
-        batch = sessionize(load_events(spark, sf_dir), gap="30 minutes")
-        w = Window.partitionBy("user_id")
-        expected = (
-            batch.withColumn("_last", F.max("session_start").over(w))
-            .filter(F.col("session_start") != F.col("_last"))
-            .drop("_last")
+        _assert_stateful_matches_batch_closed(
+            spark, sf_dir, "test_stateful_sessions_chunked"
         )
-        exp_rows = sorted(map(tuple, expected.collect()))
-        got = run_stream_to_memory(
-            spark,
-            stateful_sessionize(load_events_stream(spark, sf_dir)),
-            "test_stateful_sessions_chunked",
-            output_mode="append",
-        )
-        got_rows = sorted(map(tuple, got.collect()))
-        assert len(got_rows) > 0
-        assert got_rows == exp_rows
     finally:
         spark.conf.set(key, prev)
 
