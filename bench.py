@@ -145,7 +145,10 @@ def main() -> None:
     # far the shrink loop folds the per-query timings.
     _regr_all = sorted(
         (
-            (k, v / prev[k])
+            # max(..., 1e-9): a degenerate stored prior of exactly 0.0
+            # (corrupt/hand-edited detail file) must not ZeroDivision-
+            # abort the run after the full sweep already ran
+            (k, v / max(prev[k], 1e-9))
             for k, v in timings.items()
             if k in prev and v >= 1.0 and v >= 2 * prev[k]
         ),

@@ -641,21 +641,20 @@ def connected_components(
     # checkpoints-per-run loop would leak checkpoint dirs unboundedly
     # on the distributed FS (review find). Each superseded iteration's
     # files are deleted as soon as the NEXT eager checkpoint
-    # materializes (its lineage is then self-contained); created dirs
-    # are identified by diffing the checkpoint-dir listing around the
-    # call (the dir is per-SparkContext-UUID, so only this session
-    # writes there — concurrent checkpointing THREADS in one session
-    # would race this and should not share a CC run). Only the FINAL
-    # labels checkpoint survives: it backs the returned DataFrame.
+    # materializes (its lineage is then self-contained); a created dir
+    # is identified EXACTLY from the checkpointed RDD's own
+    # getCheckpointFile (r9 — replaces the r8 listing-diff, which could
+    # attribute a CONCURRENT checkpointing thread's rdd-N dir to this
+    # call and delete it while live). Only the FINAL labels checkpoint
+    # survives: it backs the returned DataFrame. The loop body runs
+    # under try/except so a mid-iteration failure (job error during an
+    # agg/first or a checkpoint) deletes every dir this run created
+    # instead of leaking them on the distributed FS (r9; a dir whose
+    # .checkpoint() call itself died mid-write is Spark's own
+    # task-cleanup domain and is not tracked here).
     def _hadoop_fs_and_path():
         hpath = sc._jvm.org.apache.hadoop.fs.Path(sc.getCheckpointDir())
         return hpath.getFileSystem(sc._jsc.hadoopConfiguration()), hpath
-
-    def _list_ckpt_dirs() -> set:
-        fs, hpath = _hadoop_fs_and_path()
-        if not fs.exists(hpath):
-            return set()
-        return {st.getPath().toString() for st in fs.listStatus(hpath)}
 
     def _delete_ckpt_dirs(paths: set) -> None:
         if not (reliable and paths):  # local path tracks no dirs
@@ -664,62 +663,84 @@ def connected_components(
         for p in paths:
             fs.delete(sc._jvm.org.apache.hadoop.fs.Path(p), True)
 
+    tracked: set = set()  # live reliable-checkpoint dirs this run created
+
     def ckpt(df: DataFrame) -> tuple[DataFrame, set]:
         """Checkpoint ``df`` eagerly; also return the set of checkpoint
-        dirs the call created (empty on the local path)."""
+        dirs the call created (empty on the local path). The dir comes
+        from the checkpointed LogicalRDD itself — race-free and exact,
+        no directory-listing diff."""
         if not reliable:
             return df.localCheckpoint(eager=True), set()
-        before = _list_ckpt_dirs()
         out = df.checkpoint(eager=True)
-        return out, _list_ckpt_dirs() - before
+        opt = out._jdf.queryExecution().logical().rdd().getCheckpointFile()
+        dirs = {opt.get()} if opt.isDefined() else set()
+        tracked.update(dirs)
+        return out, dirs
 
-    e, e_dirs = ckpt(edges.select(F.col(src).alias("n"), F.col(dst).alias("m")))
-    sym = e.unionAll(e.select(F.col("m").alias("n"), F.col("n").alias("m")))
-    labels, labels_dirs = ckpt(
-        sym.groupBy("n").agg(F.min("m").alias("lbl"))
-        .select("n", F.least("n", "lbl").alias("lbl"))
-    )
-    for _ in range(max_iterations):
-        lbl_of_m = labels.select(
-            F.col("n").alias("_mn"), F.col("lbl").alias("_mlbl")
+    def _drop(paths: set) -> None:
+        _delete_ckpt_dirs(paths)
+        tracked.difference_update(paths)
+
+    try:
+        e, e_dirs = ckpt(
+            edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
         )
-        neighbor_min = (
-            sym.join(lbl_of_m, sym["m"] == F.col("_mn"))
-            .groupBy("n")
-            .agg(F.min("_mlbl").alias("_nlbl"))
+        sym = e.unionAll(
+            e.select(F.col("m").alias("n"), F.col("n").alias("m"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "n", "left")
-            .select(
-                "n",
-                F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("_new"),
-                "lbl",
+        labels, labels_dirs = ckpt(
+            sym.groupBy("n").agg(F.min("m").alias("lbl"))
+            .select("n", F.least("n", "lbl").alias("lbl"))
+        )
+        for _ in range(max_iterations):
+            lbl_of_m = labels.select(
+                F.col("n").alias("_mn"), F.col("lbl").alias("_mlbl")
             )
-            .select(
-                "n",
-                F.col("_new").alias("lbl"),
-                (F.col("_new") < F.col("lbl")).cast("int").alias("_chg"),
+            neighbor_min = (
+                sym.join(lbl_of_m, sym["m"] == F.col("_mn"))
+                .groupBy("n")
+                .agg(F.min("_mlbl").alias("_nlbl"))
             )
-        )
-        new_labels, new_dirs = ckpt(new_labels)
-        changed = new_labels.agg(F.max("_chg")).first()[0]
-        # the new checkpoint is materialized and self-contained — the
-        # previous iteration's files are dead weight from here
-        _delete_ckpt_dirs(labels_dirs)
-        labels, labels_dirs = new_labels.drop("_chg"), new_dirs
-        if not changed:
-            break
-    else:
-        warnings.warn(
-            f"connected_components exhausted max_iterations={max_iterations} "
-            "before converging: returned labels are an under-merged "
-            "approximation (graph diameter exceeds the budget)",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    # the loop is the edge checkpoint's only consumer; the returned
-    # labels are backed solely by their own (final) checkpoint
-    _delete_ckpt_dirs(e_dirs)
+            new_labels = (
+                labels.join(neighbor_min, "n", "left")
+                .select(
+                    "n",
+                    F.least("lbl", F.coalesce("_nlbl", "lbl")).alias("_new"),
+                    "lbl",
+                )
+                .select(
+                    "n",
+                    F.col("_new").alias("lbl"),
+                    (F.col("_new") < F.col("lbl")).cast("int").alias("_chg"),
+                )
+            )
+            new_labels, new_dirs = ckpt(new_labels)
+            changed = new_labels.agg(F.max("_chg")).first()[0]
+            # the new checkpoint is materialized and self-contained — the
+            # previous iteration's files are dead weight from here
+            _drop(labels_dirs)
+            labels, labels_dirs = new_labels.drop("_chg"), new_dirs
+            if not changed:
+                break
+        else:
+            warnings.warn(
+                f"connected_components exhausted max_iterations="
+                f"{max_iterations} before converging: returned labels are "
+                "an under-merged approximation (graph diameter exceeds "
+                "the budget)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        # the loop is the edge checkpoint's only consumer; the returned
+        # labels are backed solely by their own (final) checkpoint
+        _drop(e_dirs)
+    except BaseException:
+        # error path: nothing is returned, so every dir this run created
+        # (including the current labels checkpoint) is dead — reap them
+        # instead of leaking O(iterations) dirs on the distributed FS
+        _delete_ckpt_dirs(tracked)
+        raise
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

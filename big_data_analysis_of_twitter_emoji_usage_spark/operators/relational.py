@@ -36,13 +36,17 @@ def asof_join(
     ``right_ts`` <= ``left_ts`` for the same ``key`` (DuckDB/pandas
     ``ASOF JOIN`` semantics; unmatched left rows keep nulls).
 
-    ``tolerance`` (seconds, optional): when set, a match more than
-    ``tolerance`` seconds older than the left timestamp is discarded —
-    the left row keeps nulls, pandas ``merge_asof(tolerance=...)``
-    semantics. Implemented as a second running-``last`` (the matched
-    timestamp) over the SAME window frame, so the bound costs no extra
-    shuffle. Previously this parameter was accepted and silently
-    ignored (unbounded lookback) — an API lie; it is now honored.
+    ``tolerance`` (optional): when set, a match more than ``tolerance``
+    older than the left timestamp is discarded — the left row keeps
+    nulls, pandas ``merge_asof(tolerance=...)`` semantics. Implemented
+    as a second running-``last`` (the matched timestamp) over the SAME
+    window frame, so the bound costs no extra shuffle. Previously this
+    parameter was accepted and silently ignored (unbounded lookback) —
+    an API lie; it is now honored. Units follow the ts columns' type
+    (r9): timestamp/date columns interpret ``tolerance`` as SECONDS
+    (interval arithmetic); numeric ts columns (epoch seconds, sequence
+    numbers — accepted by the tolerance=None path all along) compare by
+    plain subtraction, so ``tolerance`` is in the column's own unit.
 
     ONE shuffle total: the union is hash-partitioned on the key once and
     the window resolves the match in-partition. Determinism under
@@ -98,9 +102,19 @@ def asof_join(
             F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
         ).over(w),
     )
-    within = F.col("_mts") + F.expr(
-        f"INTERVAL {int(tolerance)} seconds"
-    ) >= F.col("_ts")
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(
+        right.schema[right_ts].dataType,
+        (TimestampType, TimestampNTZType, DateType),
+    ):
+        within = F.col("_mts") + F.expr(
+            f"INTERVAL {int(tolerance)} seconds"
+        ) >= F.col("_ts")
+    else:
+        # numeric/epoch ts columns: interval arithmetic would fail at
+        # analysis time — plain subtraction in the column's own unit
+        within = F.col("_ts") - F.col("_mts") <= F.lit(int(tolerance))
     return carried.filter(F.col("_side") == 1).select(
         *[F.col("_lrow")[c].alias(c) for c in left_cols],
         *[F.when(within, F.col("_match")[c]).alias(c) for c in right_payload],

@@ -166,7 +166,19 @@ def decontaminate(
     SCALE.md "Second decade"). When the CORPUS side is a streaming
     DataFrame the switch is impossible (the join strategy's per-doc
     aggregation would need stateful output), so an oversized benchmark
-    raises instead of silently degrading the stream.
+    raises, pointing at ``streaming.jobs.stream_decontaminate_join``
+    (r9) — the foreachBatch variant that runs the join strategy per
+    micro-batch — instead of silently degrading the stream.
+
+    Laziness caveat (like ``dedup.connected_components``' eager
+    checkpoint): with ``strategy='array'`` merely BUILDING this
+    DataFrame runs the bounded benchmark-count probe as a Spark job —
+    plan construction is not free for that strategy. The default join
+    strategy stays fully lazy. The benchmark side itself must be a
+    STATIC DataFrame under either strategy (both shapes aggregate and
+    broadcast it); a streaming ``bench_df`` raises up front rather
+    than dying inside the probe with an opaque streaming-count
+    AnalysisException.
 
     Documents with fewer than ``n`` tokens have no n-grams and are
     excluded (they cannot be contaminated under this rule).
@@ -174,6 +186,15 @@ def decontaminate(
     Returns (doc_id, n_ngrams, n_contaminated_ngrams, contaminated).
     """
     import warnings
+
+    if bench_df.isStreaming:
+        raise ValueError(
+            "decontaminate: bench_df is a streaming DataFrame — the "
+            "benchmark side is aggregated and broadcast under every "
+            "strategy, so it must be static. Materialize the benchmark "
+            "suite to a batch table first."
+        )
+
     def ngram_hashes(c):
         # total expression: short docs yield an EMPTY array rather than
         # relying on the upstream filter (optimizers may evaluate the
@@ -211,8 +232,10 @@ def decontaminate(
                     "corpus is streaming, so the O(|bench|)-per-row probe "
                     "cannot be auto-switched to the join strategy "
                     "(stateless append mode rules out per-doc aggregation). "
-                    "Bound the benchmark suite, or decontaminate batch "
-                    "micro-batch outputs with strategy='join'."
+                    "Bound the benchmark suite, or use "
+                    "streaming.jobs.stream_decontaminate_join — the "
+                    "foreachBatch variant that runs strategy='join' per "
+                    "micro-batch with idempotent per-batch output."
                 )
             warnings.warn(
                 "decontaminate: benchmark exceeds array_bench_limit="

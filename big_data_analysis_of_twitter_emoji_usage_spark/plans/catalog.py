@@ -124,6 +124,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
     native_sessionize_stream,
     run_stream_to_memory,
     stateful_sessionize,
+    stream_decontaminate_join,
     stream_dedup,
     stream_stream_interval_join,
     windowed_event_counts,
@@ -2390,6 +2391,36 @@ def stream_decontam_docs(spark, sf):
     ).orderBy("doc_id")
 
 
+def stream_decontam_join(spark, sf):
+    """Streaming decontamination in JOIN mode (r9): the in-engine path
+    for benchmark suites too large for ``stream_decontam_docs``' array
+    probe. ``streaming.jobs.stream_decontaminate_join`` runs
+    ``decontaminate(strategy='join')`` — broadcast benchmark hash
+    table, per-doc aggregation — over each micro-batch inside
+    foreachBatch, landing every batch in its own overwritten
+    ``batch_id=N`` parquet dir (exactly-once under checkpoint replay).
+    The benchmark here GROWS with the corpus (every 17th doc — the
+    exact shape the array guard auto-rejects on streams), and the
+    drained result equals the batch ``decontam_docs`` run on the same
+    files, which is the oracle: per-document n-gram aggregation is
+    batch-local because no document spans a micro-batch. Fresh scratch
+    out/checkpoint dirs per call — the drain is the demonstrator, the
+    landed files are ephemeral."""
+    import tempfile
+
+    stream = load_table_stream(spark, sf, "documents", ["doc_id", "text"])
+    bench = _docs(spark, sf).filter(F.col("doc_id") % 17 == 0).select("text")
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_decontam_join_")
+    out = stream_decontaminate_join(
+        spark,
+        stream,
+        bench,
+        out_dir=_os.path.join(scratch, "out"),
+        checkpoint_dir=_os.path.join(scratch, "ckpt"),
+    )
+    return out.orderBy("doc_id")
+
+
 def repetition_scores_q(spark, sf):
     """Gopher-style repetition filters over the raw corpus (the fixture
     text is genuinely repetitive — value-bearing without synthesis)."""
@@ -3379,6 +3410,24 @@ ORACLE_SQL: dict[str, str] = {
         " hit::BIGINT AS n_contaminated_ngrams, hit > 0 AS contaminated"
         " FROM cnt ORDER BY doc_id"
     ),
+    # join-mode streaming decontamination drained over availableNow ==
+    # the batch decontam_docs run on the same files (per-doc n-gram
+    # aggregation is micro-batch-local), so it carries the batch
+    # oracle verbatim — including the grows-with-the-corpus benchmark
+    # the stateless array path auto-rejects
+    "stream_decontam_join": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents),"
+        " sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, len(t) - 11), i -> md5(array_to_string(t[i:i+12], ' ')"
+        ")))) AS h FROM toks WHERE len(t) >= 13),"
+        " bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 17 = 0),"
+        " cnt AS (SELECT s.doc_id, count(*) AS n_ngrams, count(b.h) AS hit"
+        " FROM sh s LEFT JOIN bench b ON s.h = b.h GROUP BY s.doc_id)"
+        " SELECT doc_id, n_ngrams::BIGINT AS n_ngrams,"
+        " hit::BIGINT AS n_contaminated_ngrams, hit > 0 AS contaminated"
+        " FROM cnt ORDER BY doc_id"
+    ),
     # same semantics as decontam_docs: a stateless stream-static probe
     # over availableNow equals the batch run on the same files
     "stream_decontam_docs": (
@@ -3684,112 +3733,21 @@ ORACLE_SQL["stream_quality_docs"] = ORACLE_SQL["text_quality"]
 # --------------------------------------------------------------------------
 
 _GATE_FRONT = {
-    # ---- r8 reshaped surface (plans differ from their last green
-    # driver rows, so each must re-attest): ----
-    # - the applyInPandasWithState sessionization renamed to an explicit
-    #   demonstrator (r8; native session_window is the default path) —
-    #   a new key to the driver, so it needs its first row;
-    "stream_sessionize_stateful_demo": stream_sessionize_stateful_demo,
-    # - the MinHash family moved to one base hash + seeded universal-
-    #   hash permutations (dedup.minhash_signatures; the 16x-md5 fold
-    #   was the measured dominant cost of the char-4-gram query) —
-    #   every near_dup_pairs consumer executes new signatures/bands:
-    "dedup_minhash_pairs": dedup_minhash_pairs_q,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "dedup_clusters": dedup_clusters,
-    "dedup_keep_best": dedup_keep_best_q,
-    # - containment's postings relation is lazily localCheckpoint'ed
-    #   (2 kernel passes -> 1), and ngram_jaccard materializes its
-    #   char-shingle arrays the same way.
-    "dedup_containment": dedup_containment_q,
-    # - knn_wta's signature projection rewritten from transform-over-
-    #   literal-schedule (CodegenFallback: interpreted per row) to flat
-    #   array(concat(IF...)) terms that compile into whole-stage
-    #   codegen; buckets bit-identical (pinned), but the executed plan
-    #   differs from the r7 row.
-    "knn_wta": knn_wta_q,
-    # ---- r8-late review reshape (operators/ + streaming/ deep review):
-    # these queries' executed plans changed AFTER their last green rows
-    # (r7), so they re-enter the window — cosine() now null-propagates
-    # on zero-magnitude vectors instead of raising ANSI DIVIDE_BY_ZERO
-    # (knn_lsh/knn_ivf/dedup_embedding_hyperplane/embedding_outliers),
-    # the multimodal pandas stages null-guard null payloads,
-    # training_pipeline's gram explodes use explode_nonempty (the
-    # InferFiltersFromGenerate 10x tax), and chunk_documents skips the
-    # fully-redundant trailing sub-overlap chunk (oracle updated to
-    # match). Nine plan-unchanged r6 relational/layout entries yield
-    # their slots and join the r9 drain head.
-    "knn_lsh": knn_lsh_q,
+    # ---- r9 new surface: join-mode streaming decontamination (the
+    # foreachBatch path the array guard's error message points at). ----
+    "stream_decontam_join": stream_decontam_join,
+    # ---- r9 reshaped plans (changed since their last green rows, so
+    # they must re-attest): knn_ivf gains one Lloyd refinement of its
+    # md5-sampled coarse centroids (recall@3 floor raised; oracle
+    # re-derives the same refinement in SQL). ----
     "knn_ivf": knn_ivf_q,
-    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
-    "embedding_outliers": embedding_outliers_q,
-    "multimodal_decode": multimodal_decode_q,
-    "multimodal_resize": multimodal_resize_q,
-    "multimodal_frames": multimodal_frames_q,
-    "training_pipeline": training_pipeline_q,
-    "chunk_docs": chunk_docs_q,
-    # ---- r4 drain head (VERDICT r7 #1): the 12 r4-attested leftovers,
-    # oldest rows in the catalog. ----
-    "funnel_events": funnel_events,
-    "cohort_retention_events": cohort_retention_events,
-    "salted_agg_events": salted_agg_events,
-    "anomaly_zscore_events": anomaly_zscore_events,
-    "q1_kernel_equiv": q1_kernel_equiv,
-    "text_ngrams": text_ngrams_q,
-    "text_logprob": text_logprob_q,
-    "dedup_fuzzy_names": dedup_fuzzy_names_q,
-    "stream_quality_docs": stream_quality_docs,
-    "embedding_quantize": embedding_quantize_q,
-    "multimodal_pairs": multimodal_pairs_q,
-    "tpch_q18_topk": tpch_q18_topk,
-    # ---- r5 drain: the remaining 8 r5-attested rows (the ninth,
-    # stream_sessionize_events, is the renamed demo above). ----
-    "event_value_percentiles_approx": event_value_percentiles_approx,
-    "salted_join_events": salted_join_events,
-    "asof_join_events": asof_join_events,
-    "range_join_events": range_join_events,
-    "sessionize_events": sessionize_events,
-    "stream_stream_join_events": stream_stream_join_events,
-    "stream_dedup_events": stream_dedup_events,
-    "dedup_exact": dedup_exact_q,
-    # ---- r6 drain: 23 of the 32 r6-attested rows (plans unchanged;
-    # re-attesting for freshness). The 9 left behind — pure-relational
-    # set-op/grouping-set/window/JSON queries with every-round local
-    # parity (word_position_counts, setop_intersect, setop_except,
-    # rollup_doc_counts, cube_doc_counts, pivot_events_by_day,
-    # events_json_props, window_running_value, event_value_percentiles)
-    # — are the r9 drain head.
-    "knn_brute": knn_brute_q,
-    "q1_rare_words": q1_rare_words,
-    "q1_word_search": q1_word_search,
-    "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
-    "q3_ratio_synth": q3_ratio_synth,
-    "q3_corpus_counts": q3_corpus_counts,
-    "q7_events_late": q7_events_late,
-    "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
-    "stream_windowed_events": stream_windowed_events,
-    "decontam_docs": decontam_docs_q,
-    "dedup_embedding": dedup_embedding_q,
-    "q1_top_emojis": q1_top_emojis,
-    "q7_events_early": q7_events_early,
-    "q2_stream_top_words": q2_stream_top_words,
-}
-
-# r8 again suspends the standing sentinel block: 7 reshaped/renamed +
-# 9 r8-late review-reshaped + the full 12-query r4 drain + 8 r5 +
-# 14 r6 fill the window exactly (7 + 9 + 12 + 8 + 14 = 50), and every
-# operator class a sentinel would
-# re-attest is represented (emoji kernel by q1_kernel_equiv/
-# q1_emoji_kernel_synth, tweets by q1_top_emojis and friends, events
-# by the funnel/cohort/salted block, streaming by stream_quality_docs/
-# stream_windowed_events, dedup by the reshaped family).
-_SENTINELS = {}
-
-_PROVEN = {
-    # ---- window boundary: slots above re-attest in r8. ----
-    # r6-attested leftovers (9) — the r9 drain head; all pure-SQL
-    # relational plans, unchanged since r6, locally parity-verified
-    # every round by tests/test_oracle_parity.py.
+    # ---- r6 drain head (VERDICT r8 #1): the 18 r6-attested leftovers
+    # — every one a pure-relational plan unchanged since r6 with
+    # every-round local parity; re-attested here so the whole ledger
+    # reaches staleness <= 2 with nothing older than r7. The six
+    # plan-pinned entries (tpch_q1/q3, join_revenue, prune/dpp,
+    # bucketed join) also re-verify their in-plan assertions on the
+    # current session confs (VERDICT r8 #6; test_scale_plans.py). ----
     "word_position_counts": word_position_counts,
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,
@@ -3799,10 +3757,6 @@ _PROVEN = {
     "events_json_props": events_json_props,
     "window_running_value": window_running_value,
     "event_value_percentiles": event_value_percentiles,
-    # r6-attested entries that yielded their r8 window slots to the
-    # r8-late review reshape (plans unchanged since r6; all have plan
-    # pins / in-plan assertions and every-round local parity) — they
-    # extend the r9 drain head to 18.
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_topk": tpch_q3_topk,
     "join_revenue_by_nation": join_revenue_by_nation,
@@ -3812,8 +3766,12 @@ _PROVEN = {
     "event_value_percentiles_sketch": event_value_percentiles_sketch,
     "bucketed_join_events": bucketed_join_events,
     "event_distinct_users_sketch": event_distinct_users_sketch,
-    # ---- driver-attested green in r7 (CORRECTNESS_r07 window),
-    # plans unchanged in r8, oldest-first for the r9+ rotation ----
+    # ---- r7 drain: the 30 oldest r7-attested rows (plans unchanged;
+    # re-attesting for freshness). The 5 left behind
+    # (embedding_centroids, embedding_label_spread, tfidf_top_terms,
+    # inverted_index, tpch_q5_local_supply) are the r10 drain head —
+    # with 104 queries and a 50-slot window, a <=2-round staleness
+    # ceiling is the steady state the rotation holds by construction.
     "event_top_users_sketch": event_top_users_sketch,
     "stream_sessionize_native": stream_sessionize_native,
     "dedup_simhash": dedup_simhash_q,
@@ -3844,12 +3802,76 @@ _PROVEN = {
     "stream_pii_redact": stream_pii_redact,
     "repetition_scores": repetition_scores_q,
     "mix_sources": mix_sources_q,
+}
+
+# r9 again suspends the standing sentinel block: 1 new + 1 reshaped +
+# the full 18-row r6 drain head + 30 r7 rows fill the window exactly
+# (1 + 1 + 18 + 30 = 50), and every operator class a sentinel would
+# re-attest is represented (emoji kernel by q1_top_words and the tweet
+# family, events by the window/pivot/percentile block, streaming by
+# stream_decontam_join/stream_decontam_docs/stream_sessionize_native/
+# stream_pii_redact, dedup by the simhash family, ANN by knn_ivf).
+_SENTINELS = {}
+
+_PROVEN = {
+    # ---- window boundary: slots above re-attest in r9. ----
+    # r7-attested leftovers (5) — the r10 drain head.
     "embedding_centroids": embedding_centroids_q,
     "embedding_label_spread": embedding_label_spread_q,
     "tfidf_top_terms": tfidf_top_terms_q,
     "inverted_index": inverted_index_q,
     "tpch_q5_local_supply": tpch_q5_local_supply,
+    # ---- driver-attested green in r8 (CORRECTNESS_r08 window),
+    # oldest-first for the r10+ rotation ----
+    "stream_sessionize_stateful_demo": stream_sessionize_stateful_demo,
+    "dedup_minhash_pairs": dedup_minhash_pairs_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best_q,
+    "dedup_containment": dedup_containment_q,
+    "knn_wta": knn_wta_q,
+    "knn_lsh": knn_lsh_q,
+    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
+    "embedding_outliers": embedding_outliers_q,
+    "multimodal_decode": multimodal_decode_q,
+    "multimodal_resize": multimodal_resize_q,
+    "multimodal_frames": multimodal_frames_q,
+    "training_pipeline": training_pipeline_q,
+    "chunk_docs": chunk_docs_q,
+    "funnel_events": funnel_events,
+    "cohort_retention_events": cohort_retention_events,
+    "salted_agg_events": salted_agg_events,
+    "anomaly_zscore_events": anomaly_zscore_events,
+    "q1_kernel_equiv": q1_kernel_equiv,
+    "text_ngrams": text_ngrams_q,
+    "text_logprob": text_logprob_q,
+    "dedup_fuzzy_names": dedup_fuzzy_names_q,
+    "stream_quality_docs": stream_quality_docs,
+    "embedding_quantize": embedding_quantize_q,
+    "multimodal_pairs": multimodal_pairs_q,
+    "tpch_q18_topk": tpch_q18_topk,
+    "event_value_percentiles_approx": event_value_percentiles_approx,
+    "salted_join_events": salted_join_events,
+    "asof_join_events": asof_join_events,
+    "range_join_events": range_join_events,
+    "sessionize_events": sessionize_events,
+    "stream_stream_join_events": stream_stream_join_events,
+    "stream_dedup_events": stream_dedup_events,
+    "dedup_exact": dedup_exact_q,
+    "knn_brute": knn_brute_q,
+    "q1_rare_words": q1_rare_words,
+    "q1_word_search": q1_word_search,
+    "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
+    "q3_ratio_synth": q3_ratio_synth,
+    "q3_corpus_counts": q3_corpus_counts,
+    "q7_events_late": q7_events_late,
+    "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
+    "stream_windowed_events": stream_windowed_events,
+    "decontam_docs": decontam_docs_q,
+    "dedup_embedding": dedup_embedding_q,
+    "q1_top_emojis": q1_top_emojis,
+    "q7_events_early": q7_events_early,
+    "q2_stream_top_words": q2_stream_top_words,
 }
-
 
 QUERIES = {**_GATE_FRONT, **_SENTINELS, **_PROVEN}

@@ -345,33 +345,42 @@ def write_batch_idempotent(bdf: DataFrame, batch_id: int, out_dir: str) -> None:
     bdf.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
 
-def run_stream_to_parquet(
+def run_stream_transform_to_parquet(
     spark: SparkSession,
     stream_df: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    transform=None,
 ) -> DataFrame:
     """foreachBatch file sink — the production shape for streaming
     pipelines that land files instead of memory/console. Each
-    micro-batch overwrites its own ``batch_id=N`` subdirectory
-    (``write_batch_idempotent``), so checkpoint-replayed batches are
-    exactly-once at the file level, not just at-least-once. Drains with
-    availableNow and returns a batch DataFrame over the files written
-    (the batch_id partition column is an implementation detail and is
-    dropped). A drain that produced ZERO micro-batches (empty source
-    dir, or every file already committed in the checkpoint from a
-    prior run) never creates ``out_dir`` — that is a successful run
-    with no new data, so an empty DataFrame with the stream's schema
-    is returned instead of letting the read fail. Detected by catching
-    PATH_NOT_FOUND from the read itself, NOT a driver-local isdir
-    probe: out_dir may be file://.../hdfs://.../s3a://... where a
-    local os.path check is always False and would silently discard
-    data that WAS just landed."""
+    micro-batch (optionally run through ``transform``, an arbitrary
+    BATCH DataFrame→DataFrame function — this is foreachBatch's whole
+    point: inside the hook the micro-batch is a plain batch frame, so
+    plans streaming cannot express statelessly, e.g. per-batch
+    aggregating joins, run unchanged) overwrites its own ``batch_id=N``
+    subdirectory (``write_batch_idempotent``), so checkpoint-replayed
+    batches are exactly-once at the file level, not just
+    at-least-once. Drains with availableNow and returns a batch
+    DataFrame over the files written (the batch_id partition column is
+    an implementation detail and is dropped). A drain that produced
+    ZERO micro-batches (empty source dir, or every file already
+    committed in the checkpoint from a prior run) never creates
+    ``out_dir`` — that is a successful run with no new data, so an
+    empty DataFrame with the result schema (the transform applied to
+    an empty batch of the stream's schema — schema derivation only,
+    nothing executes) is returned instead of letting the read fail.
+    Detected by catching PATH_NOT_FOUND from the read itself, NOT a
+    driver-local isdir probe: out_dir may be
+    file://.../hdfs://.../s3a://... where a local os.path check is
+    always False and would silently discard data that WAS just
+    landed."""
     from pyspark.errors import AnalysisException
 
+    fn = transform if transform is not None else (lambda bdf: bdf)
     query = (
         stream_df.writeStream.foreachBatch(
-            lambda bdf, bid: write_batch_idempotent(bdf, bid, out_dir)
+            lambda bdf, bid: write_batch_idempotent(fn(bdf), bid, out_dir)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -382,5 +391,79 @@ def run_stream_to_parquet(
         return spark.read.parquet(out_dir).drop("batch_id")
     except AnalysisException as exc:
         if "PATH_NOT_FOUND" in str(exc):
-            return spark.createDataFrame([], stream_df.schema)
+            empty = spark.createDataFrame([], stream_df.schema)
+            return spark.createDataFrame([], fn(empty).schema)
         raise
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """``run_stream_transform_to_parquet`` with no per-batch transform
+    (kept as the stable name for plain landing jobs)."""
+    return run_stream_transform_to_parquet(
+        spark, stream_df, out_dir, checkpoint_dir
+    )
+
+
+def stream_decontaminate_join(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    bench_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Streaming benchmark decontamination in JOIN mode (r9): run
+    ``safety.decontaminate(strategy='join')`` over each micro-batch
+    inside ``foreachBatch`` — the in-engine path for benchmark suites
+    too large for the stateless array probe (``decontaminate``'s
+    streaming branch raises past ``array_bench_limit`` and points
+    here).
+
+    Why foreachBatch: the join strategy ends in a per-document
+    aggregation over the document's exploded n-grams, which append-mode
+    streaming cannot express statelessly — but every document's
+    n-grams are entirely WITHIN one micro-batch (documents don't span
+    files), so running the batch operator per micro-batch computes the
+    exact batch semantics incrementally. Cost per batch is
+    batch_ngrams × O(1) broadcast-hash probes — the scale path — where
+    the array probe pays batch_rows × |bench|.
+
+    The benchmark is materialized ONCE (persist + count) before the
+    stream starts, so per-batch plans re-hash only the cached benchmark
+    rows instead of re-scanning its source every trigger; it is
+    unpersisted after the drain (results are already on disk).
+    Idempotence: each batch lands in its own overwritten ``batch_id=N``
+    dir (``write_batch_idempotent``), so checkpoint replays are
+    exactly-once at the file level. Returns the drained result as a
+    batch DataFrame — (doc_id, n_ngrams, n_contaminated_ngrams,
+    contaminated), equal to ``decontaminate(batch_corpus, bench,
+    strategy='join')`` over the same files.
+    """
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.safety import decontaminate
+
+    bench_static = bench_df.persist()
+    bench_static.count()
+    try:
+        return run_stream_transform_to_parquet(
+            spark,
+            stream_df,
+            out_dir,
+            checkpoint_dir,
+            transform=lambda bdf: decontaminate(
+                bdf,
+                bench_static,
+                text_col=text_col,
+                id_col=id_col,
+                n=n,
+                strategy="join",
+            ),
+        )
+    finally:
+        bench_static.unpersist()

@@ -242,3 +242,46 @@ def test_empty_shingle_docs_never_pair(spark):
     # drop real signatures).
     out2 = near_dup_pairs(df, k=3).collect()
     assert len(out2) == 1 and out2[0]["id_a"] == 1 and out2[0]["id_b"] == 2
+
+
+def test_cc_error_path_reaps_checkpoint_dirs(spark, tmp_path, monkeypatch):
+    """r9 (review find): a failure mid-loop must delete every reliable
+    checkpoint dir the run created — previously cleanup only ran on the
+    happy path, leaking O(iterations) dirs on the distributed FS.
+    Injected by letting the first two checkpoints (edges + initial
+    labels) land, then failing the first iteration's checkpoint."""
+    import os
+
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        edges = _path_edges(spark, 6)
+        # patch the CONCRETE DataFrame class (pyspark.sql.classic
+        # overrides checkpoint — patching the pyspark.sql.DataFrame
+        # base never intercepts the call)
+        cls = type(edges)
+        orig = cls.checkpoint
+        calls = {"n": 0}
+
+        def flaky(self, eager=True):
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                raise RuntimeError("injected mid-loop failure")
+            return orig(self, eager=eager)
+
+        monkeypatch.setattr(cls, "checkpoint", flaky)
+        with pytest.raises(RuntimeError, match="injected"):
+            connected_components(edges)
+        assert calls["n"] >= 3, "failure was not injected mid-loop"
+        rdd_dirs = [
+            d
+            for _, dirs, _ in os.walk(ckdir)
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+        assert rdd_dirs == [], f"error path leaked checkpoint dirs: {rdd_dirs}"
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )

@@ -187,3 +187,21 @@ def test_salted_aggregate_preserves_sub_cent_values(spark):
     row = salted_aggregate(df, ["k"], sum_cols=["v"]).collect()[0]
     assert row["n"] == 1000
     assert abs(row["sum_v"] - 4.0) < 1e-9
+
+
+def test_asof_tolerance_numeric_ts_columns(spark):
+    """r9 (review find): numeric/epoch ts columns — always accepted by
+    the tolerance=None path — must honor tolerance too, by plain
+    subtraction in the column's own unit, instead of failing at
+    analysis time on timestamp INTERVAL arithmetic."""
+    left = make(
+        spark, [(1, 1000, 1), (1, 1240, 2)], "k long, lts long, lid long"
+    )
+    right = make(spark, [(1, 940, "a")], "k long, rts long, payload string")
+    out = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["payload"], tolerance=120,
+    )
+    got = {r.lid: r.payload for r in out.collect()}
+    # lid 1: match 60 units old (within 120); lid 2: 300 units old (out)
+    assert got == {1: "a", 2: None}

@@ -218,3 +218,18 @@ def test_chunk_documents_skips_redundant_trailing_chunk(spark):
     assert len(by_doc[2]) == 2
     c1 = next(r for r in by_doc[2] if r["chunk_idx"] == 1)
     assert c1["n_chunk_tokens"] == 6  # tokens 16..21: 1 new + 5 overlap
+
+
+def test_decontaminate_rejects_streaming_benchmark(spark, tmp_path):
+    """r9 (review find): a streaming bench_df must raise a targeted
+    error up front — the benchmark side is aggregated and broadcast
+    under every strategy — not die inside the array guard's count
+    probe with an opaque streaming AnalysisException."""
+    corpus = docs_df(spark, ["a b c"])
+    static = docs_df(spark, ["a b c"]).select("text")
+    p = str(tmp_path / "bench")
+    static.write.parquet(p)
+    bench_stream = spark.readStream.schema(static.schema).parquet(p)
+    for strategy in ("array", "join"):
+        with pytest.raises(ValueError, match="bench_df is a streaming"):
+            decontaminate(corpus, bench_stream, strategy=strategy)

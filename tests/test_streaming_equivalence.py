@@ -191,3 +191,56 @@ def test_foreachbatch_sink_replay_is_idempotent(spark, sf_dir, tmp_path):
     write_batch_idempotent(df, 7, out)
     got = spark.read.parquet(out).drop("batch_id")
     assert got.count() == df.count()
+
+
+def test_stream_decontaminate_join_equals_batch(spark, sf_dir, tmp_path):
+    """r9: join-mode streaming decontamination (foreachBatch) must equal
+    the batch decontaminate(strategy='join') over the same files — the
+    in-engine path for benchmark suites past the array guard's limit.
+    Per-document n-gram aggregation is micro-batch-local (documents
+    don't span files), so the equality is exact even with several
+    micro-batches in flight."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.safety import decontaminate
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import stream_decontaminate_join
+
+    src = f"{sf_dir}/documents.parquet"
+    batch = spark.read.parquet(src).select("doc_id", "text")
+    bench = batch.filter(F.col("doc_id") % 17 == 0).select("text")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "*")
+        .select("doc_id", "text")
+    )
+    got = stream_decontaminate_join(
+        spark, stream, bench, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    want = decontaminate(batch, bench, strategy="join")
+    assert rows(got) == rows(want)
+
+
+def test_stream_transform_empty_drain_returns_transform_schema(
+    spark, sf_dir, tmp_path
+):
+    """A zero-micro-batch drain of a TRANSFORMING foreachBatch sink must
+    return an empty frame with the TRANSFORM's output schema (schema
+    derivation over an empty batch — nothing executes), not the raw
+    stream's schema."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        run_stream_transform_to_parquet,
+    )
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    got = run_stream_transform_to_parquet(
+        spark,
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        transform=lambda bdf: bdf.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    assert got.columns == ["doc_id", "n"]
+    assert got.count() == 0
