@@ -384,6 +384,14 @@ def ivf_assignments(
     e = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
+    return c, _assign_to_centroids(e, c)
+
+
+def _assign_to_centroids(e: DataFrame, c: DataFrame) -> DataFrame:
+    """Nearest-centroid argmax: (_id, _list) for every row of ``e``
+    against the broadcast centroid set ``c`` — one corpus-wide
+    aggregate that shrinks to one row per vector, ties to the smaller
+    centroid id (matching the oracle's ``ORDER BY cos DESC, cid``)."""
     scored = e.join(F.broadcast(c)).select(
         "_id",
         F.struct(
@@ -392,10 +400,54 @@ def ivf_assignments(
             F.col("_cid").alias("cid"),
         ).alias("_scored"),
     )
-    assign = scored.groupBy("_id").agg(
+    return scored.groupBy("_id").agg(
         F.max("_scored").getField("cid").alias("_list")
     )
-    return c, assign
+
+
+def lloyd_refine_centroids(e: DataFrame, assign: DataFrame) -> DataFrame:
+    """One Lloyd iteration over the current IVF assignment: each list's
+    centroid moves to the element-wise MEAN of its member vectors
+    (coordinates rounded to 6 decimals — the rounding is part of the
+    operator contract so the SQL oracle, whose summation order differs
+    at the ULP level, lands on bit-identical centroids and therefore
+    identical downstream assignments).
+
+    Scale shape: posexplode fans the corpus to n x dim (pos, val) rows,
+    but the per-(list, pos) mean partially aggregates map-side, so the
+    exchange carries at most n_lists x dim rows per upstream partition
+    and the final state is the (tiny) centroid set itself. The
+    collect_list that rebuilds each mean vector runs on n_lists groups
+    of dim elements — broadcast-scale by construction. Keeps the
+    original sampled ids as list ids (stable across iterations; a list
+    that loses all members simply disappears rather than yielding a
+    null centroid).
+
+    When to use it (measured, r9): the seed centroids are an md5-ranked
+    corpus sample (``select_ivf_centroids``) — unbiased but blind to
+    density, so on a CLUSTERED corpus two seeds can land in one cluster
+    while another goes unseeded; one mean step re-centers each seed on
+    the mass it captured and recall rises (planted-16-cluster corpus:
+    recall@3 0.967 → 1.000 at 3/16 probes). On a STRUCTURE-FREE corpus
+    it is counterproductive: sample means of random gaussian partitions
+    collapse toward the origin, assignment directions degrade, and
+    recall FALLS (i.i.d.-gaussian fixture: 0.767 → 0.633 at 6/16) —
+    which is why ``cosine_knn_ivf`` defaults to ``lloyd_iters=0`` and
+    buys its fixture recall with boundary replication instead. Real
+    embedding corpora cluster; enable it there.
+    """
+    members = e.join(assign, "_id").select(
+        F.col("_list"), F.posexplode("_v").alias("_pos", "_val")
+    )
+    means = members.groupBy("_list", "_pos").agg(
+        F.round(F.avg("_val"), 6).alias("_m")
+    )
+    return means.groupBy("_list").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+            lambda s: s["_m"],
+        ).alias("_cv")
+    ).select(F.col("_list").alias("_cid"), "_cv")
 
 
 def select_ivf_centroids(
@@ -421,22 +473,67 @@ def cosine_knn_ivf(
     k: int = 3,
     n_lists: int = 16,
     nprobe: int = 4,
+    lloyd_iters: int = 0,
+    replication: int = 2,
 ) -> DataFrame:
     """Approximate top-k via IVF-flat: score each query only against the
     inverted lists of its ``nprobe`` nearest centroids.
 
     Scale shape: centroids are O(n_lists) and broadcast everywhere;
-    corpus rows are assigned map-side (one aggregate on the corpus id —
-    the only corpus-wide shuffle, and it shrinks to one row per vector);
-    the probe is an equi-join on ``_list`` between the (small,
-    broadcast) query probe set and the assigned corpus, so each corpus
-    row is examined by at most the queries probing its list — at 100 TB
-    the search cost is |query| × (nprobe/n_lists) × corpus, against the
-    brute-force |query| × corpus. Recall is the standard IVF trade:
-    nprobe/n_lists. Returns (query_id, neighbor_id, rank, cosine).
+    corpus rows are assigned map-side (one aggregate/window on the
+    corpus id — the only corpus-wide shuffle, and it shrinks to
+    ``replication`` rows per vector); the probe is an equi-join on
+    ``_list`` between the (small, broadcast) query probe set and the
+    assigned corpus, so each corpus row is examined by at most the
+    queries probing its lists — at 100 TB the search cost is
+    |query| × replication × (nprobe/n_lists) × corpus, against the
+    brute-force |query| × corpus.
+
+    Recall knobs, both measured on the fixture (r9 sweep, SCALE.md):
+
+    - ``replication`` (default 2): SPANN-style boundary replication —
+      each corpus vector posts into its ``replication`` nearest lists,
+      so a true neighbor near a Voronoi boundary is found if ANY of its
+      lists is probed. On the i.i.d.-gaussian fixture (IVF's worst
+      case — no cluster structure, every vector is near a boundary)
+      this is what moves recall: 24 lists / 8 probes × 2 replicas
+      measures recall@3 0.90 / 0.93 / 0.90 at sf0.001/0.01/0.1 vs
+      0.767 for the r7 hard-assigned 16/6 point, paying with the
+      2× posting-list storage and scan fraction (0.67 vs 0.375) —
+      recall here is bought with bounded, explicit cost, never with a
+      plan-shape change. Duplicate (query, neighbor) candidates from
+      shared lists are collapsed by a map-side-partial aggregate
+      BEFORE ranking, so the window never sees them.
+    - ``lloyd_iters`` (default 0): re-center the md5-sampled seed
+      centroids on the mass they captured (``lloyd_refine_centroids``,
+      one corpus re-assignment pass each). Helps exactly when the
+      corpus HAS cluster structure (planted-16-cluster test:
+      0.967 → 1.000) and measurably HURTS structure-free corpora
+      (gaussian fixture: 0.767 → 0.633 at 16/6 — sample means of
+      random partitions collapse toward the origin and assignment
+      degrades), hence off by default for the benchmark fixture and
+      recommended ON for real embedding corpora, which cluster.
+
+    Returns (query_id, neighbor_id, rank, cosine).
     """
     cents = select_ivf_centroids(corpus, id_col, n_lists)
     c, assign = ivf_assignments(corpus, cents, id_col, vec_col)
+    e0 = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    for _ in range(lloyd_iters):
+        c = lloyd_refine_centroids(e0, assign)
+        assign = _assign_to_centroids(e0, c)
+    if replication > 1:
+        sc_all = e0.join(F.broadcast(c)).select(
+            "_id", "_cid", cosine(F.col("_v"), F.col("_cv")).alias("_acos")
+        )
+        wa = Window.partitionBy("_id").orderBy(F.desc("_acos"), F.asc("_cid"))
+        assign = (
+            sc_all.withColumn("_ark", F.row_number().over(wa))
+            .filter(F.col("_ark") <= replication)
+            .select("_id", F.col("_cid").alias("_list"))
+        )
     e = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
@@ -465,6 +562,14 @@ def cosine_knn_ivf(
             cosine(F.col("qv"), F.col("cv")).alias("_cos"),
         )
     )
+    if replication > 1:
+        # a (query, neighbor) pair sharing several probed lists appears
+        # once per shared list with an IDENTICAL cosine — collapse with
+        # a partial-aggregating max (one exchange, map-side combine)
+        # rather than distinct-ing the wider pre-cosine candidate set
+        scored = scored.groupBy("query_id", "neighbor_id").agg(
+            F.max("_cos").alias("_cos")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -166,13 +166,17 @@ _KNN_LSH_BITS, _KNN_LSH_TABLES = 4, 18
 # pure comparisons, so tables are even cheaper than sign-LSH's.
 _KNN_WTA_BITS, _KNN_WTA_TABLES = 4, 26
 
-# knn_ivf coarse quantizer, same contract. r7: nprobe 4 → 6 (probe 3/8
-# of lists) = recall@3 0.667 → 0.767 at sf0.01. Deliberately NOT the
-# 50%-probe point (0.800) — IVF's cost is |q|·(nprobe/n_lists)·n, and
-# doubling the probed fraction to chase recall on i.i.d.-gaussian
-# fixtures (IVF's worst case: no cluster structure) prices the 100 TB
-# default wrong; the sweep and the curve live in SCALE.md.
-_KNN_IVF_LISTS, _KNN_IVF_NPROBE = 16, 6
+# knn_ivf coarse quantizer, same contract. r9: 16 lists / 6 probes
+# hard-assigned (recall@3 0.767 at sf0.01) → 24 lists / 8 probes with
+# SPANN-style 2-way boundary replication = recall@3 0.90/0.93/0.90 at
+# sf0.001/0.01/0.1. The r9 sweep also measured the alternatives on
+# this i.i.d.-gaussian fixture (IVF's worst case — no cluster
+# structure): one Lloyd refinement DROPS recall (0.767 → 0.633;
+# sample means collapse toward the origin), and raising the probed
+# fraction alone plateaus (32/14 hard = 0.800 at frac 0.44). The
+# replication point pays 2× posting storage and scan fraction
+# 0.67 vs 0.375 — an explicit, bounded cost; curve in SCALE.md.
+_KNN_IVF_LISTS, _KNN_IVF_NPROBE, _KNN_IVF_REPL = 24, 8, 2
 
 # Hyperplane embedding-dedup banding (r7), same single-definition
 # contract: the upgrade path past coordinate-sign's dim/bits table cap
@@ -2059,12 +2063,16 @@ def knn_lsh_q(spark, sf):
 def knn_ivf_q(spark, sf):
     """IVF-flat ANN: deterministic md5-sampled coarse centroids,
     broadcast assignment (corpus never shuffles for the quantization),
-    nprobe-list probe join. The FAISS-style inverted-list structure from
-    open DataFrame primitives; search cost |q| * (nprobe/n_lists) * n.
+    nprobe-list probe join. The FAISS-style inverted-list structure
+    from open DataFrame primitives; search cost
+    |q| * replication * (nprobe/n_lists) * n.
 
-    r7: nprobe 6/16 (recall@3 0.767 at sf0.01, up from 0.667 at 4/16 —
-    full probe-fraction curve and the cost argument for stopping short
-    of the 50%-probe 0.800 point in SCALE.md)."""
+    r9: 24 lists / 8 probes with 2-way boundary replication (each
+    corpus vector posts into its two nearest lists — the SPANN recipe
+    for Voronoi-boundary misses) = recall@3 0.90/0.93/0.90 at
+    sf0.001/0.01/0.1, up from the r7 hard-assigned 16/6 point's 0.767;
+    sweep — including why Lloyd refinement is OFF for this fixture —
+    at the _KNN_IVF_* definition and in SCALE.md."""
     emb = load_table(spark, sf, "embeddings")
     return cosine_knn_ivf(
         emb,
@@ -2072,6 +2080,7 @@ def knn_ivf_q(spark, sf):
         k=3,
         n_lists=_KNN_IVF_LISTS,
         nprobe=_KNN_IVF_NPROBE,
+        replication=_KNN_IVF_REPL,
     )
 
 
@@ -3084,11 +3093,13 @@ ORACLE_SQL: dict[str, str] = {
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
         " cent AS (SELECT vec_id AS cid, v AS cv FROM e"
         f"  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_KNN_IVF_LISTS}),"
+        # r9: 2-way boundary replication — rk <= REPL, not rk = 1
         " asg AS (SELECT vec_id, cid AS list FROM ("
         "  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id"
         "   ORDER BY list_dot_product(e.v, c.cv) /"
         "   sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv))"
-        "   DESC, c.cid ASC) AS rk FROM e CROSS JOIN cent c) WHERE rk = 1),"
+        "   DESC, c.cid ASC) AS rk FROM e CROSS JOIN cent c)"
+        f" WHERE rk <= {_KNN_IVF_REPL}),"
         " q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),"
         " probes AS (SELECT query_id, qv, cid AS list FROM ("
         "  SELECT q.query_id, q.qv, c.cid, row_number() OVER ("
@@ -3097,7 +3108,9 @@ ORACLE_SQL: dict[str, str] = {
         "   sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))"
         "   DESC, c.cid ASC) AS prk FROM q CROSS JOIN cent c)"
         f" WHERE prk <= {_KNN_IVF_NPROBE}),"
-        " scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,"
+        # DISTINCT: a (query, neighbor) pair sharing several probed
+        # lists must rank once (mirrors the operator's max-collapse)
+        " scored AS (SELECT DISTINCT p.query_id, e.vec_id AS neighbor_id,"
         "  list_dot_product(p.qv, e.v) /"
         "  sqrt(list_dot_product(p.qv, p.qv) * list_dot_product(e.v, e.v)) AS cos"
         "  FROM probes p JOIN asg a ON a.list = p.list"

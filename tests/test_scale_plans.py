@@ -275,8 +275,10 @@ def test_ann_recall_floors(spark, sf_dir):
     Everything is hash-deterministic, so these floors are exact numbers
     for the fixture (measured at sf0.001: lsh 0.933 with the r7
     4-bit × 18-table banding — 0.567 for the r5/r6 5×10, 0.40 on the
-    r1–r4 axis slices — ivf 0.57; curve in SCALE.md) — a drop means a
-    quality regression, not flake."""
+    r1–r4 axis slices; ivf 0.90 with the r9 24-list/8-probe 2-replica
+    point — 0.667 for the r6 hard 16/4, 0.633 at r7's 16/6 on this
+    sf; curve in SCALE.md) — a drop means a quality regression, not
+    flake."""
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import QUERIES
 
     truth = {}
@@ -284,7 +286,7 @@ def test_ann_recall_floors(spark, sf_dir):
         if r["rank"] <= 3:
             truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     total = sum(len(v) for v in truth.values())
-    for name, floor in [("knn_lsh", 0.9), ("knn_wta", 0.9), ("knn_ivf", 0.6)]:
+    for name, floor in [("knn_lsh", 0.9), ("knn_wta", 0.9), ("knn_ivf", 0.85)]:
         got = {}
         for r in QUERIES[name](spark, sf_dir).collect():
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])

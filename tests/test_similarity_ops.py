@@ -206,3 +206,59 @@ def test_quantize_zero_vector_yields_zero_codes(spark):
     assert all(r["q"] == 0 and r["scale"] == 0.0 for r in z)
     nz = {r["pos"]: r["q"] for r in rows if r["vec_id"] == 2}
     assert nz == {1: 64, 2: -127, 3: 32}
+
+
+def test_lloyd_refine_exact_means(spark):
+    """lloyd_refine_centroids moves each list's centroid to the
+    element-wise mean of its members, rounded to 6 decimals (the
+    rounding is the cross-engine determinism contract)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        lloyd_refine_centroids,
+    )
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 1.0]), (3, [0.0, 5.0])],
+        "_id long, _v array<double>",
+    )
+    assign = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "_id long, _list long"
+    )
+    got = {
+        r["_cid"]: r["_cv"]
+        for r in lloyd_refine_centroids(e, assign).collect()
+    }
+    assert got == {10: [2.0, 0.5], 20: [0.0, 5.0]}
+
+
+def test_ivf_replication_dedupes_shared_list_candidates(spark):
+    """With replication > 1 a (query, neighbor) pair can share several
+    probed lists; the output must rank each neighbor exactly once, with
+    dense ranks 1..k — the max-collapse aggregate runs BEFORE the rank
+    window."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        cosine_knn_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cosine_knn_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=3,
+        n_lists=8,
+        nprobe=4,
+        replication=2,
+    ).collect()
+    seen = {}
+    for r in out:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key not in seen, f"duplicate ranked pair {key}"
+        seen[key] = r["rank"]
+    by_q = {}
+    for (q, _), rk in seen.items():
+        by_q.setdefault(q, []).append(rk)
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), (q, rks)
