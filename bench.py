@@ -72,6 +72,20 @@ def main() -> None:
             min(run_once(QUERIES["q7_events_early"]) for _ in range(3)), 3
         )
 
+    # r9 calibration GATE: the r8 round recorded a 99.59 s total that
+    # had to be adjudicated as host drift after the fact. Instead of
+    # adjudicating, the bench now tries to RECORD inside a clean
+    # window: when both cal samples sit above CAL_GATE x the pinned
+    # clean-window yardstick (min-of-3 measured on an idle host, only
+    # meaningful at sf0.1 where the pin was taken), it waits out the
+    # degraded window and re-runs the slowest queries, keeping
+    # per-query minima, until a cal sample passes or the budget runs
+    # out. cal.ok in the output says whether the recorded numbers ever
+    # saw a clean window — a cal.ok=false round is explicitly
+    # drift-suspect and comparable only to its own cal.
+    CAL_PIN = 0.33
+    CAL_GATE = 1.2
+
     cal_start = _calibrate()
 
     bench_start = time.perf_counter()
@@ -158,7 +172,37 @@ def main() -> None:
     if len(_regr_all) > 8:
         regr["_more"] = len(_regr_all) - 8
 
-    cal = {"q": "q7_events_early", "start": cal_start, "end": _calibrate()}
+    cal_end = _calibrate()
+    retries = 0
+    while (
+        min(cal_start, cal_end) > CAL_PIN * CAL_GATE
+        and time.perf_counter() - bench_start < budget_s
+        and retries < 4
+    ):
+        retries += 1
+        time.sleep(15)  # wait out the degraded window
+        c = _calibrate()
+        cal_end = min(cal_end, c)
+        if c <= CAL_PIN * CAL_GATE:
+            # clean window: replace stall-polluted samples, slowest
+            # first, keeping per-query minima until the budget ends
+            for name in sorted(timings, key=timings.get, reverse=True):
+                if time.perf_counter() - bench_start > budget_s:
+                    break
+                timings[name] = min(timings[name], run_once(QUERIES[name]))
+                runs[name] += 1
+            cal_end = min(cal_end, _calibrate())
+            break
+
+    cal = {
+        "q": "q7_events_early",
+        "start": cal_start,
+        "end": cal_end,
+        "pin": CAL_PIN,
+        "ok": min(cal_start, cal_end) <= CAL_PIN * CAL_GATE,
+    }
+    if retries:
+        cal["retries"] = retries
 
     detail = {
         "queries": {k: round(v, 4) for k, v in timings.items()},

@@ -269,9 +269,31 @@ def _banded_pairs_cosine_verify(
     e: DataFrame, buckets: DataFrame, threshold: float, max_bucket: int | None
 ) -> DataFrame:
     """Shared tail of the embedding near-dup family: optional
-    degenerate-bucket skew guard, per-(table, bucket) self-join for
-    distinct candidate pairs, then exact-cosine verification via two id
-    joins. ``e`` is (_id, _v double-array); ``buckets`` is (_id, _t, _b)."""
+    degenerate-bucket skew guard, then IN-BAND verification (r9) —
+    vectors are attached to the surviving band rows by ONE id join and
+    the per-(table, bucket) self-join scores each candidate in place;
+    only pairs that PASS the threshold reach the final dedupe
+    aggregate. ``e`` is (_id, _v double-array); ``buckets`` is
+    (_id, _t, _b).
+
+    Why this replaced the candidates-distinct → two-id-joins shape
+    (measured at the 100× embedding decade, 200k vectors / 15 auto
+    bits / 6 tables, same session A/B): the multi-table candidate set
+    is effectively duplicate-free THERE (6,652,598 raw vs 6,649,554
+    distinct — chance pairs almost never agree in two 15-bit tables),
+    so the old pre-verify ``distinct`` was a full 6.6M-row exchange
+    that removed 0.05% of rows, and the two id joins re-shuffled the
+    corpus + candidates again to fetch vectors the band rows had
+    already seen. In-band: 14.57 s vs 19.20 s (identical 560,705
+    pairs), and the sf0.1 gate configs measure the same-or-better
+    (SCALE.md r9). The dedupe that IS still needed — a true near-dup
+    pair agreeing in several tables — moves AFTER the threshold,
+    where it aggregates only the surviving pairs (560k, not 6.6M) and
+    duplicate scores are bit-identical so ``max`` is exact. The trade
+    is band-shuffle width (rows carry the 64-dim vector); at
+    dimensions far past ~10³, or table counts high enough to make the
+    dup factor material, the re-join shape wins again — re-measure
+    before reusing this tail there."""
     if max_bucket is not None:
         w = Window.partitionBy("_t", "_b")
         buckets = (
@@ -279,22 +301,20 @@ def _banded_pairs_cosine_verify(
             .filter(F.col("_bc") <= max_bucket)
             .drop("_bc")
         )
-    a = buckets.select("_t", "_b", F.col("_id").alias("id_a"))
-    b = buckets.select("_t", "_b", F.col("_id").alias("id_b"))
-    cand = (
-        a.join(b, ["_t", "_b"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    bv = buckets.join(e, "_id")
+    aa = bv.select(
+        "_t", "_b", F.col("_id").alias("id_a"), F.col("_v").alias("_va")
     )
-    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    bb = bv.select(
+        "_t", "_b", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        aa.join(bb, ["_t", "_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
         .filter(F.col("_cos") >= threshold)
-        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("_cos"), 6).alias("cosine"))
     )
 
 

@@ -3750,10 +3750,15 @@ _GATE_FRONT = {
     # foreachBatch path the array guard's error message points at). ----
     "stream_decontam_join": stream_decontam_join,
     # ---- r9 reshaped plans (changed since their last green rows, so
-    # they must re-attest): knn_ivf gains one Lloyd refinement of its
-    # md5-sampled coarse centroids (recall@3 floor raised; oracle
-    # re-derives the same refinement in SQL). ----
+    # they must re-attest): knn_ivf moves to 24 lists / 8 probes with
+    # SPANN-style 2-way boundary replication (recall@3 floor
+    # 0.6 → 0.85; oracle re-derives the replicated assignment), and
+    # the embedding near-dup family's shared verify tail is rewritten
+    # in-band (the 100×-measured dead distinct + re-join removal —
+    # SCALE.md r9 profile), which changes both consumers' plans. ----
     "knn_ivf": knn_ivf_q,
+    "dedup_embedding": dedup_embedding_q,
+    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
     # ---- r6 drain head (VERDICT r8 #1): the 18 r6-attested leftovers
     # — every one a pure-relational plan unchanged since r6 with
     # every-round local parity; re-attested here so the whole ledger
@@ -3779,12 +3784,13 @@ _GATE_FRONT = {
     "event_value_percentiles_sketch": event_value_percentiles_sketch,
     "bucketed_join_events": bucketed_join_events,
     "event_distinct_users_sketch": event_distinct_users_sketch,
-    # ---- r7 drain: the 30 oldest r7-attested rows (plans unchanged;
-    # re-attesting for freshness). The 5 left behind
-    # (embedding_centroids, embedding_label_spread, tfidf_top_terms,
-    # inverted_index, tpch_q5_local_supply) are the r10 drain head —
-    # with 104 queries and a 50-slot window, a <=2-round staleness
-    # ceiling is the steady state the rotation holds by construction.
+    # ---- r7 drain: the 28 oldest r7-attested rows (plans unchanged;
+    # re-attesting for freshness). The 7 left behind
+    # (repetition_scores, mix_sources, embedding_centroids,
+    # embedding_label_spread, tfidf_top_terms, inverted_index,
+    # tpch_q5_local_supply) are the r10 drain head — with 104 queries
+    # and a 50-slot window, a <=2-round staleness ceiling is the
+    # steady state the rotation holds by construction.
     "event_top_users_sketch": event_top_users_sketch,
     "stream_sessionize_native": stream_sessionize_native,
     "dedup_simhash": dedup_simhash_q,
@@ -3813,13 +3819,11 @@ _GATE_FRONT = {
     "pii_scan": pii_scan_q,
     "pii_redact": pii_redact_q,
     "stream_pii_redact": stream_pii_redact,
-    "repetition_scores": repetition_scores_q,
-    "mix_sources": mix_sources_q,
 }
 
-# r9 again suspends the standing sentinel block: 1 new + 1 reshaped +
-# the full 18-row r6 drain head + 30 r7 rows fill the window exactly
-# (1 + 1 + 18 + 30 = 50), and every operator class a sentinel would
+# r9 again suspends the standing sentinel block: 1 new + 3 reshaped +
+# the full 18-row r6 drain head + 28 r7 rows fill the window exactly
+# (1 + 3 + 18 + 28 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_top_words and the tweet
 # family, events by the window/pivot/percentile block, streaming by
 # stream_decontam_join/stream_decontam_docs/stream_sessionize_native/
@@ -3828,7 +3832,9 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (5) — the r10 drain head.
+    # r7-attested leftovers (7) — the r10 drain head.
+    "repetition_scores": repetition_scores_q,
+    "mix_sources": mix_sources_q,
     "embedding_centroids": embedding_centroids_q,
     "embedding_label_spread": embedding_label_spread_q,
     "tfidf_top_terms": tfidf_top_terms_q,
@@ -3844,7 +3850,6 @@ _PROVEN = {
     "dedup_containment": dedup_containment_q,
     "knn_wta": knn_wta_q,
     "knn_lsh": knn_lsh_q,
-    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
     "embedding_outliers": embedding_outliers_q,
     "multimodal_decode": multimodal_decode_q,
     "multimodal_resize": multimodal_resize_q,
@@ -3881,7 +3886,6 @@ _PROVEN = {
     "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
     "stream_windowed_events": stream_windowed_events,
     "decontam_docs": decontam_docs_q,
-    "dedup_embedding": dedup_embedding_q,
     "q1_top_emojis": q1_top_emojis,
     "q7_events_early": q7_events_early,
     "q2_stream_top_words": q2_stream_top_words,
