@@ -83,8 +83,11 @@ def main() -> None:
     # out. cal.ok in the output says whether the recorded numbers ever
     # saw a clean window — a cal.ok=false round is explicitly
     # drift-suspect and comparable only to its own cal.
+    # pin: best idle-host min-of-3 observed across r8/r9 clean sessions
+    # (0.329 twice); idle samples run 0.33-0.52, so the 1.25 gate flags
+    # genuinely degraded windows without tripping on normal jitter.
     CAL_PIN = 0.33
-    CAL_GATE = 1.2
+    CAL_GATE = 1.25
 
     cal_start = _calibrate()
 
