@@ -145,6 +145,31 @@ def main() -> None:
             timings[name] = min(timings[name], run_once(QUERIES[name]))
             runs[name] += 1
 
+    # Whole-catalog re-passes with the leftover budget (r9): stall
+    # windows pollute arbitrary queries, and the 0.6-1.4 s band sits
+    # UNDER the 1.5 s suspect threshold yet carried +0.2-0.6 s of
+    # stall in the r9 single-pass-vs-r7 comparison (76/104 queries had
+    # exactly one sample). So every query earns extra samples while
+    # the budget holds — fewest-samples-first, slowest-first within a
+    # tier, so a second sample for all precedes a fifth for the
+    # suspects; min-merge as everywhere else. A query's own last
+    # reading prices its next sample against the remaining budget.
+    while time.perf_counter() - bench_start < budget_s:
+        order = sorted(timings, key=lambda n: (runs[n], -timings[n]))
+        if runs[order[0]] >= 5:
+            break
+        progressed = False
+        for name in order:
+            if runs[name] >= 5:
+                continue
+            if time.perf_counter() - bench_start + timings[name] > budget_s:
+                continue
+            timings[name] = min(timings[name], run_once(QUERIES[name]))
+            runs[name] += 1
+            progressed = True
+        if not progressed:
+            break
+
     # The driver captures a 2000-byte stdout tail (r1/r2 both lost the
     # line to truncation — measured: tail == 2000 B exactly). Full
     # per-query timings + sample counts go to BENCH_DETAIL.json; the one
