@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # high bit of a hex digit
+HEX_BIT2 = ("4", "5", "6", "7", "c", "d", "e", "f")  # second bit (nibble & 4)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -803,12 +804,24 @@ def keep_best_per_cluster(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
-    """16-bit SimHash over distinct word tokens, as a '0'/'1' string.
+    """SimHash over distinct word tokens, as a '0'/'1' string.
 
-    Bit i of a token is the high bit of hex digit i of md5(token); the
-    fingerprint bit is the sign of the +1/-1 vote sum. String encoding
-    (rather than an int) keeps the operator portable to the SQL oracle.
-    Returns (doc_id, simhash). Group equal fingerprints to find near-dups.
+    Bit i of a token (i < 32) is the HIGH bit (nibble & 8) of hex digit
+    i of md5(token); bits 32–63 draw the SECOND bit (nibble & 4) of hex
+    digit i - 32 — 64 independent md5 bits from ONE digest per token,
+    so widening costs no extra hashing. The fingerprint bit is the sign
+    of the +1/-1 vote sum. String encoding (rather than an int) keeps
+    the operator portable to the SQL oracle at any width — there is no
+    signed-bigint ceiling to dodge. Returns (doc_id, simhash). Group
+    equal fingerprints to find near-dups.
+
+    Sizing at scale (the r9 third-decade measurement, SCALE.md): band
+    value space 2^(bits/bands) must stay ≥ corpus size, or the
+    max_bucket guard starts dropping typical-occupancy buckets and
+    recall decays — 32-bit × 2-band sizing measurably hits that wall
+    at ~5M docs (mean occupancy 76 vs guard 64). 64-bit × 2-band gives
+    2^32 band values (occupancy ~0.001 at 5M docs) while the bands-1
+    pigeonhole still covers Hamming ≤ 1.
 
     Computed as a PURE PROJECTION: a single ``aggregate`` folds each
     token's md5 into a ``bits``-wide vote array (``zip_with`` add), so
@@ -816,24 +829,42 @@ def simhash_fingerprints(
     naive explode → groupBy(16 sums), which shuffles every (doc, token)
     row. The vote array is threaded through one lambda accumulator so
     each token's hash is computed exactly once, not once per bit.
+    The ≤32-bit expression tree is kept byte-identical to the r2–r8
+    shape (no constant-true width branch in the per-token lambda), so
+    attested 16/32-bit plans are unchanged.
     """
-    assert bits <= 32
+    assert bits <= 64
     hashes = F.transform(
         F.array_distinct(F.split(F.col(text_col), " ")), lambda w: F.md5(w)
     )
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
+    if bits <= 32:
+        def _tok_votes(h):
+            return F.transform(
                 F.sequence(F.lit(1), F.lit(bits)),
                 lambda i: F.when(
                     F.substring(h, i, F.lit(1)).isin(*HEX_HIGH), F.lit(1)
                 ).otherwise(F.lit(-1)),
-            ),
-            lambda a, b: a + b,
-        ),
+            )
+    else:
+        def _tok_votes(h):
+            return F.transform(
+                F.sequence(F.lit(1), F.lit(bits)),
+                lambda i: F.when(
+                    F.when(
+                        i <= F.lit(32),
+                        F.substring(h, i, F.lit(1)).isin(*HEX_HIGH),
+                    ).otherwise(
+                        F.substring(h, i - F.lit(32), F.lit(1)).isin(
+                            *HEX_BIT2
+                        )
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, _tok_votes(h), lambda a, b: a + b),
     )
     simhash = F.concat_ws(
         "",
@@ -860,13 +891,15 @@ def simhash_near_dup_pairs(
     Banding guarantee (pigeonhole): any pair within Hamming distance
     ``bands - 1`` shares at least one unchanged band, so with the
     defaults every pair at distance ≤ 1 is found; more distant pairs
-    surface only if their flips cluster in one band. Production sizing
-    is 64-bit fingerprints in 4×16-bit bands (2^16 bucket values);
-    the 16-bit default here keeps the fingerprint SQL-oracle-portable,
-    which makes ``max_bucket`` mandatory in spirit — 2^8 bucket values
-    per band WILL degenerate on a large corpus, exactly like short
-    char-shingle MinHash buckets, and the same window-count guard
-    bounds the self-join at O(bucket²).
+    surface only if their flips cluster in one band. Sizing rule
+    (measured through three document decades, SCALE.md): band value
+    space 2^(bits/bands) must stay ≥ corpus size or ``max_bucket``
+    starts dropping typical buckets and recall decays — 16-bit × 2
+    collapses at ~500k docs, 32-bit × 2 at ~5M. The catalog's
+    scale entry is ``bits=64, bands=2`` (2^32 band values, the
+    measured fix for the 5M-doc boundary); ``max_bucket`` stays
+    mandatory in spirit at every width, bounding the self-join at
+    O(bucket²) on corpora beyond the width's regime.
 
     Plan: fingerprints are a pure projection; one explode emits the
     (band, sig) rows; the bucket equi-join is the only corpus shuffle;

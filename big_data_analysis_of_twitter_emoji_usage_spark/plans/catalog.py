@@ -1950,6 +1950,25 @@ def dedup_simhash_pairs_q(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def dedup_simhash64_pairs_q(spark, sf):
+    """SimHash near-dup pairs at the measured-scale sizing: 64-bit
+    fingerprints (two md5 nibble bits per hex digit — still ONE digest
+    per token) in 2×32-bit bands.
+
+    This is the in-engine answer to the r9 third-decade boundary
+    (SCALE.md): at 5M docs the 32-bit family's 2^16 band values put
+    mean bucket occupancy (76) above the skew guard (64), so recall
+    decays while wall-clock stays guard-bounded-linear. 2^32 band
+    values hold expected occupancy ≈ n/4.3e9 (~0.001 at 5M docs) —
+    buckets shrink back to genuine near-dup clusters, and the bands-1
+    pigeonhole still finds every Hamming ≤ 1 pair. Same plan shape as
+    the 32-bit entry: projection → one band explode → bucket
+    equi-join → Hamming verify."""
+    return simhash_near_dup_pairs(
+        _docs(spark, sf), bits=64, bands=2
+    ).orderBy("id_a", "id_b")
+
+
 def dedup_ngram_jaccard_q(spark, sf):
     """Char-4-gram Jaccard near-dups (the n-gram variant of MinHash).
 
@@ -2580,17 +2599,28 @@ _SIMHASH_BITS = 32
 
 
 def _simhash_fp_cte(bits: int) -> str:
+    # Bit i < 32: high bit (nibble & 8) of hex digit i+1; bit i >= 32:
+    # second bit (nibble & 4) of hex digit i-31 — mirrors the Spark
+    # operator's 64-wide extension exactly (one md5 per token).
+    def _bit_case(i: int) -> str:
+        p = i + 1 if i < 32 else i - 31
+        s = (
+            "('8','9','a','b','c','d','e','f')"
+            if i < 32
+            else "('4','5','6','7','c','d','e','f')"
+        )
+        return (
+            "CASE WHEN sum(CASE WHEN substr(hx, {p}, 1) IN"
+            " {s} THEN 1 ELSE -1 END) > 0"
+            " THEN '1' ELSE '0' END".format(p=p, s=s)
+        )
+
     return (
         "tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))"
         " AS w FROM documents),"
         " h AS (SELECT doc_id, md5(w) AS hx FROM tk),"
         " fp AS (SELECT doc_id, concat("
-        + ", ".join(
-            "CASE WHEN sum(CASE WHEN substr(hx, {p}, 1) IN"
-            " ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0"
-            " THEN '1' ELSE '0' END".format(p=i + 1)
-            for i in range(bits)
-        )
+        + ", ".join(_bit_case(i) for i in range(bits))
         + ") AS simhash FROM h GROUP BY doc_id)"
     )
 
@@ -3074,6 +3104,26 @@ ORACLE_SQL: dict[str, str] = {
         " FROM cand c JOIN fp fa ON fa.doc_id = c.id_a"
         " JOIN fp fb ON fb.doc_id = c.id_b"
         " WHERE len(list_filter(range(1, 33),"
+        "  i -> substr(fa.simhash, i, 1) != substr(fb.simhash, i, 1)"
+        " )) <= 1 ORDER BY c.id_a, c.id_b"
+    ),
+    "dedup_simhash64_pairs": (
+        "WITH " + _simhash_fp_cte(64) + ","
+        " bands AS (SELECT doc_id, 0 AS band, substr(simhash, 1, 32) AS sig"
+        " FROM fp UNION ALL SELECT doc_id, 1, substr(simhash, 33, 32)"
+        " FROM fp),"
+        " bf AS (SELECT doc_id, band, sig FROM ("
+        "  SELECT *, count(*) OVER (PARTITION BY band, sig) AS bc"
+        "  FROM bands) WHERE bc <= 64),"
+        " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+        "  FROM bf a JOIN bf b ON a.band = b.band AND a.sig = b.sig"
+        "  AND a.doc_id < b.doc_id)"
+        " SELECT c.id_a, c.id_b, len(list_filter(range(1, 65),"
+        "  i -> substr(fa.simhash, i, 1) != substr(fb.simhash, i, 1)"
+        " ))::BIGINT AS hamming"
+        " FROM cand c JOIN fp fa ON fa.doc_id = c.id_a"
+        " JOIN fp fb ON fb.doc_id = c.id_b"
+        " WHERE len(list_filter(range(1, 65),"
         "  i -> substr(fa.simhash, i, 1) != substr(fb.simhash, i, 1)"
         " )) <= 1 ORDER BY c.id_a, c.id_b"
     ),
@@ -3747,8 +3797,11 @@ ORACLE_SQL["stream_quality_docs"] = ORACLE_SQL["text_quality"]
 
 _GATE_FRONT = {
     # ---- r9 new surface: join-mode streaming decontamination (the
-    # foreachBatch path the array guard's error message points at). ----
+    # foreachBatch path the array guard's error message points at), and
+    # 64-bit × 2-band SimHash pairs (the in-engine fix for the
+    # third-decade recall boundary the r9 5M-doc measurement pinned). ----
     "stream_decontam_join": stream_decontam_join,
+    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
     # ---- r9 reshaped plans (changed since their last green rows, so
     # they must re-attest): knn_ivf moves to 24 lists / 8 probes with
     # SPANN-style 2-way boundary replication (recall@3 floor
@@ -3818,21 +3871,24 @@ _GATE_FRONT = {
     "pack_sequences": pack_sequences_q,
     "pii_scan": pii_scan_q,
     "pii_redact": pii_redact_q,
-    "stream_pii_redact": stream_pii_redact,
 }
 
-# r9 again suspends the standing sentinel block: 1 new + 3 reshaped +
-# the full 18-row r6 drain head + 28 r7 rows fill the window exactly
-# (1 + 3 + 18 + 28 = 50), and every operator class a sentinel would
+# r9 again suspends the standing sentinel block: 2 new + 3 reshaped +
+# the full 18-row r6 drain head + 27 r7 rows fill the window exactly
+# (2 + 3 + 18 + 27 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_top_words and the tweet
 # family, events by the window/pivot/percentile block, streaming by
-# stream_decontam_join/stream_decontam_docs/stream_sessionize_native/
-# stream_pii_redact, dedup by the simhash family, ANN by knn_ivf).
+# stream_decontam_join/stream_decontam_docs/stream_sessionize_native,
+# dedup by the simhash family, ANN by knn_ivf). stream_pii_redact was
+# displaced below the boundary by dedup_simhash64_pairs (its stateless
+# projection twin pii_redact re-attests in-window this round).
 _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (7) — the r10 drain head.
+    # r7-attested leftovers (8, incl. the r9-displaced
+    # stream_pii_redact) — the r10 drain head.
+    "stream_pii_redact": stream_pii_redact,
     "repetition_scores": repetition_scores_q,
     "mix_sources": mix_sources_q,
     "embedding_centroids": embedding_centroids_q,

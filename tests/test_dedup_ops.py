@@ -285,3 +285,53 @@ def test_cc_error_path_reaps_checkpoint_dirs(spark, tmp_path, monkeypatch):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(None)
         )
+
+
+def test_simhash64_bits_match_md5_reference_and_32bit_prefix(spark):
+    """The 64-bit widening (r9): bits 0-31 are each hex digit's high
+    bit (nibble & 8), bits 32-63 each digit's SECOND bit (nibble & 4) —
+    64 independent md5 bits from one digest per token. Pinned against a
+    pure-Python md5 reference, plus the compatibility invariant that
+    the first 32 bits equal the 32-bit fingerprint (the ≤32-bit
+    expression tree is byte-identical to the attested r2–r8 shape)."""
+    import hashlib
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import simhash_fingerprints
+
+    rows = [(1, "the quick brown fox"), (2, "lorem ipsum dolor sit"), (3, "a b a b a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def ref_fp(text, bits):
+        votes = [0] * bits
+        for w in set(text.split(" ")):
+            hx = hashlib.md5(w.encode()).hexdigest()
+            for i in range(bits):
+                nibble = int(hx[i if i < 32 else i - 32], 16)
+                votes[i] += 1 if nibble & (8 if i < 32 else 4) else -1
+        return "".join("1" if v > 0 else "0" for v in votes)
+
+    got64 = {r.doc_id: r.simhash for r in simhash_fingerprints(df, bits=64).collect()}
+    got32 = {r.doc_id: r.simhash for r in simhash_fingerprints(df, bits=32).collect()}
+    for i, text in rows:
+        assert got64[i] == ref_fp(text, 64)
+        assert len(got64[i]) == 64
+        assert got64[i][:32] == got32[i]
+
+
+def test_simhash64_two_band_pigeonhole_finds_hamming1_pair(spark):
+    """64-bit × 2-band sizing (the catalog's scale entry): a pair at
+    Hamming distance ≤ 1 must share one unchanged 32-bit band and be
+    emitted; an unrelated document must not pair with either."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(df, bits=64, bands=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all({3} & set(k) == set() for k in pairs)
