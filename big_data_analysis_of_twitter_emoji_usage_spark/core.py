@@ -258,27 +258,45 @@ def load_table_stream(
     sf_dir: str,
     name: str,
     columns: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Generic streaming twin of ``load_table``: one fixture table as a
     file-source stream — batch schema probe (streaming JSON/parquet
     sources require a declared schema, the reference's own idiom,
     SURVEY §1.1) + the globbed basePath form, optionally projected to
     ``columns``. The four documents-stream catalog queries previously
-    each repeated this boilerplate inline."""
-    stream = spark.readStream.schema(
-        read_parquet_schema(spark, sf_dir, name)
-    ).parquet(stream_table_path(sf_dir, name))
+    each repeated this boilerplate inline.
+
+    ``max_files_per_trigger`` bounds each micro-batch to N source files.
+    This is the scale-correct drive for stateful plans over a large
+    replay: one availableNow batch holds EVERY session/window in the
+    state store until the terminal flush (the r9 third streaming decade
+    measured a 16 g JVM OOM sessionizing 100M events in one batch),
+    while bounded triggers advance the watermark between batches so
+    closed state is evicted incrementally — memory bounded by OPEN
+    sessions, not total sessions. Requires event-time-ordered file
+    arrival (see ``native_sessionize_stream``'s replay caveat)."""
+    reader = spark.readStream.schema(read_parquet_schema(spark, sf_dir, name))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(stream_table_path(sf_dir, name))
     return stream.select(*columns) if columns else stream
 
 
-def load_events_stream(spark: SparkSession, sf_dir: str):
+def load_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+):
     """Streaming twin of ``load_events``: the events table as a file
     stream with ``ts`` as a timestamp, whatever the parquet encoding.
     The batch schema probe decides once — TIMESTAMP(NANOS) files arrive
     as long nanos (nanosAsLong) and get the integer-div conversion;
-    micro/milli files are already timestamps and pass through untouched."""
+    micro/milli files are already timestamps and pass through untouched.
+    ``max_files_per_trigger`` as in ``load_table_stream``."""
     schema = read_parquet_schema(spark, sf_dir, "events")
-    stream = spark.readStream.schema(schema).parquet(
-        stream_table_path(sf_dir, "events")
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(stream_table_path(sf_dir, "events"))
     return _normalize_ts(stream)

@@ -60,20 +60,9 @@ def test_stateful_sessionize_multibatch(spark, sf_dir):
 
 def _throttled_events_stream(spark, sf_dir):
     """load_events_stream with maxFilesPerTrigger=1 so the fixture's files
-    arrive across several micro-batches."""
-    from big_data_analysis_of_twitter_emoji_usage_spark.core import (
-        _normalize_ts,
-        read_parquet_schema,
-        stream_table_path,
-    )
-
-    schema = read_parquet_schema(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_table_path(sf_dir, "events"))
-    )
-    return _normalize_ts(stream)
+    arrive across several micro-batches — the r9 public knob (the
+    scale-correct drive for large stateful replays; core.py)."""
+    return load_events_stream(spark, sf_dir, max_files_per_trigger=1)
 
 
 def test_sessionize_stream_default_is_native():
