@@ -2450,13 +2450,18 @@ def stream_decontam_join(spark, sf):
     drained result equals the batch ``decontam_docs`` run on the same
     files, which is the oracle: per-document n-gram aggregation is
     batch-local because no document spans a micro-batch. Fresh scratch
-    out/checkpoint dirs per call — the drain is the demonstrator, the
-    landed files are ephemeral."""
+    out/checkpoint dirs per call, reaped at process exit (atexit) —
+    the returned DataFrame reads the landed files, so they must
+    outlive the call but not the process; without the hook every
+    bench/gate invocation left a dir behind (r9 hygiene find)."""
+    import atexit
+    import shutil
     import tempfile
 
     stream = load_table_stream(spark, sf, "documents", ["doc_id", "text"])
     bench = _docs(spark, sf).filter(F.col("doc_id") % 17 == 0).select("text")
     scratch = tempfile.mkdtemp(prefix="spark_graft_stream_decontam_join_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     out = stream_decontaminate_join(
         spark,
         stream,
