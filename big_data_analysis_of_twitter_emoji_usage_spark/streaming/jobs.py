@@ -64,6 +64,14 @@ def run_stream_to_memory(
     so oversized state partitioning costs fixed latency per batch; size
     it to state volume, not to CPU count. The batch conf is restored
     after start.
+
+    TEST/ORACLE HARNESS ONLY: the memory sink accumulates every emitted
+    row in the DRIVER heap for the life of the query. The r9 third
+    streaming decade measured the boundary — sessionizing 100M events
+    emits tens of millions of session rows and OOMs a 16 g driver even
+    with bounded triggers (the state store was fine; the sink wasn't).
+    Large drives belong on ``run_stream_to_parquet`` (executor-side
+    landing, flat driver).
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
