@@ -12,6 +12,8 @@ corpus. All arithmetic is JVM-side higher-order functions
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -425,6 +427,103 @@ def _assign_to_centroids(e: DataFrame, c: DataFrame) -> DataFrame:
     )
 
 
+def _tree_assign(
+    e: DataFrame,
+    c: DataFrame,
+    n_lists: int,
+    replication: int,
+    probe_supers: int = 2,
+    centroid_rep: int = 2,
+) -> DataFrame:
+    """Two-level (tree) coarse quantization: posting-list assignment in
+    O(n x (sqrt(L) + candidates)) instead of the flat path's O(n x L).
+
+    Why it exists (measured, r9 SCALE.md): flat assignment scores every
+    corpus vector against EVERY centroid, so at the classic
+    n_lists ~ sqrt(n) sizing the assignment itself is O(n^1.5) — at 2M
+    vectors the 96-list flat sweep measured ~3.5x the 24-list time even
+    though the probe side got CHEAPER, because the n x L score pass
+    dominates. The fix is the standard hierarchical coarse quantizer:
+
+    1. ``n_supers = isqrt(n_lists)`` super-centroids — the first rows
+       of the SAME md5 rank that selected the centroids, so the tree is
+       deterministic and oracle-expressible;
+    2. each centroid attaches to its ``centroid_rep`` nearest supers
+       (L x sqrt(L) work — tiny, broadcast);
+    3. each corpus vector scores only the supers (n x sqrt(L)), keeps
+       its ``probe_supers`` nearest, and then scores only the centroids
+       attached to those supers — about
+       probe_supers x centroid_rep x L / sqrt(L) candidates instead of
+       all L;
+    4. its ``replication`` nearest candidate centroids become its
+       posting lists, exactly like the flat path.
+
+    The approximation: a vector's true nearest centroid is missed iff
+    it attaches to none of the vector's ``probe_supers`` super-cells —
+    the same Voronoi-boundary failure mode boundary replication already
+    mitigates one level down. With ``probe_supers >= n_supers`` the
+    candidate set is every centroid and the result EQUALS the flat
+    assignment (pinned by ``test_tree_assign_full_probe_equals_flat``).
+
+    Exchanges: one slim n x sqrt(L) window (super ranks), one corpus
+    re-join on ``_id`` to re-attach vectors (the window deliberately
+    carries only (_id, _sid, score) — NOT the vectors, which would
+    multiply the shuffle bytes by the dimension), one combining
+    aggregate + one slim window over the candidate scores. At sqrt-n
+    sizing the compute drops ~L/(2 x sqrt(L) x centroid_rep)-fold and
+    the shuffled bytes drop with it.
+    """
+    n_supers = max(2, math.isqrt(n_lists))
+    s = (
+        c.orderBy(F.md5(F.col("_cid").cast("string")), F.col("_cid"))
+        .limit(n_supers)
+        .select(F.col("_cid").alias("_sid"), F.col("_cv").alias("_sv"))
+    )
+    # centroid -> supers attachment (L x sqrt(L): broadcast-tiny)
+    wc = Window.partitionBy("_cid").orderBy(F.desc("_cscos"), F.asc("_sid"))
+    cs = (
+        c.join(F.broadcast(s))
+        .select(
+            "_cid", "_cv", "_sid",
+            cosine(F.col("_cv"), F.col("_sv")).alias("_cscos"),
+        )
+        .withColumn("_crk", F.row_number().over(wc))
+        .filter(F.col("_crk") <= centroid_rep)
+        .select("_sid", "_cid", "_cv")
+    )
+    # vector -> supers: slim (_id, _sid, score) through the rank window
+    wv = Window.partitionBy("_id").orderBy(F.desc("_vscos"), F.asc("_sid"))
+    vsup = (
+        e.join(F.broadcast(s))
+        .select(
+            "_id", "_sid", cosine(F.col("_v"), F.col("_sv")).alias("_vscos")
+        )
+        .withColumn("_vrk", F.row_number().over(wv))
+        .filter(F.col("_vrk") <= probe_supers)
+        .select("_id", "_sid")
+    )
+    # re-attach vectors, fan out to the attached centroids, score. A
+    # centroid reachable through both probed supers appears twice with
+    # an IDENTICAL cosine — the combining max collapses it map-side
+    # before the posting-rank window (same dedup shape as the flat
+    # path's shared-list candidates).
+    cand = (
+        e.join(vsup, "_id")
+        .join(F.broadcast(cs), "_sid")
+        .select(
+            "_id", "_cid", cosine(F.col("_v"), F.col("_cv")).alias("_ccos")
+        )
+        .groupBy("_id", "_cid")
+        .agg(F.max("_ccos").alias("_ccos"))
+    )
+    wt = Window.partitionBy("_id").orderBy(F.desc("_ccos"), F.asc("_cid"))
+    return (
+        cand.withColumn("_trk", F.row_number().over(wt))
+        .filter(F.col("_trk") <= replication)
+        .select("_id", F.col("_cid").alias("_list"))
+    )
+
+
 def lloyd_refine_centroids(e: DataFrame, assign: DataFrame) -> DataFrame:
     """One Lloyd iteration over the current IVF assignment: each list's
     centroid moves to the element-wise MEAN of its member vectors
@@ -495,6 +594,8 @@ def cosine_knn_ivf(
     nprobe: int = 4,
     lloyd_iters: int = 0,
     replication: int = 2,
+    coarse_assign: str = "flat",
+    probe_supers: int = 2,
 ) -> DataFrame:
     """Approximate top-k via IVF-flat: score each query only against the
     inverted lists of its ``nprobe`` nearest centroids.
@@ -533,9 +634,26 @@ def cosine_knn_ivf(
       random partitions collapse toward the origin and assignment
       degrades), hence off by default for the benchmark fixture and
       recommended ON for real embedding corpora, which cluster.
+    - ``coarse_assign`` (default ``"flat"``): how corpus vectors find
+      their posting lists. ``"flat"`` scores every vector against every
+      centroid — exact, O(n x n_lists), fine at the tens-of-lists
+      sizings but O(n^1.5) at the classic n_lists ~ sqrt(n) rule, where
+      the assignment pass itself dominates (measured at 2M vectors,
+      SCALE.md). ``"tree"`` routes through ``isqrt(n_lists)``
+      super-centroids first (``_tree_assign``) — O(n x sqrt(n_lists))
+      plus a small candidate fan-out, the scale path for large list
+      counts; ``probe_supers`` (default 2) is its accuracy/cost knob,
+      and ``probe_supers >= isqrt(n_lists)`` recovers the flat
+      assignment exactly. Queries always probe the full centroid set
+      (the query side is broadcast-tiny either way).
 
     Returns (query_id, neighbor_id, rank, cosine).
     """
+    if coarse_assign not in ("flat", "tree"):
+        raise ValueError(
+            f"cosine_knn_ivf: coarse_assign={coarse_assign!r} — "
+            "expected 'flat' or 'tree'"
+        )
     cents = select_ivf_centroids(corpus, id_col, n_lists)
     c, assign = ivf_assignments(corpus, cents, id_col, vec_col)
     e0 = corpus.select(
@@ -544,7 +662,11 @@ def cosine_knn_ivf(
     for _ in range(lloyd_iters):
         c = lloyd_refine_centroids(e0, assign)
         assign = _assign_to_centroids(e0, c)
-    if replication > 1:
+    if coarse_assign == "tree":
+        assign = _tree_assign(
+            e0, c, n_lists, max(replication, 1), probe_supers=probe_supers
+        )
+    elif replication > 1:
         sc_all = e0.join(F.broadcast(c)).select(
             "_id", "_cid", cosine(F.col("_v"), F.col("_cv")).alias("_acos")
         )

@@ -2121,6 +2121,34 @@ def knn_ivf_q(spark, sf):
     )
 
 
+def knn_ivf_tree_q(spark, sf):
+    """IVF ANN with the TWO-LEVEL (tree) coarse quantizer: corpus
+    vectors route through isqrt(n_lists) super-centroids and score only
+    the centroids attached to their two nearest super-cells, instead of
+    the flat path's every-vector-x-every-centroid assignment.
+
+    Why it is a separate catalog entry: flat assignment is O(n x L) —
+    fine at 24 lists, O(n^1.5) at the classic sqrt-n list sizing, where
+    the r9 2M-vector sweep measured the assignment pass DOMINATING
+    (96 lists ran ~3.5x the 24-list time despite a cheaper probe side;
+    SCALE.md). The tree is the scale path for large list counts; this
+    entry pins its end-to-end semantics — super selection (same md5
+    rank as the centroids), centroid->super attachment, vector routing,
+    posting top-``replication`` — against a full-hash DuckDB oracle at
+    the SAME 24/8x2 sizing as ``knn_ivf``, so the two entries' recall
+    floors are directly comparable (``test_ann_recall_floors``)."""
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_knn_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        n_lists=_KNN_IVF_LISTS,
+        nprobe=_KNN_IVF_NPROBE,
+        replication=_KNN_IVF_REPL,
+        coarse_assign="tree",
+    )
+
+
 def knn_wta_q(spark, sf):
     """Ordinal (winner-take-all) LSH ANN: bits are exact pairwise
     coordinate comparisons from a deterministic integer schedule —
@@ -3193,6 +3221,60 @@ ORACLE_SQL: dict[str, str] = {
         "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
         " WHERE rank <= 3"
     ),
+    # Tree-quantizer IVF: the CTE chain re-derives every level of the
+    # two-level assignment — supers are the first isqrt(L) rows of the
+    # SAME md5 rank that picked the centroids; each centroid attaches
+    # to its 2 nearest supers; each vector routes through its 2 nearest
+    # supers and posts into its REPL nearest candidate centroids. The
+    # probe/rank tail is knn_ivf's verbatim. max(cos): a centroid
+    # reached through both probed supers scores twice identically —
+    # GROUP BY collapses it like the operator's combining max.
+    "knn_ivf_tree": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " cent AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f"  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_KNN_IVF_LISTS}),"
+        " sup AS (SELECT cid AS sid, cv AS sv FROM cent"
+        f"  ORDER BY md5(cid::VARCHAR), cid LIMIT {max(2, int(_KNN_IVF_LISTS**0.5))}),"
+        " cs AS (SELECT sid, cid, cv FROM ("
+        "  SELECT s.sid, c.cid, c.cv, row_number() OVER (PARTITION BY c.cid"
+        "   ORDER BY list_dot_product(c.cv, s.sv) /"
+        "   sqrt(list_dot_product(c.cv, c.cv) * list_dot_product(s.sv, s.sv))"
+        "   DESC, s.sid ASC) AS crk FROM cent c CROSS JOIN sup s)"
+        " WHERE crk <= 2),"
+        " vsup AS (SELECT vec_id, sid FROM ("
+        "  SELECT e.vec_id, s.sid, row_number() OVER (PARTITION BY e.vec_id"
+        "   ORDER BY list_dot_product(e.v, s.sv) /"
+        "   sqrt(list_dot_product(e.v, e.v) * list_dot_product(s.sv, s.sv))"
+        "   DESC, s.sid ASC) AS vrk FROM e CROSS JOIN sup s)"
+        " WHERE vrk <= 2),"
+        " cand AS (SELECT vec_id, cid, max(cos) AS cos FROM ("
+        "  SELECT v.vec_id, cs.cid,"
+        "   list_dot_product(e.v, cs.cv) /"
+        "   sqrt(list_dot_product(e.v, e.v) * list_dot_product(cs.cv, cs.cv)) AS cos"
+        "  FROM vsup v JOIN e ON e.vec_id = v.vec_id"
+        "  JOIN cs ON cs.sid = v.sid) GROUP BY vec_id, cid),"
+        " asg AS (SELECT vec_id, cid AS list FROM ("
+        "  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+        "   ORDER BY cos DESC, cid ASC) AS trk FROM cand)"
+        f" WHERE trk <= {_KNN_IVF_REPL}),"
+        " q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),"
+        " probes AS (SELECT query_id, qv, cid AS list FROM ("
+        "  SELECT q.query_id, q.qv, c.cid, row_number() OVER ("
+        "   PARTITION BY q.query_id"
+        "   ORDER BY list_dot_product(q.qv, c.cv) /"
+        "   sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))"
+        "   DESC, c.cid ASC) AS prk FROM q CROSS JOIN cent c)"
+        f" WHERE prk <= {_KNN_IVF_NPROBE}),"
+        " scored AS (SELECT DISTINCT p.query_id, e.vec_id AS neighbor_id,"
+        "  list_dot_product(p.qv, e.v) /"
+        "  sqrt(list_dot_product(p.qv, p.qv) * list_dot_product(e.v, e.v)) AS cos"
+        "  FROM probes p JOIN asg a ON a.list = p.list"
+        "  JOIN e ON e.vec_id = a.vec_id WHERE e.vec_id <> p.query_id)"
+        " SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
+        " WHERE rank <= 3"
+    ),
     # Sign-LSH oracle: the hyperplane sums are generated from the SAME
     # lsh_hyperplanes schedule the Spark operator uses — plain integer
     # arithmetic, so both engines bake identical (dim, ±1) literals and
@@ -3833,6 +3915,11 @@ _GATE_FRONT = {
     # in-band (the 100×-measured dead distinct + re-join removal —
     # SCALE.md r9 profile), which changes both consumers' plans. ----
     "knn_ivf": knn_ivf_q,
+    # ---- r9 late addition: the two-level coarse quantizer, born from
+    # the same 2M-vector sweep (flat assignment is O(n x L) and
+    # dominates at sqrt-n list sizing — the tree is the measured fix,
+    # pinned here at the comparable 24/8x2 sizing). ----
+    "knn_ivf_tree": knn_ivf_tree_q,
     "dedup_embedding": dedup_embedding_q,
     "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
     # ---- r6 drain head (VERDICT r8 #1): the 18 r6-attested leftovers
@@ -3897,7 +3984,6 @@ _GATE_FRONT = {
     "sample_stratified": sample_stratified_q,
     "pack_sequences": pack_sequences_q,
     "pii_scan": pii_scan_q,
-    "pii_redact": pii_redact_q,
 }
 
 # r9 again suspends the standing sentinel block: 2 new + 3 reshaped +
@@ -3913,8 +3999,12 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (8, incl. the r9-displaced
-    # stream_pii_redact) — the r10 drain head.
+    # r7-attested leftovers (9, incl. the r9-displaced
+    # stream_pii_redact and pii_redact — the latter gave up its slot to
+    # knn_ivf_tree; its plan is byte-unchanged since its r7 row and
+    # pii_scan re-attests the shared redaction regex chain this round)
+    # — the r10 drain head.
+    "pii_redact": pii_redact_q,
     "stream_pii_redact": stream_pii_redact,
     "repetition_scores": repetition_scores_q,
     "mix_sources": mix_sources_q,

@@ -286,7 +286,16 @@ def test_ann_recall_floors(spark, sf_dir):
         if r["rank"] <= 3:
             truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     total = sum(len(v) for v in truth.values())
-    for name, floor in [("knn_lsh", 0.9), ("knn_wta", 0.9), ("knn_ivf", 0.85)]:
+    # knn_ivf_tree: same 24/8x2 sizing through the two-level coarse
+    # quantizer — measured 0.933/0.933/0.90 at sf0.001/0.01/0.1 (r9),
+    # i.e. the tree routing costs NO recall on this fixture; same 0.85
+    # floor as flat so either's regression trips the same wire.
+    for name, floor in [
+        ("knn_lsh", 0.9),
+        ("knn_wta", 0.9),
+        ("knn_ivf", 0.85),
+        ("knn_ivf_tree", 0.85),
+    ]:
         got = {}
         for r in QUERIES[name](spark, sf_dir).collect():
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])

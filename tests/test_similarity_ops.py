@@ -262,3 +262,46 @@ def test_ivf_replication_dedupes_shared_list_candidates(spark):
         by_q.setdefault(q, []).append(rk)
     for q, rks in by_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), (q, rks)
+
+
+def test_tree_assign_full_probe_equals_flat(spark):
+    """The tree quantizer's exactness law: with probe_supers >= the
+    super count, every vector's candidate set is the FULL centroid set
+    (every centroid attaches to at least one super), so the two-level
+    assignment — and therefore the whole kNN result, ranks and rounded
+    cosines included — must EQUAL the flat path's bit-for-bit. Pins
+    that the tree's approximation comes only from routing, never from
+    a semantics drift in scoring, tie-breaks, or the posting window."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        cosine_knn_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=3, n_lists=24, nprobe=8, replication=2)
+    flat = cosine_knn_ivf(emb, qs, **kw)
+    # n_supers = isqrt(24) = 4; probing all 4 supers covers every list
+    tree = cosine_knn_ivf(
+        emb, qs, coarse_assign="tree", probe_supers=4, **kw
+    )
+    assert sorted(map(tuple, flat.collect())) == sorted(
+        map(tuple, tree.collect())
+    )
+
+
+def test_tree_assign_rejects_unknown_mode(spark):
+    """coarse_assign is a closed enum — a typo must fail at build time
+    with a targeted message, not fall through to the flat path."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        cosine_knn_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="coarse_assign"):
+        cosine_knn_ivf(
+            emb, emb.limit(1), coarse_assign="tre"
+        )
