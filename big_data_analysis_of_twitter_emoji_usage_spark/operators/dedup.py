@@ -233,6 +233,39 @@ def lsh_candidate_pairs(
     samples them. The filter is one window count over the band shuffle,
     deterministic, and mirrored by the SQL oracle.
     """
+    bands = signature_bands(
+        signatures, id_col, num_hashes, band_size, max_bucket
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def signature_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The banding half of ``lsh_candidate_pairs``: (id, band, sig)
+    rows of a MinHash signature relation, null signatures dropped,
+    optional bucket-size skew guard. Exposed separately (r9) so
+    CROSS-relation probes can band each side independently and join
+    them — ``streaming.jobs.stream_near_dedup_minhash`` bands a
+    micro-batch and the accumulated history store and probes one
+    against the other, which the self-join entry point cannot
+    express."""
     n_bands = num_hashes // band_size
     band_structs = F.array(
         *[
@@ -287,19 +320,7 @@ def lsh_candidate_pairs(
             .filter(F.col("_bc") <= max_bucket)
             .drop("_bc")
         )
-    a, b_ = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return bands
 
 
 def near_dup_pairs(
@@ -372,14 +393,30 @@ def near_dup_pairs(
         band_size,
         max_bucket,
     )
-    # Verify via pair-melt (r6): the r1–r5 shape joined the candidate
-    # pairs against TWO aliases of the shingle relation, so the
-    # map-side shingle computation ran twice over the full corpus (and
-    # three times counting the signature pass). Melting each pair into
-    # (pair, member) rows lets ONE pass over the shingle relation serve
-    # both sides. At 100 TB this halves the heavy-array join traffic:
-    # the shingle relation is scanned/computed once, the only added
-    # exchange carries |candidates| two-array rows.
+    return verify_pairs_jaccard(cand, arrays, id_col, threshold)
+
+
+def verify_pairs_jaccard(
+    cand: DataFrame,
+    arrays: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs
+    against a per-doc shingle-array relation — the precision half of
+    ``near_dup_pairs``, exposed separately (r9) so the incremental
+    streaming variant can verify micro-batch candidates against the
+    union of batch + history shingle state. Returns
+    (id_a, id_b, jaccard) for pairs at or above ``threshold``.
+
+    Verify via pair-melt (r6): the r1–r5 shape joined the candidate
+    pairs against TWO aliases of the shingle relation, so the
+    map-side shingle computation ran twice over the full corpus (and
+    three times counting the signature pass). Melting each pair into
+    (pair, member) rows lets ONE pass over the shingle relation serve
+    both sides. At 100 TB this halves the heavy-array join traffic:
+    the shingle relation is scanned/computed once, the only added
+    exchange carries |candidates| two-array rows."""
     melted = cand.select(
         "id_a",
         "id_b",

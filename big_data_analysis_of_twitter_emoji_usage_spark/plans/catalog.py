@@ -126,6 +126,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
     stateful_sessionize,
     stream_decontaminate_join,
     stream_dedup,
+    stream_near_dedup_minhash,
     stream_stream_interval_join,
     windowed_event_counts,
 )
@@ -2500,6 +2501,91 @@ def stream_decontam_join(spark, sf):
     return out.orderBy("doc_id")
 
 
+def _ordered_docs_stream_dir(sf: str, n_files: int = 4) -> str:
+    """Stage the documents fixture as ``n_files`` parquet files in
+    ascending-doc_id ranges with sequenced mtimes — the ordered-replay
+    contract ``stream_near_dedup_minhash`` needs for batch-exact
+    semantics (the FileStreamSource admits files oldest-mtime-first
+    under maxFilesPerTrigger, so id order == arrival order). Cached
+    across calls with the O(1) staleness stamp idiom
+    (``_synth_tweet_dir``): size + mtime_ns + parquet-footer tail."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = table_path(sf, "documents")
+    dirname = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_docs_ordered_{n_files}_"
+        + hashlib.md5(_os.path.abspath(src).encode()).hexdigest()[:10],
+    )
+    marker = _os.path.join(dirname, "_STAGE_DONE")
+    st = _os.stat(src)
+    with open(src, "rb") as fh:
+        fh.seek(max(0, st.st_size - 65536))
+        tail_md5 = hashlib.md5(fh.read()).hexdigest()
+    want = f"{_os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{tail_md5}"
+    if not (
+        _os.path.isfile(marker)
+        and open(marker, encoding="utf-8").read() == want
+    ):
+        if _os.path.isdir(dirname):  # partial prior attempt: start clean
+            shutil.rmtree(dirname)
+        _os.makedirs(dirname)
+        t = pq.read_table(src).sort_by("doc_id")
+        chunk = (t.num_rows + n_files - 1) // n_files
+        base_mtime = 1_700_000_000
+        for i in range(n_files):
+            p = _os.path.join(dirname, f"part-{i:04d}.parquet")
+            pq.write_table(t.slice(i * chunk, chunk), p)
+            _os.utime(p, (base_mtime + i * 10, base_mtime + i * 10))
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(want)
+    return dirname
+
+
+def stream_dedup_near_docs(spark, sf):
+    """Incremental streaming near-dup dedup (r9): the documents corpus
+    arrives one staged file per micro-batch (4 ascending-doc_id files,
+    sequenced mtimes) and each batch is MinHash-LSH deduplicated
+    against the accumulating signature store —
+    ``streaming.jobs.stream_near_dedup_minhash``, the ingestion-time
+    twin of ``dedup.near_dup_pairs`` at the same parameters as
+    ``dedup_minhash_pairs`` (word 3-shingles, 8 hashes × 2-bands,
+    exact-Jaccard ≥ 0.2). Under ordered arrival the drained keeper set
+    provably equals the batch rule "drop every doc with a smaller-id
+    qualifying partner", which is the oracle (the minhash pair CTE
+    reused with a NOT EXISTS keeper wrapper). The multi-file staging
+    matters: batches 1–3 exercise the store probe path (cross-batch
+    pairs), batch-internal pairs exercise the in-batch path, and the
+    store accumulates one partition per batch — the scratch dirs are
+    fresh per call and reaped at process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    src_dir = _ordered_docs_stream_dir(sf)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_near_dedup_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    out = stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=_os.path.join(scratch, "out"),
+        checkpoint_dir=_os.path.join(scratch, "ckpt"),
+        store_dir=_os.path.join(scratch, "store"),
+        threshold=0.2,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def repetition_scores_q(spark, sf):
     """Gopher-style repetition filters over the raw corpus (the fixture
     text is genuinely repetitive — value-bearing without synthesis)."""
@@ -3596,6 +3682,28 @@ ORACLE_SQL: dict[str, str] = {
         " hit::BIGINT AS n_contaminated_ngrams, hit > 0 AS contaminated"
         " FROM cnt ORDER BY doc_id"
     ),
+    # incremental streaming near-dedup == the batch pair-set keeper
+    # rule under ordered arrival: the minhash pair CTE (identical to
+    # dedup_minhash_pairs — per-doc signatures are corpus-independent,
+    # so the banded candidate set and the exact-Jaccard verdicts are
+    # the same whether computed batch-global or batch-incremental)
+    # with a keeper anti-join on the larger pair member
+    "stream_dedup_near_docs": (
+        "WITH "
+        + _MINHASH_CTE
+        + ",\nsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c"
+        " JOIN sh sa ON sa.doc_id = c.id_a"
+        " JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle"
+        " GROUP BY c.id_a, c.id_b),\n"
+        "dropped AS (SELECT DISTINCT id_b FROM inter"
+        " JOIN sizes na ON na.doc_id = id_a"
+        " JOIN sizes nb ON nb.doc_id = id_b"
+        " WHERE i / (na.n + nb.n - i) >= 0.2)\n"
+        "SELECT d.doc_id, d.source FROM documents d"
+        " LEFT JOIN dropped x ON d.doc_id = x.id_b"
+        " WHERE x.id_b IS NULL ORDER BY d.doc_id"
+    ),
     # same semantics as decontam_docs: a stateless stream-static probe
     # over availableNow equals the batch run on the same files
     "stream_decontam_docs": (
@@ -3906,6 +4014,11 @@ _GATE_FRONT = {
     # 64-bit × 2-band SimHash pairs (the in-engine fix for the
     # third-decade recall boundary the r9 5M-doc measurement pinned). ----
     "stream_decontam_join": stream_decontam_join,
+    # ---- r9 new surface: incremental streaming near-dup dedup — each
+    # micro-batch deduplicated against the accumulating MinHash
+    # signature store (the ingestion-time twin of near_dup_pairs;
+    # batch-exact under the ordered-replay staging contract). ----
+    "stream_dedup_near_docs": stream_dedup_near_docs,
     "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
     # ---- r9 reshaped plans (changed since their last green rows, so
     # they must re-attest): knn_ivf moves to 24 lists / 8 probes with
@@ -3951,13 +4064,14 @@ _GATE_FRONT = {
     "event_value_percentiles_sketch": event_value_percentiles_sketch,
     "bucketed_join_events": bucketed_join_events,
     "event_distinct_users_sketch": event_distinct_users_sketch,
-    # ---- r7 drain: the 28 oldest r7-attested rows (plans unchanged;
-    # re-attesting for freshness). The 7 left behind
-    # (repetition_scores, mix_sources, embedding_centroids,
-    # embedding_label_spread, tfidf_top_terms, inverted_index,
-    # tpch_q5_local_supply) are the r10 drain head — with 104 queries
-    # and a 50-slot window, a <=2-round staleness ceiling is the
-    # steady state the rotation holds by construction.
+    # ---- r7 drain: the oldest r7-attested rows (plans unchanged;
+    # re-attesting for freshness). The ones left behind the window
+    # (pii_scan — displaced by the r9 stream_dedup_near_docs addition
+    # — plus pii_redact, repetition_scores, mix_sources,
+    # embedding_centroids, embedding_label_spread, tfidf_top_terms,
+    # inverted_index, tpch_q5_local_supply) are the r10 drain head —
+    # with 107 queries and a 50-slot window, a <=2-round staleness
+    # ceiling is the steady state the rotation holds by construction.
     "event_top_users_sketch": event_top_users_sketch,
     "stream_sessionize_native": stream_sessionize_native,
     "dedup_simhash": dedup_simhash_q,
@@ -3983,27 +4097,29 @@ _GATE_FRONT = {
     "sample_hash": sample_hash_q,
     "sample_stratified": sample_stratified_q,
     "pack_sequences": pack_sequences_q,
-    "pii_scan": pii_scan_q,
 }
 
-# r9 again suspends the standing sentinel block: 2 new + 3 reshaped +
-# the full 18-row r6 drain head + 27 r7 rows fill the window exactly
-# (2 + 3 + 18 + 27 = 50), and every operator class a sentinel would
+# r9 again suspends the standing sentinel block: 4 new + 3 reshaped +
+# the full 18-row r6 drain head + 25 r7 rows fill the window exactly
+# (4 + 3 + 18 + 25 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_top_words and the tweet
 # family, events by the window/pivot/percentile block, streaming by
 # stream_decontam_join/stream_decontam_docs/stream_sessionize_native,
 # dedup by the simhash family, ANN by knn_ivf). stream_pii_redact was
-# displaced below the boundary by dedup_simhash64_pairs (its stateless
-# projection twin pii_redact re-attests in-window this round).
+# displaced below the boundary by dedup_simhash64_pairs, and
+# pii_scan by stream_dedup_near_docs (both redaction plans are
+# byte-unchanged since their r7 rows; local parity covers them every
+# round).
 _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (9, incl. the r9-displaced
-    # stream_pii_redact and pii_redact — the latter gave up its slot to
-    # knn_ivf_tree; its plan is byte-unchanged since its r7 row and
-    # pii_scan re-attests the shared redaction regex chain this round)
+    # r7-attested leftovers (10, incl. the r9-displaced
+    # stream_pii_redact, pii_redact — which gave up its slot to
+    # knn_ivf_tree — and pii_scan, displaced by stream_dedup_near_docs;
+    # all three redaction plans are byte-unchanged since their r7 rows)
     # — the r10 drain head.
+    "pii_scan": pii_scan_q,
     "pii_redact": pii_redact_q,
     "stream_pii_redact": stream_pii_redact,
     "repetition_scores": repetition_scores_q,

@@ -475,3 +475,134 @@ def stream_decontaminate_join(
         )
     finally:
         bench_static.unpersist()
+
+
+def stream_near_dedup_minhash(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.4,
+    unit: str = "word",
+) -> DataFrame:
+    """Incremental near-dup deduplication of a document stream against
+    an accumulating MinHash signature store (r9) — the ingestion-time
+    twin of ``dedup.near_dup_pairs``. New data arrives in micro-batches
+    and each batch is deduplicated against EVERYTHING seen so far
+    without ever recomputing the history: per batch, shingle arrays +
+    MinHash signatures are computed once, landed in the store
+    (``store_dir/batch_id=N`` — overwritten, so checkpoint replays are
+    idempotent), and the batch's LSH bands are probed against the bands
+    of the full store. A document is DROPPED iff some already-seen or
+    smaller-id-same-batch document collides in an LSH band AND exact
+    shingle Jaccard (``dedup.verify_pairs_jaccard``, same arrays) meets
+    ``threshold``; survivors land in ``out_dir/batch_id=N``
+    (``write_batch_idempotent``). Dropped documents' signatures STAY in
+    the store — the drop rule is "has a smaller qualifying partner,
+    whatever that partner's own fate", which (unlike greedy
+    keep-first-transitively) is batch-boundary-free and therefore
+    exactly equal to the batch rule: under event-order = id-order
+    arrival (the staged-replay contract, as ``native_sessionize_stream``)
+    the drained keeper set equals ``corpus MINUS {id_b of
+    near_dup_pairs(corpus)}`` at the same parameters, which is the
+    DuckDB oracle. Out-of-order arrival degrades gracefully: it is
+    still "dedup against all prior arrivals + smaller in-batch ids",
+    just no longer the batch-identical pair set.
+
+    Scale shape — the part that matters at 100 TB of history: the
+    history is NEVER shuffled and NEVER recomputed. Each trigger costs
+    two columnar scans of the store (parquet, partitioned by batch_id):
+    the band probe reads only the ``h*`` signature columns and joins
+    against the BROADCAST bands of the current batch (micro-batches
+    are small by construction — broadcast-hash, zero exchange on the
+    history side), and the verify reads only the ``shingles`` column
+    for the handful of candidate ids. Per-doc state is written exactly
+    once, at arrival. The sum over triggers is O(total × history/batch)
+    scan work — the intrinsic cost of exact dedup against full history
+    with a plain file store; the production levers are store compaction
+    plus band-partitioned or bucketed store layout (saveAsTable
+    bucketBy on the band signature turns the probe into a
+    partition-pruned point lookup), neither of which changes this
+    operator's semantics. ``max_bucket`` is deliberately NOT offered:
+    bucket occupancy would be counted per-probe, not corpus-globally,
+    silently diverging from the batch operator it mirrors.
+
+    Returns the drained keeper rows (original stream columns) as a
+    batch DataFrame over ``out_dir``.
+    """
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        doc_shingle_arrays,
+        minhash_signatures,
+        signature_bands,
+        verify_pairs_jaccard,
+    )
+
+    hcols = [f"h{i}" for i in range(num_hashes)]
+
+    def _dedup_batch(bdf: DataFrame, bid: int) -> None:
+        arrays = doc_shingle_arrays(bdf, text_col, id_col, k, unit)
+        state = arrays.join(
+            minhash_signatures(arrays, id_col, num_hashes), id_col
+        )
+        # one compute of the shingle/signature kernel per batch; the
+        # probe and verify below re-READ it columnar instead of
+        # re-executing the subtree (SCALE.md execution caveat)
+        state.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={bid}"
+        )
+        # <= bid: replays must not see a later batch's state (none can
+        # exist in normal operation — out_dir lands after store — but
+        # the filter makes the replay read-set explicit and exact)
+        store = spark.read.parquet(store_dir).filter(
+            F.col("batch_id") <= F.lit(bid)
+        )
+        cur = store.filter(F.col("batch_id") == bid)
+        bands_cur = signature_bands(
+            cur.select(id_col, *hcols), id_col, num_hashes, band_size
+        )
+        bands_seen = signature_bands(
+            store.select(id_col, *hcols), id_col, num_hashes, band_size
+        )
+        cand = (
+            bands_seen.alias("a")
+            .join(
+                F.broadcast(bands_cur).alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        pairs = verify_pairs_jaccard(
+            cand, store.select(id_col, "shingles"), id_col, threshold
+        )
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        write_batch_idempotent(
+            bdf.join(dropped, id_col, "left_anti"), bid, out_dir
+        )
+
+    query = (
+        stream_df.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(out_dir).drop("batch_id")
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], stream_df.schema)
+        raise

@@ -244,3 +244,52 @@ def test_stream_transform_empty_drain_returns_transform_schema(
     )
     assert got.columns == ["doc_id", "n"]
     assert got.count() == 0
+
+
+def test_stream_near_dedup_matches_batch_keepers(spark, sf_dir, tmp_path):
+    """Incremental streaming near-dedup == the batch pair-set keeper
+    rule under ordered arrival: stage the documents fixture as four
+    ascending-doc_id files with sequenced mtimes, drain one file per
+    trigger, and compare against ``near_dup_pairs``-derived keepers.
+    Also pins that the drive really was incremental (one store
+    partition per micro-batch) — a staging regression that collapses
+    everything into one batch would trivially pass the equivalence."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    src_dir = _ordered_docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "store")
+    got = stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+    ).select("doc_id")
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+    assert 0 < dropped.count()  # the equivalence is non-vacuous
+    batches = sorted(
+        d for d in os.listdir(store_dir) if d.startswith("batch_id=")
+    )
+    assert len(batches) == 4
