@@ -1,11 +1,13 @@
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (  # noqa: F401
     connected_components,
+    dedup_against_reference,
     doc_shingle_arrays,
     doc_shingles,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
     near_dup_pairs,
+    near_dup_pairs_cross,
     simhash_fingerprints,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.multimodal import (  # noqa: F401

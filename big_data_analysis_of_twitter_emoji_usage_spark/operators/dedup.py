@@ -456,6 +456,170 @@ def verify_pairs_jaccard(
     )
 
 
+def _verify_pairs_jaccard_cross(
+    cand: DataFrame,
+    ref_arrays: DataFrame,
+    new_arrays: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """``verify_pairs_jaccard`` for candidates whose two members live in
+    DIFFERENT relations (id_a in ``ref_arrays``, id_b in
+    ``new_arrays``). The melt keys are (side, id) pairs rather than bare
+    ids because the two corpora's id spaces may overlap — the same
+    doc_id can name different documents on each side and must never be
+    conflated. Same plan shape as the self-join verify: each corpus's
+    shingle relation is scanned exactly once, the set arithmetic runs
+    inside the pair aggregate (a boundary the threshold Filter cannot
+    be rewritten past), and everything downstream is integer math."""
+    melted = cand.select(
+        "id_a",
+        "id_b",
+        explode_nonempty(
+            F.array(
+                F.struct(F.lit(0).alias("s"), F.col("id_a").alias("i")),
+                F.struct(F.lit(1).alias("s"), F.col("id_b").alias("i")),
+            )
+        ).alias("_m"),
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("_m.s").alias("_s"),
+        F.col("_m.i").alias("_i_key"),
+    )
+    sh = ref_arrays.select(
+        F.lit(0).alias("_s"),
+        F.col(id_col).alias("_i_key"),
+        F.col("shingles").alias("_sh"),
+    ).unionAll(
+        new_arrays.select(
+            F.lit(1).alias("_s"),
+            F.col(id_col).alias("_i_key"),
+            F.col("shingles").alias("_sh"),
+        )
+    )
+    _sha = F.first(
+        F.when(F.col("_s") == 0, F.col("_sh")), ignorenulls=True
+    )
+    _shb = F.first(
+        F.when(F.col("_s") == 1, F.col("_sh")), ignorenulls=True
+    )
+    paired = (
+        melted.join(sh, ["_s", "_i_key"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.size(F.array_intersect(_sha, _shb)).alias("_i"),
+            (F.size(_sha) + F.size(_shb)).alias("_sz"),
+        )
+    )
+    jac = F.col("_i") / (F.col("_sz") - F.col("_i"))
+    return (
+        paired.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def near_dup_pairs_cross(
+    ref_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.4,
+    unit: str = "word",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dup pairs: (id_a, id_b, jaccard)
+    where id_a ∈ ``ref_df``, id_b ∈ ``new_df``, and exact shingle
+    Jaccard ≥ ``threshold``. The batch primitive behind "dedupe the new
+    crawl against the existing corpus" / "drop training documents that
+    near-match an eval set at the document level" — the self-join entry
+    point (``near_dup_pairs``) cannot express it without unioning the
+    corpora and re-filtering, which re-pays signatures over the
+    (typically huge) reference side's self-pairs and breaks when the
+    id spaces overlap. MinHash coefficients are deterministic
+    (``minhash_coeffs`` literals), so both sides band into the SAME
+    signature space — a reference corpus's signatures can equivalently
+    be precomputed and persisted (that persisted form IS the streaming
+    twin's store: ``streaming.jobs.stream_near_dedup_minhash``).
+
+    Scale shape: one scan + one band shuffle per corpus, the candidate
+    equi-join on (band, sig), then the cross verify (each corpus's
+    shingle relation scanned once, set math inside the pair aggregate).
+    Neither corpus ever self-joins — at 100 TB of reference the
+    reference side contributes exactly one signature pass + one
+    columnar band join, no n² term. ``max_bucket`` caps degenerate
+    band buckets PER SIDE (corpus-global occupancy within each side),
+    bounding a both-sides-hot band value's candidate fan-out at
+    max_bucket²; the oracle mirrors per-side capping.
+
+    Unlike the self-join operator there is no ``id_a < id_b``
+    canonicalization — the pair orientation is (reference, new), and
+    the same id on both sides is a legitimate pair, not a self-match.
+    """
+    ref_arrays = doc_shingle_arrays(ref_df, text_col, id_col, k, unit)
+    new_arrays = doc_shingle_arrays(new_df, text_col, id_col, k, unit)
+    ref_bands = signature_bands(
+        minhash_signatures(ref_arrays, id_col, num_hashes),
+        id_col,
+        num_hashes,
+        band_size,
+        max_bucket,
+    )
+    new_bands = signature_bands(
+        minhash_signatures(new_arrays, id_col, num_hashes),
+        id_col,
+        num_hashes,
+        band_size,
+        max_bucket,
+    )
+    cand = (
+        ref_bands.select(F.col(id_col).alias("id_a"), "band", "sig")
+        .join(
+            new_bands.select(F.col(id_col).alias("id_b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs_jaccard_cross(
+        cand, ref_arrays, new_arrays, id_col, threshold
+    )
+
+
+def dedup_against_reference(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.4,
+    unit: str = "word",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Keep the ``new_df`` rows with NO near-dup partner in ``ref_df``
+    (the decision step over ``near_dup_pairs_cross``): one anti-join of
+    the new corpus against the matched-id set. The reference corpus is
+    read-only — cross dedup never drops reference documents."""
+    matched = near_dup_pairs_cross(
+        ref_df,
+        new_df,
+        text_col,
+        id_col,
+        k,
+        num_hashes,
+        band_size,
+        threshold,
+        unit,
+        max_bucket,
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    return new_df.join(matched, id_col, "left_anti")
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

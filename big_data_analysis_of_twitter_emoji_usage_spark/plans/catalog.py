@@ -48,6 +48,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
     keep_best_per_cluster,
     minhash_coeffs,
     near_dup_pairs,
+    near_dup_pairs_cross,
     simhash_fingerprints,
     simhash_near_dup_pairs,
 )
@@ -285,6 +286,72 @@ def _near_dup_sql(
 
 
 _MINHASH_CTE = _minhash_cand_sql(_SHINGLES_CTE)
+
+
+def _cross_near_dup_sql(
+    shingles_cte: str,
+    left_pred: str,
+    right_pred: str,
+    threshold: float,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> str:
+    """DuckDB mirror of ``dedup.near_dup_pairs_cross``: the minhash →
+    bands → candidate chain built PER SIDE over ``sh`` restricted by
+    ``left_pred`` / ``right_pred``, candidates from the cross band
+    join (no ``id_a < id_b`` canonicalization — orientation is
+    (reference, new)), exact-Jaccard verify against each side's own
+    shingle set."""
+    coeffs = minhash_coeffs(num_hashes)
+    n_bands = num_hashes // band_size
+    base_x = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+
+    def side(sfx: str, pred: str) -> str:
+        return (
+            f"sh{sfx} AS (SELECT doc_id, shingle FROM sh WHERE {pred}),\n"
+            f"shx{sfx} AS (SELECT doc_id, {base_x} AS x FROM sh{sfx}),\n"
+            f"mh{sfx} AS (SELECT doc_id, "
+            + ", ".join(
+                f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+                for i, (a, b) in enumerate(coeffs)
+            )
+            + f" FROM shx{sfx} GROUP BY doc_id),\n"
+            f"bands{sfx} AS ("
+            + " UNION ALL ".join(
+                "SELECT doc_id, {b} AS band, {sig} AS sig FROM mh{sfx}".format(
+                    b=b,
+                    sfx=sfx,
+                    sig=" || ':' || ".join(
+                        f"h{i}::VARCHAR"
+                        for i in range(b * band_size, (b + 1) * band_size)
+                    ),
+                )
+                for b in range(n_bands)
+            )
+            + "),\n"
+            f"sizes{sfx} AS (SELECT doc_id, count(*) AS n FROM sh{sfx}"
+            " GROUP BY doc_id)"
+        )
+
+    return (
+        "WITH "
+        + shingles_cte
+        + ",\n"
+        + side("a", left_pred)
+        + ",\n"
+        + side("b", right_pred)
+        + ",\ncand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+        " FROM bandsa a JOIN bandsb b"
+        " ON a.band = b.band AND a.sig = b.sig),\n"
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c"
+        " JOIN sha sa ON sa.doc_id = c.id_a"
+        " JOIN shb sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle"
+        " GROUP BY c.id_a, c.id_b)\n"
+        "SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard"
+        " FROM inter JOIN sizesa na ON na.doc_id = id_a"
+        " JOIN sizesb nb ON nb.doc_id = id_b"
+        f" WHERE i / (na.n + nb.n - i) >= {threshold}"
+    )
 
 
 def _containment_sql(shingles_cte: str, threshold: float, max_df: int) -> str:
@@ -1947,6 +2014,22 @@ def dedup_minhash_pairs_q(spark, sf):
     return near_dup_pairs(_docs(spark, sf), threshold=0.2)
 
 
+def dedup_cross_pairs_q(spark, sf):
+    """Cross-corpus near-dup (r9): even-doc_id documents play the
+    existing reference corpus, odd-doc_id documents the newly arrived
+    one — `near_dup_pairs_cross` finds every (reference, new) pair at
+    exact Jaccard ≥ 0.2 without self-joining either side. Same
+    banding/threshold as `dedup_minhash_pairs`, so the result is
+    exactly that query's pair set restricted to opposite-parity pairs
+    (re-oriented (even, odd)) — a relationship the unit tests pin."""
+    docs = _docs(spark, sf)
+    return near_dup_pairs_cross(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.2,
+    )
+
+
 def dedup_simhash_q(spark, sf):
     """32-bit SimHash fingerprints (r7 widening, `_SIMHASH_BITS`)."""
     return simhash_fingerprints(_docs(spark, sf), bits=_SIMHASH_BITS)
@@ -3221,6 +3304,9 @@ ORACLE_SQL: dict[str, str] = {
         " JOIN sizes nb ON nb.doc_id = id_b"
         " WHERE i / (na.n + nb.n - i) >= 0.2"
     ),
+    "dedup_cross_pairs": _cross_near_dup_sql(
+        _SHINGLES_CTE, "doc_id % 2 = 0", "doc_id % 2 = 1", 0.2
+    ),
     "dedup_simhash": (
         "WITH " + _SIMHASH_FP_CTE + " SELECT doc_id, simhash FROM fp"
     ),
@@ -4019,6 +4105,11 @@ _GATE_FRONT = {
     # signature store (the ingestion-time twin of near_dup_pairs;
     # batch-exact under the ordered-replay staging contract). ----
     "stream_dedup_near_docs": stream_dedup_near_docs,
+    # ---- r9 new surface: cross-corpus near-dup pairs — dedupe a new
+    # corpus against a read-only reference without self-joining either
+    # side (the batch twin of the streaming store probe above; same
+    # deterministic signature space). ----
+    "dedup_cross_pairs": dedup_cross_pairs_q,
     "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
     # ---- r9 reshaped plans (changed since their last green rows, so
     # they must re-attest): knn_ivf moves to 24 lists / 8 probes with
@@ -4096,29 +4187,31 @@ _GATE_FRONT = {
     "vocab_top_tokens": vocab_top_tokens_q,
     "sample_hash": sample_hash_q,
     "sample_stratified": sample_stratified_q,
-    "pack_sequences": pack_sequences_q,
 }
 
-# r9 again suspends the standing sentinel block: 4 new + 3 reshaped +
-# the full 18-row r6 drain head + 25 r7 rows fill the window exactly
-# (4 + 3 + 18 + 25 = 50), and every operator class a sentinel would
+# r9 again suspends the standing sentinel block: 5 new + 3 reshaped +
+# the full 18-row r6 drain head + 24 r7 rows fill the window exactly
+# (5 + 3 + 18 + 24 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_top_words and the tweet
 # family, events by the window/pivot/percentile block, streaming by
 # stream_decontam_join/stream_decontam_docs/stream_sessionize_native,
 # dedup by the simhash family, ANN by knn_ivf). stream_pii_redact was
-# displaced below the boundary by dedup_simhash64_pairs, and
-# pii_scan by stream_dedup_near_docs (both redaction plans are
+# displaced below the boundary by dedup_simhash64_pairs,
+# pii_scan by stream_dedup_near_docs, and pack_sequences by
+# dedup_cross_pairs (the redaction plans and pack_sequences are
 # byte-unchanged since their r7 rows; local parity covers them every
 # round).
 _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (10, incl. the r9-displaced
+    # r7-attested leftovers (11, incl. the r9-displaced
     # stream_pii_redact, pii_redact — which gave up its slot to
-    # knn_ivf_tree — and pii_scan, displaced by stream_dedup_near_docs;
-    # all three redaction plans are byte-unchanged since their r7 rows)
-    # — the r10 drain head.
+    # knn_ivf_tree — pii_scan, displaced by stream_dedup_near_docs,
+    # and pack_sequences, displaced by dedup_cross_pairs; all four
+    # plans are byte-unchanged since their r7 rows) — the r10 drain
+    # head.
+    "pack_sequences": pack_sequences_q,
     "pii_scan": pii_scan_q,
     "pii_redact": pii_redact_q,
     "stream_pii_redact": stream_pii_redact,

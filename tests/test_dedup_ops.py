@@ -335,3 +335,94 @@ def test_simhash64_two_band_pigeonhole_finds_hamming1_pair(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     assert all({3} & set(k) == set() for k in pairs)
+
+
+def _cross_fixture_docs():
+    """Six docs with word-3-shingle overlap structure spanning both
+    parities: (0, 1) and (2, 5) are near-identical cross-parity pairs,
+    (1, 3) is a near-identical SAME-parity pair (odd/odd — visible to
+    the self-join operator, invisible to the cross operator), and 4 is
+    unrelated."""
+    a = "the quick brown fox jumps over the lazy dog today again"
+    b = "observability budgets grow strictly faster than feature teams expect"
+    return [
+        (0, a),
+        (1, a + " extra"),
+        (2, b),
+        (3, a + " extra"),
+        (4, "totally unrelated corpus filler words with no shared shingles"),
+        (5, b + " indeed"),
+    ]
+
+
+def test_cross_pairs_equal_self_pairs_restricted_to_cross_parity(spark):
+    """near_dup_pairs_cross(even, odd) at the same banding/threshold
+    must emit EXACTLY the self-join operator's pairs that straddle the
+    parity split, re-oriented (even, odd) — and none of the same-parity
+    ones (the catalog query's documented relationship)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        near_dup_pairs,
+        near_dup_pairs_cross,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(_cross_fixture_docs(), ["doc_id", "text"])
+    self_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pairs(df, threshold=0.2).collect()
+    }
+    want = {
+        (p if p % 2 == 0 else q, q if p % 2 == 0 else p): j
+        for (p, q), j in self_pairs.items()
+        if p % 2 != q % 2
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pairs_cross(
+            df.filter(F.col("doc_id") % 2 == 0),
+            df.filter(F.col("doc_id") % 2 == 1),
+            threshold=0.2,
+        ).collect()
+    }
+    assert (1, 3) in self_pairs or (3, 1) in self_pairs  # same-parity pair exists
+    assert got == want and len(got) >= 2
+
+
+def test_cross_pairs_overlapping_id_spaces_never_conflate(spark):
+    """The two corpora's id spaces may collide: the same doc_id naming
+    DIFFERENT text on each side must not be conflated (the verify melt
+    keys on (side, id)), while the same id naming near-identical text
+    is a legitimate emitted pair."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs_cross
+
+    a = "shared sentence of many common words repeated across both sides"
+    c = "another long shared sentence that matches exactly on both sides"
+    ref = spark.createDataFrame(
+        [(1, a), (5, c)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "entirely different text with zero overlap whatsoever here"),
+         (2, a + " suffix"), (5, c)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pairs_cross(ref, new, threshold=0.2).collect()
+    }
+    assert (1, 2) in got          # cross match under colliding id space
+    assert (5, 5) in got and got[(5, 5)] == 1.0  # same id, same text: real pair
+    assert (1, 1) not in got      # same id, different text: never conflated
+
+
+def test_dedup_against_reference_keeps_only_unmatched(spark):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import dedup_against_reference
+
+    ref_text = "reference corpus document body with plenty of stable words"
+    ref = spark.createDataFrame([(100, ref_text)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, ref_text + " tail"),  # near-dup of the reference -> dropped
+         (2, "fresh document that shares nothing with the reference set")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in dedup_against_reference(new, ref, threshold=0.2).collect())
+    assert kept == [2]
