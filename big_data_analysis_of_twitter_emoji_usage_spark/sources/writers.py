@@ -110,3 +110,183 @@ def write_parquet_clustered(
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSONL export — the reference's interchange format (q1:250)."""
     df.write.mode(mode).json(path)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf —
+    the same JVM-gateway pattern as dedup.connected_components' reliable
+    checkpoint hygiene. Works for file:// locally and HDFS on a cluster
+    with no code change."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction for one Parquet directory — the
+    maintenance companion to the rolling-JSONL ingester and every
+    micro-batch parquet sink in ``streaming/jobs.py``: continuous
+    ingestion lands one-file-per-trigger, and a year of 30-second
+    triggers is a million tiny files whose per-file open/footer cost
+    (and NameNode/listing pressure) eventually dwarfs the data scan.
+    Compaction rewrites the directory into ``ceil(total_bytes /
+    target_file_bytes)`` files and swaps it in place.
+
+    Plan shape: ``coalesce``, never ``repartition`` — bin-packing
+    existing partitions needs NO shuffle (each output task
+    concatenates a handful of input files), so compacting 100 TB moves
+    every byte exactly once, scan → write. The cost of that choice:
+    coalesce merges in partition order without rebalancing, so output
+    files can be uneven when input files are (irrelevant here — the
+    inputs being compacted are uniformly SMALL by definition; callers
+    re-clustering for pruning want ``write_parquet_clustered``, which
+    shuffles on purpose).
+
+    Swap protocol (same family as the ingester's tmp→rename): write to
+    ``<path>.__compact_tmp__`` (Spark's own job commit makes that write
+    all-or-nothing), then ``rename(path, old) → rename(tmp, path) →
+    delete(old)`` through the Hadoop FileSystem API. Every entry point
+    first REPAIRS an interrupted previous run (each crash window leaves
+    a distinct, recognizable state; rollback when the tmp write never
+    committed, roll-forward once it did), so a crashed compaction never
+    loses data and a re-run converges — the operation is idempotent at
+    the directory level. HDFS renames are atomic metadata ops; on
+    object stores (S3) "rename" is copy+delete, so there the honest
+    swap needs a manifest/table format instead of this protocol —
+    documented limit, not silently papered over.
+
+    Readers racing the swap on HDFS see the old or the new listing,
+    never a mix (single-directory rename); long-running queries that
+    already resolved old file paths fail on re-read after the delete —
+    the standard compaction/reader contract outside snapshot formats.
+
+    Returns stats: files/bytes before and after, and whether the
+    directory was rewritten (``{"compacted": False, ...}`` when it is
+    already at or below the target shape or has fewer than
+    ``min_files`` data files — sub-target directories are left alone
+    rather than churned).
+    """
+    fs, hpath = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".__compact_tmp__")
+    old = jvm.org.apache.hadoop.fs.Path(path + ".__compact_old__")
+
+    def _committed(p) -> bool:
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(str(p), "_SUCCESS"))
+
+    # ---- repair any interrupted previous run, oldest crash window
+    # first. States: (a) old && path -> crashed after swap-in, before
+    # cleanup: finish the delete. (b) old && !path -> crashed between
+    # the two renames: roll forward iff tmp committed, else roll back.
+    # (c) stray tmp -> a write that never reached the swap (or one we
+    # just rolled forward from); committed-but-unswapped tmp is stale
+    # the moment the source dir advances, so it is always deleted.
+    if fs.exists(old):
+        if fs.exists(hpath):
+            fs.delete(old, True)
+        elif _committed(tmp):
+            fs.rename(tmp, hpath)
+            fs.delete(old, True)
+        else:
+            fs.rename(old, hpath)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+
+    if not fs.exists(hpath):
+        raise FileNotFoundError(f"compact_parquet_dir: no such dir {path}")
+
+    statuses = [
+        s
+        for s in fs.listStatus(hpath)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+    n_files = len(statuses)
+    total = sum(s.getLen() for s in statuses)
+    n_out = max(1, -(-total // target_file_bytes))
+    stats = {
+        "files_before": n_files,
+        "bytes_before": total,
+        "files_after": n_files,
+        "compacted": False,
+    }
+    if n_files < min_files or n_out >= n_files:
+        return stats  # already at/below target shape: don't churn
+
+    (
+        spark.read.parquet(path)
+        .coalesce(int(n_out))
+        .write.mode("overwrite")
+        .parquet(str(tmp))
+    )
+    fs.rename(hpath, old)
+    fs.rename(tmp, hpath)
+    fs.delete(old, True)
+    out = [
+        s
+        for s in fs.listStatus(hpath)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+    stats.update(
+        files_after=len(out),
+        bytes_after=sum(s.getLen() for s in out),
+        compacted=True,
+    )
+    return stats
+
+
+def compact_partitioned_parquet(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """``compact_parquet_dir`` over every LEAF partition directory of a
+    ``partitionBy`` layout (``root/ds=.../``), each compacted and
+    swapped independently — a crash mid-sweep leaves every partition
+    either fully old or fully new, and the re-run repairs + continues.
+    Partition independence is also the scale lever: at 100 TB only the
+    recently-written partitions have small files, so routine
+    maintenance touches a bounded recent window, never the whole table
+    (pass the specific partition dirs through ``compact_parquet_dir``
+    directly to pin that window)."""
+    fs, hroot = _hadoop_fs(spark, root)
+    leaves: list[str] = []
+
+    def walk(p) -> None:
+        kids = list(fs.listStatus(p))
+        subdirs = [
+            k
+            for k in kids
+            if k.isDirectory()
+            and not k.getPath().getName().startswith((".", "_"))
+            and ".__compact_" not in k.getPath().getName()
+        ]
+        if subdirs:
+            for k in subdirs:
+                walk(k.getPath())
+        elif any(
+            k.isFile() and k.getPath().getName().endswith(".parquet")
+            for k in kids
+        ):
+            leaves.append(str(p.toUri().getPath()))
+
+    if not fs.exists(hroot):
+        raise FileNotFoundError(f"compact_partitioned_parquet: no such dir {root}")
+    walk(hroot)
+    per = {
+        leaf: compact_parquet_dir(spark, leaf, target_file_bytes, min_files)
+        for leaf in sorted(leaves)
+    }
+    return {
+        "partitions": len(per),
+        "partitions_compacted": sum(1 for s in per.values() if s["compacted"]),
+        "files_before": sum(s["files_before"] for s in per.values()),
+        "files_after": sum(s["files_after"] for s in per.values()),
+        "per_partition": per,
+    }

@@ -148,3 +148,127 @@ def test_clustered_write_prunes_row_groups(spark, sf_dir, tmp_path):
     a = ev.groupBy("user_id").count().collect()
     b = back.groupBy("user_id").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _write_small_files(spark, path, n_rows=2000, n_files=16):
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("v")
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_compact_parquet_dir_reduces_files_preserves_rows(spark, tmp_path):
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import compact_parquet_dir
+
+    path = str(tmp_path / "small")
+    _write_small_files(spark, path, n_files=16)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    # huge target -> everything packs into ONE file
+    stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert stats["compacted"] and stats["files_before"] == 16
+    assert stats["files_after"] == 1
+    n_parquet = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(n_parquet) == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    # second run is a no-op: already at target shape
+    again = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert not again["compacted"] and again["files_after"] == 1
+
+
+def test_compact_sizes_output_to_target(spark, tmp_path):
+    """n_out = ceil(total_bytes / target): a target of ~1/4 the total
+    must yield 4-5 files, not 1 and not 16."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import compact_parquet_dir
+
+    path = str(tmp_path / "sized")
+    _write_small_files(spark, path, n_rows=20000, n_files=16)
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    stats = compact_parquet_dir(spark, path, target_file_bytes=total // 4 + 1)
+    assert stats["compacted"]
+    assert 3 <= stats["files_after"] <= 5
+
+
+def test_compact_plan_is_shuffle_free(spark, tmp_path):
+    """The compaction rewrite must move bytes scan->write with NO
+    Exchange — coalesce, never repartition (the 100 TB contract)."""
+    path = str(tmp_path / "noshuffle")
+    _write_small_files(spark, path, n_files=8)
+    plan = (
+        spark.read.parquet(path)
+        .coalesce(2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_compact_repairs_interrupted_swaps(spark, tmp_path):
+    """Each crash window of the rename protocol must repair on re-entry:
+    (a) old && path -> finish cleanup; (b) old && committed tmp ->
+    roll forward; (c) old && no committed tmp -> roll back."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import compact_parquet_dir
+
+    path = str(tmp_path / "crashy")
+    df_rows = lambda: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    _write_small_files(spark, path, n_files=8)
+    want = df_rows()
+
+    # (a) crashed after swap-in, before deleting old: old dir lingers
+    shutil.copytree(path, path + ".__compact_old__")
+    stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert stats["compacted"] and not os.path.exists(path + ".__compact_old__")
+    assert df_rows() == want
+
+    # (b) crashed between the renames with a COMMITTED tmp: roll forward
+    _write_small_files(spark, path, n_files=8)
+    spark.read.parquet(path).coalesce(1).write.mode("overwrite").parquet(
+        path + ".__compact_tmp__"
+    )
+    os.rename(path, path + ".__compact_old__")
+    stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert df_rows() == want
+    # rolled forward to the committed single-file tmp; already compact
+    assert not stats["compacted"] and stats["files_before"] == 1
+    assert not os.path.exists(path + ".__compact_old__")
+    assert not os.path.exists(path + ".__compact_tmp__")
+
+    # (c) crashed between the renames with NO committed tmp: roll back
+    _write_small_files(spark, path, n_files=8)
+    os.rename(path, path + ".__compact_old__")
+    os.makedirs(path + ".__compact_tmp__")  # uncommitted junk, no _SUCCESS
+    stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert df_rows() == want
+    assert stats["compacted"] and stats["files_before"] == 8
+
+
+def test_compact_partitioned_sweeps_leaves_independently(spark, tmp_path):
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        compact_partitioned_parquet,
+    )
+
+    root = str(tmp_path / "parted")
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("ds"),
+        F.col("id").alias("k"),
+    )
+    df.repartition(6).write.mode("overwrite").partitionBy("ds").parquet(root)
+    before = sorted(tuple(r) for r in spark.read.parquet(root).collect())
+    stats = compact_partitioned_parquet(spark, root, target_file_bytes=1 << 30)
+    assert stats["partitions"] == 3
+    assert stats["partitions_compacted"] == 3
+    assert stats["files_after"] == 3  # one per partition at a huge target
+    after = sorted(tuple(r) for r in spark.read.parquet(root).collect())
+    assert after == before
