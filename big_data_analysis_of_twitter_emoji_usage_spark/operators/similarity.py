@@ -382,6 +382,119 @@ def embedding_near_dup_pairs_hyperplane(
     return _banded_pairs_cosine_verify(e, buckets, threshold, max_bucket)
 
 
+def _banded_pairs_cosine_verify_cross(
+    ea: DataFrame,
+    buckets_a: DataFrame,
+    eb: DataFrame,
+    buckets_b: DataFrame,
+    threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """``_banded_pairs_cosine_verify`` for two DISTINCT corpora: the
+    (table, bucket) join runs reference-side × new-side instead of
+    self-join, with no ``id_a < id_b`` canonicalization (orientation is
+    (reference, new); overlapping id spaces are legitimate — sides are
+    kept in separate relations end to end, so the same id on both
+    sides can pair and is never conflated). ``max_bucket`` guards each
+    side's buckets independently, bounding a both-sides-hot bucket's
+    fan-out at max_bucket² (same per-side rule as
+    ``dedup.near_dup_pairs_cross``). In-band verify as the self-join
+    tail: vectors ride the band rows, only threshold survivors reach
+    the final dedupe aggregate."""
+
+    def guard(buckets: DataFrame) -> DataFrame:
+        if max_bucket is None:
+            return buckets
+        w = Window.partitionBy("_t", "_b")
+        return (
+            buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
+
+    aa = guard(buckets_a).join(ea, "_id").select(
+        "_t", "_b", F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    bb = guard(buckets_b).join(eb, "_id").select(
+        "_t", "_b", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        aa.join(bb, ["_t", "_b"])
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("_cos"), 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs_cross(
+    ref: DataFrame,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bits: int | None = None,
+    tables: int = 1,
+    max_bucket: int | None = None,
+    target_occupancy: int = 8,
+) -> DataFrame:
+    """Cross-corpus embedding near-dup pairs: (id_a, id_b, cosine) with
+    id_a ∈ ``ref``, id_b ∈ ``new``, sharing a sign-LSH bucket in any
+    table at cosine ≥ ``threshold`` — the embedding-space twin of
+    ``dedup.near_dup_pairs_cross`` (semantic dedup of a new embedding
+    batch against a read-only reference corpus: new crawl vs existing
+    corpus, train vs eval in embedding space). The coordinate-sign
+    bucket schedule is deterministic, so both corpora hash into the
+    SAME bucket space — a reference corpus's (table, bucket) relation
+    can equivalently be precomputed and persisted, and the per-arrival
+    cost is one signature pass over the new batch + one band join
+    (O(|ref|·|new|) bucket products, never the reference self-join).
+
+    ``bits=None`` sizes the code width from the COMBINED corpus count
+    (the union is the occupancy universe the buckets must spread), dim
+    from a reference-side probe, capped at dim // tables as in the
+    self-join variant."""
+    if bits is None:
+        n_rows = ref.count() + new.count()
+        row = (
+            ref.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        dim = int(row["d"]) if row is not None else 64
+        bits = min(
+            auto_sign_bits(n_rows, target_occupancy),
+            max(1, dim // max(1, tables)),
+        )
+        _warn_if_buckets_collapse(
+            n_rows, bits, max_bucket, "embedding_near_dup_pairs_cross"
+        )
+
+    def prep(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
+        e = corpus.select(
+            F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+        )
+        table_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    sign_bucket(F.col("_v"), bits, offset=t * bits).alias("b"),
+                )
+                for t in range(tables)
+            ]
+        )
+        buckets = e.select(
+            F.col("_id"), explode_nonempty(table_structs).alias("_tb")
+        ).select("_id", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+        return e, buckets
+
+    ea, buckets_a = prep(ref)
+    eb, buckets_b = prep(new)
+    return _banded_pairs_cosine_verify_cross(
+        ea, buckets_a, eb, buckets_b, threshold, max_bucket
+    )
+
+
 def ivf_assignments(
     corpus: DataFrame,
     centroids: DataFrame,

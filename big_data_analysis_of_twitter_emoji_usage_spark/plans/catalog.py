@@ -77,6 +77,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import 
     embedding_centroids,
     embedding_label_spread,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_cross,
     embedding_near_dup_pairs_hyperplane,
     embedding_outliers,
 )
@@ -432,6 +433,62 @@ def _sign_lsh_near_dup_sql(
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
         f" b AS ({tbl_selects})"
         + _bucket_join_cosine_verify_sql(max_bucket, threshold)
+    )
+
+
+def _cross_sign_lsh_sql(
+    bits: int,
+    tables: int,
+    max_bucket: int | None,
+    threshold: float,
+    left_pred: str,
+    right_pred: str,
+) -> str:
+    """DuckDB mirror of similarity.embedding_near_dup_pairs_cross:
+    per-side coordinate-sign buckets over the SAME table schedule,
+    per-side bucket guard, cross (reference × new) candidate join with
+    no id canonicalization, cosine verify against each side's own
+    vectors."""
+
+    def side(sfx: str, pred: str) -> str:
+        tbl_selects = " UNION ALL ".join(
+            "SELECT vec_id, {t} AS t, concat({chars}) AS bk"
+            " FROM embeddings WHERE {pred}".format(
+                t=t,
+                pred=pred,
+                chars=", ".join(
+                    f"CASE WHEN embedding[{t * bits + i + 1}] > 0"
+                    " THEN '1' ELSE '0' END"
+                    for i in range(bits)
+                ),
+            )
+            for t in range(tables)
+        )
+        chain = f"b{sfx} AS ({tbl_selects})"
+        if max_bucket is not None:
+            chain += (
+                f", bf{sfx} AS (SELECT vec_id, t, bk FROM ("
+                f" SELECT *, count(*) OVER (PARTITION BY t, bk) AS bc"
+                f" FROM b{sfx}) WHERE bc <= {max_bucket})"
+            )
+        return chain
+
+    src_a = "bfa" if max_bucket is not None else "ba"
+    src_b = "bfb" if max_bucket is not None else "bb"
+    return (
+        "WITH ea AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM embeddings WHERE {left_pred}),"
+        " eb AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM embeddings WHERE {right_pred}),"
+        f" {side('a', left_pred)}, {side('b', right_pred)},"
+        " cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b"
+        f" FROM {src_a} a JOIN {src_b} b2 ON a.t = b2.t AND a.bk = b2.bk),"
+        " p AS (SELECT id_a, id_b, list_dot_product(x.v, y.v) /"
+        " sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))"
+        " AS cos FROM cand JOIN ea x ON x.vec_id = id_a"
+        " JOIN eb y ON y.vec_id = id_b)"
+        " SELECT id_a, id_b, round(cos, 6) AS cosine FROM p"
+        f" WHERE cos >= {threshold}"
     )
 
 
@@ -2132,6 +2189,25 @@ def dedup_embedding_q(spark, sf):
     )
 
 
+def dedup_embedding_cross_q(spark, sf):
+    """Cross-corpus embedding near-dup (r9): even-vec_id vectors as the
+    read-only reference corpus, odd as the new arrivals —
+    `embedding_near_dup_pairs_cross` at the same operating point as
+    `dedup_embedding` (8 bits × 2 tables, guard 100, cosine ≥ 0.3), so
+    the result is that query's pair set restricted to cross-parity
+    pairs re-oriented (even, odd) — pinned by the unit tests. `bits`
+    explicit for the same static-oracle reason as dedup_embedding."""
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_near_dup_pairs_cross(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        threshold=0.3,
+        bits=8,
+        tables=2,
+        max_bucket=100,
+    )
+
+
 def dedup_embedding_hyperplane_q(spark, sf):
     """Embedding near-dup pairs over mixed-coordinate hyperplane LSH
     (r7) — the upgrade path past the coordinate-sign variant above,
@@ -3271,6 +3347,14 @@ ORACLE_SQL: dict[str, str] = {
         _CHAR_SHINGLES_CTE, 0.5, max_bucket=20, num_hashes=16, band_size=4
     ),
     "dedup_containment": _containment_sql(_SHINGLES_CTE, 0.7, 20),
+    "dedup_embedding_cross": _cross_sign_lsh_sql(
+        bits=8,
+        tables=2,
+        max_bucket=100,
+        threshold=0.3,
+        left_pred="vec_id % 2 = 0",
+        right_pred="vec_id % 2 = 1",
+    ),
     "dedup_embedding": _sign_lsh_near_dup_sql(
         bits=8, tables=2, max_bucket=100, threshold=0.3
     ),
@@ -4125,6 +4209,10 @@ _GATE_FRONT = {
     # pinned here at the comparable 24/8x2 sizing). ----
     "knn_ivf_tree": knn_ivf_tree_q,
     "dedup_embedding": dedup_embedding_q,
+    # ---- r9 new surface: cross-corpus embedding near-dup — the
+    # semantic-space twin of dedup_cross_pairs, same operating point
+    # as dedup_embedding so the two rows are directly comparable. ----
+    "dedup_embedding_cross": dedup_embedding_cross_q,
     "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
     # ---- r6 drain head (VERDICT r8 #1): the 18 r6-attested leftovers
     # — pure-relational plans unchanged since r6 with every-round local
@@ -4186,31 +4274,32 @@ _GATE_FRONT = {
     "corpus_curation": corpus_curation_q,
     "vocab_top_tokens": vocab_top_tokens_q,
     "sample_hash": sample_hash_q,
-    "sample_stratified": sample_stratified_q,
 }
 
-# r9 again suspends the standing sentinel block: 5 new + 3 reshaped +
-# the full 18-row r6 drain head + 24 r7 rows fill the window exactly
-# (5 + 3 + 18 + 24 = 50), and every operator class a sentinel would
+# r9 again suspends the standing sentinel block: 6 new + 3 reshaped +
+# the full 18-row r6 drain head + 23 r7 rows fill the window exactly
+# (6 + 3 + 18 + 23 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_top_words and the tweet
 # family, events by the window/pivot/percentile block, streaming by
 # stream_decontam_join/stream_decontam_docs/stream_sessionize_native,
 # dedup by the simhash family, ANN by knn_ivf). stream_pii_redact was
 # displaced below the boundary by dedup_simhash64_pairs,
-# pii_scan by stream_dedup_near_docs, and pack_sequences by
-# dedup_cross_pairs (the redaction plans and pack_sequences are
-# byte-unchanged since their r7 rows; local parity covers them every
-# round).
+# pii_scan by stream_dedup_near_docs, pack_sequences by
+# dedup_cross_pairs, and sample_stratified by dedup_embedding_cross
+# (all of the displaced plans are byte-unchanged since their r7 rows;
+# local parity covers them every round).
 _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (11, incl. the r9-displaced
+    # r7-attested leftovers (12, incl. the r9-displaced
     # stream_pii_redact, pii_redact — which gave up its slot to
     # knn_ivf_tree — pii_scan, displaced by stream_dedup_near_docs,
-    # and pack_sequences, displaced by dedup_cross_pairs; all four
+    # pack_sequences, displaced by dedup_cross_pairs, and
+    # sample_stratified, displaced by dedup_embedding_cross; all five
     # plans are byte-unchanged since their r7 rows) — the r10 drain
     # head.
+    "sample_stratified": sample_stratified_q,
     "pack_sequences": pack_sequences_q,
     "pii_scan": pii_scan_q,
     "pii_redact": pii_redact_q,

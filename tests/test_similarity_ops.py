@@ -305,3 +305,69 @@ def test_tree_assign_rejects_unknown_mode(spark):
         cosine_knn_ivf(
             emb, emb.limit(1), coarse_assign="tre"
         )
+
+
+def test_embedding_cross_pairs_equal_self_restricted_to_cross_parity(spark):
+    """embedding_near_dup_pairs_cross(even, odd) at the same operating
+    point must emit exactly the self-join operator's cross-parity pairs
+    re-oriented (even, odd) — the dedup_embedding_cross catalog
+    contract."""
+    import random
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_cross,
+    )
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = []
+    for i in range(12):
+        if i % 3 == 0:
+            v = [x + rng.gauss(0, 0.01) for x in base]  # near-dup cluster
+        else:
+            v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.3, bits=4, tables=2)
+    self_pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(df, **kw).collect()
+    }
+    want = {
+        (p if p % 2 == 0 else q, q if p % 2 == 0 else p): c
+        for (p, q), c in self_pairs.items()
+        if p % 2 != q % 2
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs_cross(
+            df.filter(F.col("vec_id") % 2 == 0),
+            df.filter(F.col("vec_id") % 2 == 1),
+            **kw,
+        ).collect()
+    }
+    assert got == want and len(got) >= 1
+
+
+def test_embedding_cross_overlapping_id_spaces_never_conflate(spark):
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs_cross,
+    )
+
+    a = [1.0, 0.5, -0.25, 2.0, 1.5, -1.0, 0.75, 0.1]
+    anti = [-x for x in a]
+    ref = spark.createDataFrame(
+        [(1, a)], "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        [(1, anti), (2, a)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs_cross(
+            ref, new, threshold=0.5, bits=4, tables=2
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 1) not in got  # same id, anti-parallel vector: no pair
