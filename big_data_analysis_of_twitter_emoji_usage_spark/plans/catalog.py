@@ -128,6 +128,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
     stateful_sessionize,
     stream_decontaminate_join,
     stream_dedup,
+    stream_near_dedup_embedding,
     stream_near_dedup_minhash,
     stream_stream_interval_join,
     windowed_event_counts,
@@ -433,6 +434,40 @@ def _sign_lsh_near_dup_sql(
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
         f" b AS ({tbl_selects})"
         + _bucket_join_cosine_verify_sql(max_bucket, threshold)
+    )
+
+
+def _sign_lsh_keeper_sql(bits: int, tables: int, threshold: float) -> str:
+    """DuckDB mirror of the streaming embedding-dedup keeper rule
+    (streaming.jobs.stream_near_dedup_embedding under ordered arrival):
+    keep every vector with NO smaller-id bucket-sharing partner at
+    cosine >= threshold. The pair CTE is the self-join sign-LSH chain
+    with no bucket guard (the streaming twin doesn't offer one)."""
+    tbl_selects = " UNION ALL ".join(
+        "SELECT vec_id, {t} AS t, concat({chars}) AS bk FROM embeddings".format(
+            t=t,
+            chars=", ".join(
+                f"CASE WHEN embedding[{t * bits + i + 1}] > 0"
+                " THEN '1' ELSE '0' END"
+                for i in range(bits)
+            ),
+        )
+        for t in range(tables)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        f" b AS ({tbl_selects}),"
+        " cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b"
+        " FROM b a JOIN b b2"
+        " ON a.t = b2.t AND a.bk = b2.bk AND a.vec_id < b2.vec_id),"
+        " p AS (SELECT id_a, id_b, list_dot_product(ea.v, eb.v) /"
+        " sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v))"
+        " AS cos FROM cand JOIN e ea ON ea.vec_id = id_a"
+        " JOIN e eb ON eb.vec_id = id_b),"
+        f" dropped AS (SELECT DISTINCT id_b FROM p WHERE cos >= {threshold})"
+        " SELECT v.vec_id, v.label FROM embeddings v"
+        " LEFT JOIN dropped x ON v.vec_id = x.id_b"
+        " WHERE x.id_b IS NULL ORDER BY v.vec_id"
     )
 
 
@@ -2661,23 +2696,33 @@ def stream_decontam_join(spark, sf):
 
 
 def _ordered_docs_stream_dir(sf: str, n_files: int = 4) -> str:
-    """Stage the documents fixture as ``n_files`` parquet files in
-    ascending-doc_id ranges with sequenced mtimes — the ordered-replay
-    contract ``stream_near_dedup_minhash`` needs for batch-exact
-    semantics (the FileStreamSource admits files oldest-mtime-first
-    under maxFilesPerTrigger, so id order == arrival order). Cached
-    across calls with the O(1) staleness stamp idiom
-    (``_synth_tweet_dir``): size + mtime_ns + parquet-footer tail."""
+    return _ordered_table_stream_dir(sf, "documents", "doc_id", n_files)
+
+
+def _ordered_embeddings_stream_dir(sf: str, n_files: int = 4) -> str:
+    return _ordered_table_stream_dir(sf, "embeddings", "vec_id", n_files)
+
+
+def _ordered_table_stream_dir(
+    sf: str, table: str, id_sort_col: str, n_files: int = 4
+) -> str:
+    """Stage a fixture table as ``n_files`` parquet files in ascending-id
+    ranges with sequenced mtimes — the ordered-replay contract the
+    incremental streaming dedup twins need for batch-exact semantics
+    (the FileStreamSource admits files oldest-mtime-first under
+    maxFilesPerTrigger, so id order == arrival order). Cached across
+    calls with the O(1) staleness stamp idiom (``_synth_tweet_dir``):
+    size + mtime_ns + parquet-footer tail."""
     import hashlib
     import shutil
     import tempfile
 
     import pyarrow.parquet as pq
 
-    src = table_path(sf, "documents")
+    src = table_path(sf, table)
     dirname = _os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_docs_ordered_{n_files}_"
+        f"spark_graft_{table}_ordered_{n_files}_"
         + hashlib.md5(_os.path.abspath(src).encode()).hexdigest()[:10],
     )
     marker = _os.path.join(dirname, "_STAGE_DONE")
@@ -2693,7 +2738,7 @@ def _ordered_docs_stream_dir(sf: str, n_files: int = 4) -> str:
         if _os.path.isdir(dirname):  # partial prior attempt: start clean
             shutil.rmtree(dirname)
         _os.makedirs(dirname)
-        t = pq.read_table(src).sort_by("doc_id")
+        t = pq.read_table(src).sort_by(id_sort_col)
         chunk = (t.num_rows + n_files - 1) // n_files
         base_mtime = 1_700_000_000
         for i in range(n_files):
@@ -2743,6 +2788,46 @@ def stream_dedup_near_docs(spark, sf):
         threshold=0.2,
     )
     return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def stream_dedup_near_emb(spark, sf):
+    """Incremental streaming SEMANTIC dedup (r9): the embeddings corpus
+    arrives one staged file per micro-batch (4 ascending-vec_id files,
+    sequenced mtimes) and each batch is sign-LSH deduplicated against
+    the accumulating bucket store —
+    ``streaming.jobs.stream_near_dedup_embedding``, the ingestion-time
+    twin of ``similarity.embedding_near_dup_pairs`` at 8 bits × 2
+    tables, cosine ≥ 0.3 (``dedup_embedding``'s operating point minus
+    the guard, which the streaming twin deliberately doesn't offer).
+    Under ordered arrival the drained keeper set equals the batch rule
+    "drop every vector with a smaller-id bucket-sharing partner at
+    cosine ≥ threshold", which is the oracle (the sign-LSH pair CTE
+    with a NOT-EXISTS keeper wrapper). Scratch dirs fresh per call,
+    reaped at process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    src_dir = _ordered_embeddings_stream_dir(sf)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_near_emb_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    out = stream_near_dedup_embedding(
+        spark,
+        stream,
+        out_dir=_os.path.join(scratch, "out"),
+        checkpoint_dir=_os.path.join(scratch, "ckpt"),
+        store_dir=_os.path.join(scratch, "store"),
+        bits=8,
+        tables=2,
+        threshold=0.3,
+    )
+    return out.select("vec_id", "label").orderBy("vec_id")
 
 
 def repetition_scores_q(spark, sf):
@@ -3347,6 +3432,9 @@ ORACLE_SQL: dict[str, str] = {
         _CHAR_SHINGLES_CTE, 0.5, max_bucket=20, num_hashes=16, band_size=4
     ),
     "dedup_containment": _containment_sql(_SHINGLES_CTE, 0.7, 20),
+    "stream_dedup_near_emb": _sign_lsh_keeper_sql(
+        bits=8, tables=2, threshold=0.3
+    ),
     "dedup_embedding_cross": _cross_sign_lsh_sql(
         bits=8,
         tables=2,
@@ -4189,6 +4277,10 @@ _GATE_FRONT = {
     # signature store (the ingestion-time twin of near_dup_pairs;
     # batch-exact under the ordered-replay staging contract). ----
     "stream_dedup_near_docs": stream_dedup_near_docs,
+    # ---- r9 new surface: incremental streaming SEMANTIC dedup — the
+    # embedding-space twin of the row above (sign-LSH bucket store,
+    # exact-cosine verify, batch-exact under ordered replay). ----
+    "stream_dedup_near_emb": stream_dedup_near_emb,
     # ---- r9 new surface: cross-corpus near-dup pairs — dedupe a new
     # corpus against a read-only reference without self-joining either
     # side (the batch twin of the streaming store probe above; same
@@ -4273,32 +4365,33 @@ _GATE_FRONT = {
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
     "vocab_top_tokens": vocab_top_tokens_q,
-    "sample_hash": sample_hash_q,
 }
 
-# r9 again suspends the standing sentinel block: 6 new + 3 reshaped +
-# the full 18-row r6 drain head + 23 r7 rows fill the window exactly
-# (6 + 3 + 18 + 23 = 50), and every operator class a sentinel would
+# r9 again suspends the standing sentinel block: 7 new + 3 reshaped +
+# the full 18-row r6 drain head + 22 r7 rows fill the window exactly
+# (7 + 3 + 18 + 22 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_top_words and the tweet
 # family, events by the window/pivot/percentile block, streaming by
 # stream_decontam_join/stream_decontam_docs/stream_sessionize_native,
 # dedup by the simhash family, ANN by knn_ivf). stream_pii_redact was
 # displaced below the boundary by dedup_simhash64_pairs,
 # pii_scan by stream_dedup_near_docs, pack_sequences by
-# dedup_cross_pairs, and sample_stratified by dedup_embedding_cross
-# (all of the displaced plans are byte-unchanged since their r7 rows;
-# local parity covers them every round).
+# dedup_cross_pairs, sample_stratified by dedup_embedding_cross, and
+# sample_hash by stream_dedup_near_emb (all of the displaced plans are
+# byte-unchanged since their r7 rows; local parity covers them every
+# round).
 _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (12, incl. the r9-displaced
+    # r7-attested leftovers (13, incl. the r9-displaced
     # stream_pii_redact, pii_redact — which gave up its slot to
     # knn_ivf_tree — pii_scan, displaced by stream_dedup_near_docs,
-    # pack_sequences, displaced by dedup_cross_pairs, and
-    # sample_stratified, displaced by dedup_embedding_cross; all five
-    # plans are byte-unchanged since their r7 rows) — the r10 drain
-    # head.
+    # pack_sequences, displaced by dedup_cross_pairs,
+    # sample_stratified, displaced by dedup_embedding_cross, and
+    # sample_hash, displaced by stream_dedup_near_emb; all six plans
+    # are byte-unchanged since their r7 rows) — the r10 drain head.
+    "sample_hash": sample_hash_q,
     "sample_stratified": sample_stratified_q,
     "pack_sequences": pack_sequences_q,
     "pii_scan": pii_scan_q,

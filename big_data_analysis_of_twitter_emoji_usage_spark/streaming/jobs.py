@@ -606,3 +606,136 @@ def stream_near_dedup_minhash(
         if "PATH_NOT_FOUND" in str(exc):
             return spark.createDataFrame([], stream_df.schema)
         raise
+
+
+def stream_near_dedup_embedding(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Incremental SEMANTIC near-dup deduplication of an embedding
+    stream against an accumulating sign-LSH bucket store (r9) — the
+    embedding-space twin of ``stream_near_dedup_minhash`` and the
+    ingestion-time twin of ``similarity.embedding_near_dup_pairs``. Per
+    micro-batch: vectors and their per-table coordinate-sign bucket
+    codes are computed ONCE at arrival and landed in the store
+    (``store_dir/batch_id=N``, overwritten — replay-idempotent), the
+    batch's (table, bucket) rows probe the full store's via
+    broadcast-hash (history never shuffled), and candidates are
+    verified by exact cosine against the stored vectors. A vector is
+    DROPPED iff some smaller-id already-seen or same-batch vector
+    shares a bucket in any table at cosine ≥ ``threshold``; dropped
+    vectors' codes STAY in the store (the "smaller qualifying partner,
+    whatever its fate" rule — batch-boundary-free), so under ordered
+    arrival the drained keeper set equals the batch operator's keeper
+    rule exactly.
+
+    ``bits``/``tables`` are REQUIRED static here (no auto-bits): the
+    bucket space must be identical across the store's whole lifetime —
+    a per-batch corpus-sized ``bits`` would re-key history and silently
+    miss cross-batch pairs. Size them for the corpus the store will
+    GROW INTO (the ``auto_sign_bits`` rule at expected n), and rebuild
+    the store on re-bucketing, exactly like any persisted LSH index.
+    ``max_bucket`` is deliberately not offered (per-probe occupancy
+    counting would diverge from the batch operator's corpus-global
+    guard — same contract as the MinHash twin).
+
+    Scale shape: per-vector state is written once at arrival; each
+    trigger costs two columnar store scans (bucket-code columns for
+    the probe, vector column for the handful of candidates) joined
+    against the BROADCAST batch — O(total × history/batch) total scan
+    work, amortized by store compaction + bucket-partitioned layout
+    (``sources.writers.compact_parquet_dir`` on the store dir between
+    triggers is the maintenance loop).
+
+    Returns the drained keeper rows (original stream columns) over
+    ``out_dir``.
+    """
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        sign_bucket,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
+
+    bcols = [f"b{t}" for t in range(tables)]
+
+    def _bands(df: DataFrame) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col), explode_nonempty(structs).alias("_tb")
+        ).select(id_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+
+    def _dedup_batch(bdf: DataFrame, bid: int) -> None:
+        v = _as_double(F.col(vec_col))
+        state = bdf.select(
+            F.col(id_col),
+            v.alias("_v"),
+            *[
+                sign_bucket(v, bits, offset=t * bits).alias(f"b{t}")
+                for t in range(tables)
+            ],
+        )
+        state.write.mode("overwrite").parquet(f"{store_dir}/batch_id={bid}")
+        store = spark.read.parquet(store_dir).filter(
+            F.col("batch_id") <= F.lit(bid)
+        )
+        cur = store.filter(F.col("batch_id") == bid)
+        cand = (
+            _bands(store.select(id_col, *bcols))
+            .alias("a")
+            .join(
+                F.broadcast(_bands(cur.select(id_col, *bcols))).alias("b"),
+                (F.col("a._t") == F.col("b._t"))
+                & (F.col("a._b") == F.col("b._b"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        vecs = store.select(F.col(id_col), F.col("_v"))
+        dropped = (
+            cand.join(
+                vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
+                "id_a",
+            )
+            .join(
+                vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
+                "id_b",
+            )
+            .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        write_batch_idempotent(bdf.join(dropped, id_col, "left_anti"), bid, out_dir)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(out_dir).drop("batch_id")
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], stream_df.schema)
+        raise

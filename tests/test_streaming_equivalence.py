@@ -293,3 +293,56 @@ def test_stream_near_dedup_matches_batch_keepers(spark, sf_dir, tmp_path):
         d for d in os.listdir(store_dir) if d.startswith("batch_id=")
     )
     assert len(batches) == 4
+
+
+def test_stream_near_dedup_embedding_matches_batch_keepers(spark, sf_dir, tmp_path):
+    """Incremental streaming SEMANTIC dedup == the batch sign-LSH
+    keeper rule under ordered arrival (the embedding twin of the test
+    above): stage the embeddings fixture as four ascending-vec_id
+    files, drain one per trigger, compare against the
+    ``embedding_near_dup_pairs``-derived keepers at the same operating
+    point (no bucket guard — the streaming twin doesn't offer one).
+    Pins one store partition per micro-batch."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_embeddings_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_embedding,
+    )
+
+    src_dir = _ordered_embeddings_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "store")
+    got = stream_near_dedup_embedding(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        bits=8,
+        tables=2,
+        threshold=0.3,
+    ).select("vec_id")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dropped = (
+        embedding_near_dup_pairs(emb, threshold=0.3, bits=8, tables=2)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    want = emb.join(dropped, "vec_id", "left_anti").select("vec_id")
+    assert rows(got) == rows(want)
+    assert 0 < dropped.count()  # non-vacuous
+    batches = sorted(
+        d for d in os.listdir(store_dir) if d.startswith("batch_id=")
+    )
+    assert len(batches) == 4
