@@ -346,3 +346,75 @@ def test_stream_near_dedup_embedding_matches_batch_keepers(spark, sf_dir, tmp_pa
         d for d in os.listdir(store_dir) if d.startswith("batch_id=")
     )
     assert len(batches) == 4
+
+
+def test_stream_near_dedup_store_survives_compaction_between_drives(
+    spark, sf_dir, tmp_path
+):
+    """The docstring's maintenance loop, pinned: drive the first half
+    of an ordered replay, compact the signature store
+    (`compact_partitioned_parquet` — the store is batch_id-partitioned),
+    then resume the SAME checkpoint over the second half. The final
+    keeper set must still equal the batch rule over the full corpus —
+    i.e. compaction changes the store's file layout, never its content
+    or the resumed stream's reads."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        compact_partitioned_parquet,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    staged = _ordered_docs_stream_dir(sf_dir)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    assert len(parts) == 4
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store_dir = str(tmp_path / "store")
+    kwargs = dict(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+    )
+
+    def drive():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_near_dedup_minhash(spark, stream, **kwargs)
+
+    # first half arrives and is drained
+    for p in parts[:2]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    drive()
+    # maintenance window: compact the store between drives
+    stats = compact_partitioned_parquet(spark, store_dir, target_file_bytes=1 << 30)
+    assert stats["partitions"] == 2 and stats["files_after"] == 2
+    # second half arrives; the SAME checkpoint resumes (only new files)
+    for p in parts[2:]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    got = drive().select("doc_id")
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+    batches = sorted(
+        d for d in os.listdir(store_dir) if d.startswith("batch_id=")
+    )
+    assert len(batches) == 4
