@@ -745,3 +745,41 @@ def test_containment_scan_count_bounded(spark, sf_dir):
     rdds = len(re.findall(r"LogicalRDD", plan))
     assert rdds == 0, f"expected no checkpoint in the default plan, got {rdds}"
     assert 0 < relations <= 2, f"expected <=2 corpus scans, got {relations}"
+
+
+def test_cross_dedup_plans_are_equijoin_only(spark, docs, sf_dir):
+    """Both cross-corpus near-dup operators must candidate-generate
+    through (band/bucket) EQUI-joins — never a cross/nested-loop pair
+    enumeration — and keep a bounded exchange count (the r9 cross
+    family's 100 TB contract: one scan + one band shuffle per corpus,
+    no self-join term on either side)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs_cross
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs_cross,
+    )
+
+    plan = plan_of(
+        near_dup_pairs_cross(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            threshold=0.2,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan2 = plan_of(
+        embedding_near_dup_pairs_cross(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            threshold=0.3,
+            bits=8,
+            tables=2,
+            max_bucket=100,
+        )
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
