@@ -1,4 +1,5 @@
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (  # noqa: F401
+    build_minhash_store,
     connected_components,
     dedup_against_reference,
     doc_shingle_arrays,
@@ -7,6 +8,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (  # 
     lsh_candidate_pairs,
     minhash_signatures,
     near_dup_pairs,
+    near_dup_pairs_against_store,
     near_dup_pairs_cross,
     simhash_fingerprints,
 )

@@ -589,6 +589,88 @@ def near_dup_pairs_cross(
     )
 
 
+def build_minhash_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    unit: str = "word",
+) -> DataFrame:
+    """Per-document dedup state, computed once for persistence:
+    (id, shingles, h0..h{num_hashes-1}). Write this to parquet and
+    every later dedup-against-this-corpus run skips the corpus's
+    shingle+signature pass entirely — the r9 asymmetric three-arm
+    measurement (SCALE.md) found that WITHOUT reuse the cross operator
+    buys nothing over a union self-join (the reference signature pass
+    dominates both, 6.7 vs 5.8 s at 450k×50k), while probing a
+    persisted store runs 2.67 s — 2.2×, growing with the
+    reference/arrival ratio. The layout is byte-compatible with
+    ``streaming.jobs.stream_near_dedup_minhash``'s accumulating store
+    (which builds exactly this state per micro-batch): a batch-built
+    reference store can seed the streaming twin and vice versa.
+    MinHash coefficients are deterministic (``minhash_coeffs``), so
+    stores built in different sessions share one signature space."""
+    arrays = doc_shingle_arrays(df, text_col, id_col, k, unit)
+    return arrays.join(
+        minhash_signatures(arrays, id_col, num_hashes), id_col
+    )
+
+
+def near_dup_pairs_against_store(
+    store_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.4,
+    unit: str = "word",
+) -> DataFrame:
+    """``near_dup_pairs_cross`` with the reference side already in
+    ``build_minhash_store`` form (typically ``spark.read.parquet`` of a
+    persisted store): (id_a, id_b, jaccard) with id_a from the store,
+    id_b from ``new_df``. Per run this computes shingles + signatures
+    for the ARRIVAL only; the store contributes two columnar scans
+    (h-columns for the band probe, shingles for the verify) — the
+    measured deployment arm of the asymmetric dedup loop, and the
+    exact per-trigger plan of the streaming twin. The shingle
+    parameters (``k``/``unit``) must match the store's build — they are
+    baked into the stored arrays. No ``max_bucket``: occupancy counted
+    against a store-vs-arrival split diverges from the corpus-global
+    guard (same contract as the streaming twin). The arrival's bands
+    are broadcast (arrival ≪ store is this operator's premise — same
+    shape as the streaming twin's per-trigger probe); for
+    comparable-sized corpora use ``near_dup_pairs_cross``, whose band
+    join lets AQE pick the strategy."""
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    new_arrays = doc_shingle_arrays(new_df, text_col, id_col, k, unit)
+    bands_ref = signature_bands(
+        store_df.select(id_col, *hcols), id_col, num_hashes, band_size
+    )
+    bands_new = signature_bands(
+        minhash_signatures(new_arrays, id_col, num_hashes),
+        id_col,
+        num_hashes,
+        band_size,
+    )
+    cand = (
+        bands_ref.select(F.col(id_col).alias("id_a"), "band", "sig")
+        .join(
+            F.broadcast(
+                bands_new.select(F.col(id_col).alias("id_b"), "band", "sig")
+            ),
+            ["band", "sig"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs_jaccard_cross(
+        cand, store_df.select(id_col, "shingles"), new_arrays, id_col, threshold
+    )
+
+
 def dedup_against_reference(
     new_df: DataFrame,
     ref_df: DataFrame,

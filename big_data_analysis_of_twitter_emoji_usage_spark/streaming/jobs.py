@@ -537,8 +537,7 @@ def stream_near_dedup_minhash(
     batch DataFrame over ``out_dir``.
     """
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
-        doc_shingle_arrays,
-        minhash_signatures,
+        build_minhash_store,
         signature_bands,
         verify_pairs_jaccard,
     )
@@ -546,9 +545,12 @@ def stream_near_dedup_minhash(
     hcols = [f"h{i}" for i in range(num_hashes)]
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
-        arrays = doc_shingle_arrays(bdf, text_col, id_col, k, unit)
-        state = arrays.join(
-            minhash_signatures(arrays, id_col, num_hashes), id_col
+        # the per-batch state IS one build_minhash_store increment —
+        # batch-built reference stores and this accumulating store are
+        # interchangeable (dedup.near_dup_pairs_against_store probes
+        # either)
+        state = build_minhash_store(
+            bdf, text_col, id_col, k, num_hashes, unit
         )
         # one compute of the shingle/signature kernel per batch; the
         # probe and verify below re-READ it columnar instead of

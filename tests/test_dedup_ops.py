@@ -426,3 +426,37 @@ def test_dedup_against_reference_keeps_only_unmatched(spark):
     )
     kept = sorted(r.doc_id for r in dedup_against_reference(new, ref, threshold=0.2).collect())
     assert kept == [2]
+
+
+def test_store_probe_equals_cross_recompute(spark, tmp_path, sf_dir):
+    """The persisted-reference loop: build_minhash_store(ref) written
+    to parquet, then near_dup_pairs_against_store over the store must
+    emit exactly near_dup_pairs_cross(ref, new) — the store round-trip
+    changes where signatures come from, never the pairs. Uses the real
+    documents fixture split 90/10 (the measured asymmetric shape)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        build_minhash_store,
+        near_dup_pairs_against_store,
+        near_dup_pairs_cross,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    store_path = str(tmp_path / "store")
+    build_minhash_store(ref).write.parquet(store_path)
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pairs_against_store(
+            spark.read.parquet(store_path), new, threshold=0.2
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_pairs_cross(ref, new, threshold=0.2).collect()
+    }
+    assert got == want and len(got) >= 1
