@@ -495,6 +495,93 @@ def embedding_near_dup_pairs_cross(
     )
 
 
+def build_signbucket_store(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 2,
+) -> DataFrame:
+    """Per-vector semantic-dedup state, computed once for persistence:
+    (id, _v double-array, b0..b{tables-1} sign-bucket codes) — the
+    embedding twin of ``dedup.build_minhash_store`` and byte-compatible
+    with ``streaming.jobs.stream_near_dedup_embedding``'s accumulating
+    store (which builds exactly this per micro-batch). ``bits`` /
+    ``tables`` are baked into the stored codes: probes must use the
+    SAME values, and re-bucketing means rebuilding the store (the
+    persisted-LSH-index contract). The coordinate-sign schedule is
+    deterministic, so stores built in different sessions share one
+    bucket space."""
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        *[
+            sign_bucket(v, bits, offset=t * bits).alias(f"b{t}")
+            for t in range(tables)
+        ],
+    )
+
+
+def embedding_near_dup_against_store(
+    store_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """``embedding_near_dup_pairs_cross`` with the reference side
+    already in ``build_signbucket_store`` form: (id_a, id_b, cosine)
+    with id_a from the store, id_b from ``new_df``. Computes buckets
+    for the ARRIVAL only; the store contributes two columnar scans
+    (code columns for the band probe, the vector column for the
+    candidates) — the batch form of the streaming twin's per-trigger
+    probe, and the persisted-reference loop the asymmetric three-arm
+    measurement (SCALE.md, text twin) showed is where cross dedup's
+    win actually lives. The arrival's bands are broadcast
+    (arrival ≪ store is the premise); no ``max_bucket`` (store-split
+    occupancy diverges from the corpus-global guard)."""
+
+    def bands(df: DataFrame) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col), explode_nonempty(structs).alias("_tb")
+        ).select(id_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+
+    new_state = build_signbucket_store(new_df, id_col, vec_col, bits, tables)
+    bcols = [f"b{t}" for t in range(tables)]
+    cand = (
+        bands(store_df.select(id_col, *bcols))
+        .select(F.col(id_col).alias("id_a"), "_t", "_b")
+        .join(
+            F.broadcast(
+                bands(new_state.select(id_col, *bcols)).select(
+                    F.col(id_col).alias("id_b"), "_t", "_b"
+                )
+            ),
+            ["_t", "_b"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = store_df.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    vb = new_state.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 def ivf_assignments(
     corpus: DataFrame,
     centroids: DataFrame,

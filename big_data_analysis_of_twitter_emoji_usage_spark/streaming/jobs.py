@@ -661,9 +661,8 @@ def stream_near_dedup_embedding(
     ``out_dir``.
     """
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
-        _as_double,
+        build_signbucket_store,
         cosine,
-        sign_bucket,
     )
     from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
 
@@ -681,15 +680,10 @@ def stream_near_dedup_embedding(
         ).select(id_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
-        v = _as_double(F.col(vec_col))
-        state = bdf.select(
-            F.col(id_col),
-            v.alias("_v"),
-            *[
-                sign_bucket(v, bits, offset=t * bits).alias(f"b{t}")
-                for t in range(tables)
-            ],
-        )
+        # one build_signbucket_store increment — batch-built reference
+        # stores and this accumulating store are interchangeable
+        # (similarity.embedding_near_dup_against_store probes either)
+        state = build_signbucket_store(bdf, id_col, vec_col, bits, tables)
         state.write.mode("overwrite").parquet(f"{store_dir}/batch_id={bid}")
         store = spark.read.parquet(store_dir).filter(
             F.col("batch_id") <= F.lit(bid)

@@ -371,3 +371,37 @@ def test_embedding_cross_overlapping_id_spaces_never_conflate(spark):
     }
     assert (1, 2) in got and got[(1, 2)] == 1.0
     assert (1, 1) not in got  # same id, anti-parallel vector: no pair
+
+
+def test_embedding_store_probe_equals_cross_recompute(spark, tmp_path, sf_dir):
+    """The persisted-vector-store loop (embedding twin of
+    test_store_probe_equals_cross_recompute): build_signbucket_store
+    written to parquet, probed with embedding_near_dup_against_store,
+    must emit exactly embedding_near_dup_pairs_cross at the same
+    operating point (no guard on either — the store contract)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        build_signbucket_store,
+        embedding_near_dup_against_store,
+        embedding_near_dup_pairs_cross,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    store_path = str(tmp_path / "vstore")
+    build_signbucket_store(ref, bits=8, tables=2).write.parquet(store_path)
+
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_against_store(
+            spark.read.parquet(store_path), new, bits=8, tables=2, threshold=0.3
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs_cross(
+            ref, new, bits=8, tables=2, threshold=0.3
+        ).collect()
+    }
+    assert got == want and len(got) >= 1
