@@ -849,6 +849,108 @@ def containment_pairs(
     )
 
 
+def containment_pairs_cross(
+    ref_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    unit: str = "word",
+    threshold: float = 0.7,
+    max_df: int = 20,
+) -> DataFrame:
+    """Cross-corpus containment pairs: (id_a ∈ ``ref_df``, id_b ∈
+    ``new_df``, n_common, containment_a, containment_b) where either
+    containment direction clears ``threshold`` — the contamination
+    question Jaccard-based cross dedup cannot ask: "is this new
+    document quoted from / embedded in some reference document (or
+    vice versa)?". Same posting-list machinery as ``containment_pairs``
+    with one structural change: per-shingle member lists are collected
+    PER SIDE and pairs expand reference-member × new-member only, so
+    neither corpus pays its own self-pairs.
+
+    The stop-shingle df cap is computed over the COMBINED corpora —
+    deliberately identical to running the self-join operator on the
+    union (a shingle's informativeness doesn't depend on which side it
+    lives in), which makes this operator exactly the union run
+    restricted to cross pairs (pinned by the unit tests, mirrored by
+    the oracle). The cost of that exactness: the reference's df pass
+    re-runs per arrival. A reference-only persisted stop-list would
+    amortize it but CHANGES semantics near the cap (a shingle at
+    df 15 in the reference crosses max_df=20 once arrivals add 6
+    more) — left out until measurement justifies the approximation.
+    Member keys are (side, id) structs internally, so overlapping id
+    spaces never conflate; the ``kept_n`` window partitions by (side,
+    id) and stays bounded by document length."""
+    arrays_r = doc_shingle_arrays(ref_df, text_col, id_col, k, unit)
+    arrays_n = doc_shingle_arrays(new_df, text_col, id_col, k, unit)
+    postings = arrays_r.select(
+        F.lit(0).alias("_s"),
+        F.col(id_col),
+        explode_nonempty("shingles").alias("shingle"),
+    ).unionAll(
+        arrays_n.select(
+            F.lit(1).alias("_s"),
+            F.col(id_col),
+            explode_nonempty("shingles").alias("shingle"),
+        )
+    )
+    keep = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    kept = postings.join(keep, "shingle")
+    kept_n = kept.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_s", id_col))
+    )
+    member = F.struct(F.col(id_col).alias("id"), F.col("_n").alias("n"))
+    members = kept_n.groupBy("shingle").agg(
+        F.collect_list(F.when(F.col("_s") == 0, member)).alias("_ma"),
+        F.collect_list(F.when(F.col("_s") == 1, member)).alias("_mb"),
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ma"),
+            lambda a: F.transform(
+                F.col("_mb"),
+                lambda b: F.struct(
+                    a["id"].alias("a"),
+                    b["id"].alias("b"),
+                    a["n"].alias("na"),
+                    b["n"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        members.filter((F.size("_ma") >= 1) & (F.size("_mb") >= 1))
+        .select(explode_nonempty(pair_structs).alias("_p"))
+        .select(
+            F.col("_p.a").alias("id_a"),
+            F.col("_p.b").alias("id_b"),
+            F.col("_p.na").alias("_na"),
+            F.col("_p.nb").alias("_nb"),
+        )
+    )
+    inter = pairs.groupBy("id_a", "id_b", "_na", "_nb").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    cont_a = F.col("n_common") / F.col("_na")
+    cont_b = F.col("n_common") / F.col("_nb")
+    return (
+        inter.filter(F.greatest(cont_a, cont_b) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(cont_a, 6).alias("containment_a"),
+            F.round(cont_b, 6).alias("containment_b"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -44,6 +44,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
     MINHASH_P,
     connected_components,
     containment_pairs,
+    containment_pairs_cross,
     exact_duplicates,
     keep_best_per_cluster,
     minhash_coeffs,
@@ -373,6 +374,39 @@ def _containment_sql(shingles_cte: str, threshold: float, max_df: int) -> str:
         " count(*) AS i FROM kept a JOIN kept b"
         " ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
         " GROUP BY 1, 2)\n"
+        "SELECT id_a, id_b, i AS n_common,"
+        " round(i / na.n, 6) AS containment_a,"
+        " round(i / nb.n, 6) AS containment_b"
+        " FROM inter JOIN sizes na ON na.doc_id = id_a"
+        " JOIN sizes nb ON nb.doc_id = id_b"
+        f" WHERE greatest(i / na.n, i / nb.n) >= {threshold}"
+    )
+
+
+def _cross_containment_sql(
+    shingles_cte: str,
+    threshold: float,
+    max_df: int,
+    left_pred: str,
+    right_pred: str,
+) -> str:
+    """DuckDB mirror of dedup.containment_pairs_cross: the df cap runs
+    over the COMBINED corpus (the whole ``sh`` CTE — the operator's
+    union-equivalence contract), the pair join is kept-left × kept-right
+    with no id canonicalization, sizes per doc over kept shingles."""
+    return (
+        "WITH "
+        + shingles_cte
+        + ",\ndfc AS (SELECT shingle FROM sh GROUP BY shingle"
+        f" HAVING count(*) <= {max_df}),\n"
+        "kept AS (SELECT s.doc_id, s.shingle FROM sh s"
+        " JOIN dfc USING (shingle)),\n"
+        "sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),\n"
+        f"kepta AS (SELECT * FROM kept WHERE {left_pred}),\n"
+        f"keptb AS (SELECT * FROM kept WHERE {right_pred}),\n"
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " count(*) AS i FROM kepta a JOIN keptb b"
+        " ON a.shingle = b.shingle GROUP BY 1, 2)\n"
         "SELECT id_a, id_b, i AS n_common,"
         " round(i / na.n, 6) AS containment_a,"
         " round(i / nb.n, 6) AS containment_b"
@@ -2206,6 +2240,25 @@ def dedup_containment_q(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def dedup_containment_cross_q(spark, sf):
+    """Cross-corpus containment (r9): even-doc_id docs as the
+    reference, odd as the new arrivals — the contamination question
+    ("is this new doc quoted from a reference doc, or vice versa?")
+    that Jaccard-based cross dedup structurally can't ask. Same
+    threshold/guard as `dedup_containment`; the combined-df cap makes
+    this exactly that query's union run restricted to cross-parity
+    pairs (pinned by `test_containment_cross_equals_union_restricted`)."""
+    docs = _docs(spark, sf)
+    return containment_pairs_cross(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=3,
+        unit="word",
+        threshold=0.7,
+        max_df=20,
+    ).orderBy("id_a", "id_b")
+
+
 def dedup_embedding_q(spark, sf):
     """Embedding-cosine near-dup pairs, multi-table sign-LSH.
 
@@ -3432,6 +3485,9 @@ ORACLE_SQL: dict[str, str] = {
         _CHAR_SHINGLES_CTE, 0.5, max_bucket=20, num_hashes=16, band_size=4
     ),
     "dedup_containment": _containment_sql(_SHINGLES_CTE, 0.7, 20),
+    "dedup_containment_cross": _cross_containment_sql(
+        _SHINGLES_CTE, 0.7, 20, "doc_id % 2 = 0", "doc_id % 2 = 1"
+    ),
     "stream_dedup_near_emb": _sign_lsh_keeper_sql(
         bits=8, tables=2, threshold=0.3
     ),
@@ -4286,6 +4342,9 @@ _GATE_FRONT = {
     # side (the batch twin of the streaming store probe above; same
     # deterministic signature space). ----
     "dedup_cross_pairs": dedup_cross_pairs_q,
+    # ---- r9 new surface: cross-corpus containment — the asymmetric
+    # (quote/contamination) direction of the cross family. ----
+    "dedup_containment_cross": dedup_containment_cross_q,
     "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
     # ---- r9 reshaped plans (changed since their last green rows, so
     # they must re-attest): knn_ivf moves to 24 lists / 8 probes with
@@ -4364,33 +4423,36 @@ _GATE_FRONT = {
     "text_fingerprint": text_fingerprint_q,
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
-    "vocab_top_tokens": vocab_top_tokens_q,
 }
 
-# r9 again suspends the standing sentinel block: 7 new + 3 reshaped +
-# the full 18-row r6 drain head + 22 r7 rows fill the window exactly
-# (7 + 3 + 18 + 22 = 50), and every operator class a sentinel would
+# r9 again suspends the standing sentinel block: 8 new + 3 reshaped +
+# the full 18-row r6 drain head + 21 r7 rows fill the window exactly
+# (8 + 3 + 18 + 21 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_top_words and the tweet
 # family, events by the window/pivot/percentile block, streaming by
 # stream_decontam_join/stream_decontam_docs/stream_sessionize_native,
 # dedup by the simhash family, ANN by knn_ivf). stream_pii_redact was
 # displaced below the boundary by dedup_simhash64_pairs,
 # pii_scan by stream_dedup_near_docs, pack_sequences by
-# dedup_cross_pairs, sample_stratified by dedup_embedding_cross, and
-# sample_hash by stream_dedup_near_emb (all of the displaced plans are
+# dedup_cross_pairs, sample_stratified by dedup_embedding_cross,
+# sample_hash by stream_dedup_near_emb, and vocab_top_tokens by
+# dedup_containment_cross (all of the displaced plans are
 # byte-unchanged since their r7 rows; local parity covers them every
 # round).
 _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (13, incl. the r9-displaced
+    # r7-attested leftovers (14, incl. the r9-displaced
     # stream_pii_redact, pii_redact — which gave up its slot to
     # knn_ivf_tree — pii_scan, displaced by stream_dedup_near_docs,
     # pack_sequences, displaced by dedup_cross_pairs,
-    # sample_stratified, displaced by dedup_embedding_cross, and
-    # sample_hash, displaced by stream_dedup_near_emb; all six plans
-    # are byte-unchanged since their r7 rows) — the r10 drain head.
+    # sample_stratified, displaced by dedup_embedding_cross,
+    # sample_hash, displaced by stream_dedup_near_emb, and
+    # vocab_top_tokens, displaced by dedup_containment_cross; all
+    # seven plans are byte-unchanged since their r7 rows) — the r10
+    # drain head.
+    "vocab_top_tokens": vocab_top_tokens_q,
     "sample_hash": sample_hash_q,
     "sample_stratified": sample_stratified_q,
     "pack_sequences": pack_sequences_q,

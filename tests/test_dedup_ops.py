@@ -460,3 +460,62 @@ def test_store_probe_equals_cross_recompute(spark, tmp_path, sf_dir):
         for r in near_dup_pairs_cross(ref, new, threshold=0.2).collect()
     }
     assert got == want and len(got) >= 1
+
+
+def test_containment_cross_equals_union_restricted(spark, sf_dir):
+    """containment_pairs_cross(even, odd) must equal the self-join
+    operator run on the union (the whole fixture) restricted to
+    cross-parity pairs re-oriented (even, odd) — the combined-df-cap
+    contract that makes the two interchangeable."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_cross,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(threshold=0.5, max_df=20)
+    self_rows = {}
+    for r in containment_pairs(docs, **kw).collect():
+        if r.id_a % 2 != r.id_b % 2:
+            if r.id_a % 2 == 0:
+                self_rows[(r.id_a, r.id_b)] = (
+                    r.n_common, r.containment_a, r.containment_b
+                )
+            else:
+                self_rows[(r.id_b, r.id_a)] = (
+                    r.n_common, r.containment_b, r.containment_a
+                )
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.containment_a, r.containment_b)
+        for r in containment_pairs_cross(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            **kw,
+        ).collect()
+    }
+    assert got == self_rows and len(got) >= 1
+
+
+def test_containment_cross_catches_quote_into_reference(spark):
+    """The headline direction: a new doc fully quoted from a reference
+    doc pairs at containment_b = 1.0 even though Jaccard is tiny; an
+    unrelated new doc does not pair. Overlapping id spaces stay
+    separate."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import containment_pairs_cross
+
+    big = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(10, 16))  # 6 words inside big
+    ref = spark.createDataFrame([(1, big)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, quote), (2, "entirely different words nothing shared at all here")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in containment_pairs_cross(ref, new, threshold=0.7, max_df=20).collect()
+    }
+    assert (1, 1) in rows and rows[(1, 1)][1] == 1.0  # quote fully contained
+    assert all(b != 2 for (_, b) in rows)
