@@ -783,3 +783,18 @@ def test_cross_dedup_plans_are_equijoin_only(spark, docs, sf_dir):
     )
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        containment_pairs_cross,
+    )
+
+    plan3 = plan_of(
+        containment_pairs_cross(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            threshold=0.7,
+            max_df=20,
+        )
+    )
+    assert "CartesianProduct" not in plan3
+    assert "BroadcastNestedLoopJoin" not in plan3
