@@ -784,6 +784,87 @@ def select_ivf_centroids(
     ).limit(n_lists)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    lloyd_iters: int = 0,
+    replication: int = 2,
+    coarse_assign: str = "flat",
+    probe_supers: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The index half of ``cosine_knn_ivf``, exposed for persistence
+    (r9): returns ``(centroids, postings)`` — centroids
+    (_cid, _cv broadcast-sized) and postings (neighbor_id, cv, _list;
+    one row per vector per replica, the inverted lists with vectors
+    riding them, IVF-flat's standard layout). Write both to parquet
+    and every later query run is ``cosine_knn_ivf_probe`` — the
+    production ANN shape (index built once over the 100 TB corpus,
+    probed by every arriving query batch) instead of re-selecting
+    centroids and re-assigning the corpus per call. Centroid
+    selection is md5-deterministic, so a rebuilt index over the same
+    corpus is identical. All knob semantics (and their measured
+    recall trades) are documented on ``cosine_knn_ivf``, which is now
+    exactly build + probe."""
+    if coarse_assign not in ("flat", "tree"):
+        raise ValueError(
+            f"build_ivf_index: coarse_assign={coarse_assign!r} — "
+            "expected 'flat' or 'tree'"
+        )
+    cents = select_ivf_centroids(corpus, id_col, n_lists)
+    c, assign = ivf_assignments(corpus, cents, id_col, vec_col)
+    e0 = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    for _ in range(lloyd_iters):
+        c = lloyd_refine_centroids(e0, assign)
+        assign = _assign_to_centroids(e0, c)
+    if coarse_assign == "tree":
+        assign = _tree_assign(
+            e0, c, n_lists, max(replication, 1), probe_supers=probe_supers
+        )
+    elif replication > 1:
+        sc_all = e0.join(F.broadcast(c)).select(
+            "_id", "_cid", cosine(F.col("_v"), F.col("_cv")).alias("_acos")
+        )
+        wa = Window.partitionBy("_id").orderBy(F.desc("_acos"), F.asc("_cid"))
+        assign = (
+            sc_all.withColumn("_ark", F.row_number().over(wa))
+            .filter(F.col("_ark") <= replication)
+            .select("_id", F.col("_cid").alias("_list"))
+        )
+    postings = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+    return c, postings
+
+
+def cosine_knn_ivf_probe(
+    centroids: DataFrame,
+    postings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+    replication: int = 2,
+) -> DataFrame:
+    """The query half of ``cosine_knn_ivf`` over a (typically
+    persisted) ``build_ivf_index`` result: probe each query's
+    ``nprobe`` nearest centroids' lists, exact-cosine rank, top-k.
+    Per run this touches O(|queries| · n_lists) centroid math (the
+    centroid relation is broadcast) plus the probed fraction of the
+    postings — the corpus itself is never re-assigned. Pass the same
+    ``replication`` the index was built with (>1 enables the
+    shared-list duplicate collapse; the value itself only gates
+    whether that aggregate is planned)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    return _ivf_probe_tail(centroids, postings, q, k, nprobe, replication)
+
+
 def cosine_knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -849,39 +930,33 @@ def cosine_knn_ivf(
 
     Returns (query_id, neighbor_id, rank, cosine).
     """
-    if coarse_assign not in ("flat", "tree"):
-        raise ValueError(
-            f"cosine_knn_ivf: coarse_assign={coarse_assign!r} — "
-            "expected 'flat' or 'tree'"
-        )
-    cents = select_ivf_centroids(corpus, id_col, n_lists)
-    c, assign = ivf_assignments(corpus, cents, id_col, vec_col)
-    e0 = corpus.select(
-        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    c, e = build_ivf_index(
+        corpus,
+        id_col,
+        vec_col,
+        n_lists,
+        lloyd_iters,
+        replication,
+        coarse_assign,
+        probe_supers,
     )
-    for _ in range(lloyd_iters):
-        c = lloyd_refine_centroids(e0, assign)
-        assign = _assign_to_centroids(e0, c)
-    if coarse_assign == "tree":
-        assign = _tree_assign(
-            e0, c, n_lists, max(replication, 1), probe_supers=probe_supers
-        )
-    elif replication > 1:
-        sc_all = e0.join(F.broadcast(c)).select(
-            "_id", "_cid", cosine(F.col("_v"), F.col("_cv")).alias("_acos")
-        )
-        wa = Window.partitionBy("_id").orderBy(F.desc("_acos"), F.asc("_cid"))
-        assign = (
-            sc_all.withColumn("_ark", F.row_number().over(wa))
-            .filter(F.col("_ark") <= replication)
-            .select("_id", F.col("_cid").alias("_list"))
-        )
-    e = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    return _ivf_probe_tail(c, e, q, k, nprobe, replication)
+
+
+def _ivf_probe_tail(
+    c: DataFrame,
+    e: DataFrame,
+    q: DataFrame,
+    k: int,
+    nprobe: int,
+    replication: int,
+) -> DataFrame:
+    """Shared probe tail of ``cosine_knn_ivf`` / ``cosine_knn_ivf_probe``:
+    c = centroids (_cid, _cv), e = postings (neighbor_id, cv, _list),
+    q = (query_id, qv)."""
     # nprobe nearest centroids per query → (query, probed list) pairs.
     q_scored = q.join(F.broadcast(c)).select(
         "query_id",

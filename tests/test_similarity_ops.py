@@ -405,3 +405,43 @@ def test_embedding_store_probe_equals_cross_recompute(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert got == want and len(got) >= 1
+
+
+def test_ivf_index_probe_equals_inline_knn(spark, tmp_path, sf_dir):
+    """The persisted-index loop: build_ivf_index written to parquet
+    (centroids + postings), probed with cosine_knn_ivf_probe, must
+    return cosine_knn_ivf(corpus, queries) bit-for-bit at the shipped
+    operating point — persistence changes where the index comes from,
+    never the neighbors. Covers both coarse-assign modes."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_knn_ivf,
+        cosine_knn_ivf_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    for mode in ("flat", "tree"):
+        kw = dict(n_lists=24, replication=2, coarse_assign=mode)
+        c, p = build_ivf_index(emb, **kw)
+        cdir = str(tmp_path / f"cent_{mode}")
+        pdir = str(tmp_path / f"post_{mode}")
+        c.write.parquet(cdir)
+        p.write.parquet(pdir)
+        got = sorted(
+            tuple(r)
+            for r in cosine_knn_ivf_probe(
+                spark.read.parquet(cdir),
+                spark.read.parquet(pdir),
+                queries,
+                k=3,
+                nprobe=8,
+                replication=2,
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in cosine_knn_ivf(emb, queries, k=3, nprobe=8, **kw).collect()
+        )
+        assert got == want and len(got) == 30, mode
