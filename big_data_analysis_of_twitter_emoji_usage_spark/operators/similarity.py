@@ -784,6 +784,25 @@ def select_ivf_centroids(
     ).limit(n_lists)
 
 
+def _flat_replicated_assign(
+    e0: DataFrame, c: DataFrame, replication: int
+) -> DataFrame:
+    """Flat replicated coarse assignment: every vector posts into its
+    ``replication`` nearest centroids (SPANN-style boundary
+    replication). e0 = (_id, _v), c = (_cid, _cv, broadcast-sized);
+    returns (_id, _list). Shared by ``build_ivf_index`` and the
+    streaming index appender so the two can never drift."""
+    sc_all = e0.join(F.broadcast(c)).select(
+        "_id", "_cid", cosine(F.col("_v"), F.col("_cv")).alias("_acos")
+    )
+    wa = Window.partitionBy("_id").orderBy(F.desc("_acos"), F.asc("_cid"))
+    return (
+        sc_all.withColumn("_ark", F.row_number().over(wa))
+        .filter(F.col("_ark") <= replication)
+        .select("_id", F.col("_cid").alias("_list"))
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -825,15 +844,7 @@ def build_ivf_index(
             e0, c, n_lists, max(replication, 1), probe_supers=probe_supers
         )
     elif replication > 1:
-        sc_all = e0.join(F.broadcast(c)).select(
-            "_id", "_cid", cosine(F.col("_v"), F.col("_cv")).alias("_acos")
-        )
-        wa = Window.partitionBy("_id").orderBy(F.desc("_acos"), F.asc("_cid"))
-        assign = (
-            sc_all.withColumn("_ark", F.row_number().over(wa))
-            .filter(F.col("_ark") <= replication)
-            .select("_id", F.col("_cid").alias("_list"))
-        )
+        assign = _flat_replicated_assign(e0, c, replication)
     postings = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")

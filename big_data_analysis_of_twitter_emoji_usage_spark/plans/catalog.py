@@ -70,6 +70,9 @@ from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
     cosine_knn_bruteforce,
     cosine_knn_ivf,
+    cosine_knn_ivf_probe,
+    ivf_assignments,
+    select_ivf_centroids,
     cosine_knn_sign_lsh,
     cosine_knn_wta,
     lsh_hyperplanes,
@@ -129,6 +132,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
     stateful_sessionize,
     stream_decontaminate_join,
     stream_dedup,
+    stream_ivf_index_append,
     stream_near_dedup_embedding,
     stream_near_dedup_minhash,
     stream_stream_interval_join,
@@ -2883,6 +2887,58 @@ def stream_dedup_near_emb(spark, sf):
     return out.select("vec_id", "label").orderBy("vec_id")
 
 
+def stream_knn_ivf(spark, sf):
+    """Streaming-maintained IVF index, probed (r9): centroids are
+    seeded from the FIRST staged file (the initial corpus — the static
+    quantizer), the full embeddings replay then streams through
+    ``stream_ivf_index_append`` one file per trigger (every vector,
+    seed file included, is assigned to the fixed centroids and lands
+    as posting rows), and the accumulated postings are probed with
+    ``cosine_knn_ivf_probe`` at the shipped 24/8×2 operating point.
+    The oracle re-derives the same thing statically: centroids =
+    md5-rank over the first ceil(n/4) vec_ids, replicated assignment
+    over ALL vectors, probe/rank tail verbatim from ``knn_ivf``."""
+    import atexit
+    import shutil
+    import tempfile
+
+    src_dir = _ordered_embeddings_stream_dir(sf)
+    parts = sorted(
+        p for p in _os.listdir(src_dir) if p.endswith(".parquet")
+    )
+    seed = spark.read.parquet(_os.path.join(src_dir, parts[0]))
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_ivf_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    cdir = _os.path.join(scratch, "cent")
+    c, _ = ivf_assignments(
+        seed, select_ivf_centroids(seed, "vec_id", _KNN_IVF_LISTS)
+    )
+    c.write.parquet(cdir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    postings = stream_ivf_index_append(
+        spark,
+        stream,
+        centroids_dir=cdir,
+        postings_dir=_os.path.join(scratch, "post"),
+        checkpoint_dir=_os.path.join(scratch, "ckpt"),
+        replication=_KNN_IVF_REPL,
+    )
+    queries = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
+    return cosine_knn_ivf_probe(
+        spark.read.parquet(cdir),
+        postings,
+        queries,
+        k=3,
+        nprobe=_KNN_IVF_NPROBE,
+        replication=_KNN_IVF_REPL,
+    ).orderBy("query_id", "rank")
+
+
 def repetition_scores_q(spark, sf):
     """Gopher-style repetition filters over the raw corpus (the fixture
     text is genuinely repetitive — value-bearing without synthesis)."""
@@ -3621,6 +3677,42 @@ ORACLE_SQL: dict[str, str] = {
         "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
         " WHERE rank <= 3"
     ),
+    # Streaming-maintained IVF: identical probe/rank tail to knn_ivf;
+    # only the centroid CTE differs — the md5 rank runs over the SEED
+    # subset (the first ceil(n/4) vec_ids = the first staged replay
+    # file), the assignment still covers ALL vectors (every arrival is
+    # posted against the fixed centroids).
+    "stream_knn_ivf": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " seed AS (SELECT vec_id, v FROM ("
+        "  SELECT e.*, row_number() OVER (ORDER BY vec_id) AS rn FROM e)"
+        "  WHERE rn <= (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) FROM e)),"
+        " cent AS (SELECT vec_id AS cid, v AS cv FROM seed"
+        f"  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_KNN_IVF_LISTS}),"
+        " asg AS (SELECT vec_id, cid AS list FROM ("
+        "  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id"
+        "   ORDER BY list_dot_product(e.v, c.cv) /"
+        "   sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv))"
+        "   DESC, c.cid ASC) AS rk FROM e CROSS JOIN cent c)"
+        f" WHERE rk <= {_KNN_IVF_REPL}),"
+        " q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),"
+        " probes AS (SELECT query_id, qv, cid AS list FROM ("
+        "  SELECT q.query_id, q.qv, c.cid, row_number() OVER ("
+        "   PARTITION BY q.query_id"
+        "   ORDER BY list_dot_product(q.qv, c.cv) /"
+        "   sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.cv, c.cv))"
+        "   DESC, c.cid ASC) AS prk FROM q CROSS JOIN cent c)"
+        f" WHERE prk <= {_KNN_IVF_NPROBE}),"
+        " scored AS (SELECT DISTINCT p.query_id, e.vec_id AS neighbor_id,"
+        "  list_dot_product(p.qv, e.v) /"
+        "  sqrt(list_dot_product(p.qv, p.qv) * list_dot_product(e.v, e.v)) AS cos"
+        "  FROM probes p JOIN asg a ON a.list = p.list"
+        "  JOIN e ON e.vec_id = a.vec_id WHERE e.vec_id <> p.query_id)"
+        " SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
+        " WHERE rank <= 3 ORDER BY query_id, rank"
+    ),
     # Tree-quantizer IVF: the CTE chain re-derives every level of the
     # two-level assignment — supers are the first isqrt(L) rows of the
     # SAME md5 rank that picked the centroids; each centroid attaches
@@ -4337,6 +4429,11 @@ _GATE_FRONT = {
     # embedding-space twin of the row above (sign-LSH bucket store,
     # exact-cosine verify, batch-exact under ordered replay). ----
     "stream_dedup_near_emb": stream_dedup_near_emb,
+    # ---- r9 new surface: streaming-maintained IVF index — arriving
+    # vectors are posted against fixed seed centroids per trigger and
+    # are probe-searchable immediately (the ANN member of the
+    # continuous-curation contract). ----
+    "stream_knn_ivf": stream_knn_ivf,
     # ---- r9 new surface: cross-corpus near-dup pairs — dedupe a new
     # corpus against a read-only reference without self-joining either
     # side (the batch twin of the streaming store probe above; same
@@ -4422,12 +4519,11 @@ _GATE_FRONT = {
     "text_token_stats": text_token_stats_q,
     "text_fingerprint": text_fingerprint_q,
     "text_bpe_tokens": text_bpe_tokens_q,
-    "corpus_curation": corpus_curation_q,
 }
 
-# r9 again suspends the standing sentinel block: 8 new + 3 reshaped +
-# the full 18-row r6 drain head + 21 r7 rows fill the window exactly
-# (8 + 3 + 18 + 21 = 50), and every operator class a sentinel would
+# r9 again suspends the standing sentinel block: 9 new + 3 reshaped +
+# the full 18-row r6 drain head + 20 r7 rows fill the window exactly
+# (9 + 3 + 18 + 20 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_top_words and the tweet
 # family, events by the window/pivot/percentile block, streaming by
 # stream_decontam_join/stream_decontam_docs/stream_sessionize_native,
@@ -4435,23 +4531,24 @@ _GATE_FRONT = {
 # displaced below the boundary by dedup_simhash64_pairs,
 # pii_scan by stream_dedup_near_docs, pack_sequences by
 # dedup_cross_pairs, sample_stratified by dedup_embedding_cross,
-# sample_hash by stream_dedup_near_emb, and vocab_top_tokens by
-# dedup_containment_cross (all of the displaced plans are
-# byte-unchanged since their r7 rows; local parity covers them every
-# round).
+# sample_hash by stream_dedup_near_emb, vocab_top_tokens by
+# dedup_containment_cross, and corpus_curation by stream_knn_ivf (all
+# of the displaced plans are byte-unchanged since their r7 rows;
+# local parity covers them every round).
 _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (14, incl. the r9-displaced
+    # r7-attested leftovers (15, incl. the r9-displaced
     # stream_pii_redact, pii_redact — which gave up its slot to
     # knn_ivf_tree — pii_scan, displaced by stream_dedup_near_docs,
     # pack_sequences, displaced by dedup_cross_pairs,
     # sample_stratified, displaced by dedup_embedding_cross,
-    # sample_hash, displaced by stream_dedup_near_emb, and
-    # vocab_top_tokens, displaced by dedup_containment_cross; all
-    # seven plans are byte-unchanged since their r7 rows) — the r10
-    # drain head.
+    # sample_hash, displaced by stream_dedup_near_emb,
+    # vocab_top_tokens, displaced by dedup_containment_cross, and
+    # corpus_curation, displaced by stream_knn_ivf; all eight plans
+    # are byte-unchanged since their r7 rows) — the r10 drain head.
+    "corpus_curation": corpus_curation_q,
     "vocab_top_tokens": vocab_top_tokens_q,
     "sample_hash": sample_hash_q,
     "sample_stratified": sample_stratified_q,

@@ -735,3 +735,59 @@ def stream_near_dedup_embedding(
         if "PATH_NOT_FOUND" in str(exc):
             return spark.createDataFrame([], stream_df.schema)
         raise
+
+
+def stream_ivf_index_append(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    centroids_dir: str,
+    postings_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    replication: int = 2,
+) -> DataFrame:
+    """Maintain a persisted IVF index under streaming arrival (r9) —
+    the ANN member of the continuous-curation contract: the centroid
+    set is FIXED (read once from ``centroids_dir``, written by
+    ``similarity.build_ivf_index`` over the seed corpus — the static
+    quantizer, same contract as the dedup stores' static ``bits``),
+    and each micro-batch assigns its vectors to those centroids via
+    the SAME replicated flat assignment the batch builder uses
+    (``similarity._flat_replicated_assign`` — shared code, cannot
+    drift) and lands vector-carrying posting rows at
+    ``postings_dir/batch_id=N`` idempotently. The accumulated postings
+    are exactly ``build_ivf_index``'s posting relation for the total
+    corpus against the seed centroids, so ``cosine_knn_ivf_probe``
+    works unchanged over them at any point in the stream's life — a
+    vector is searchable one trigger after it arrives, with no index
+    rebuild ever. Re-centering (new centroids for a drifted corpus)
+    is an explicit offline rebuild, exactly like re-bucketing a dedup
+    store. Returns the accumulated postings (batch_id dropped).
+    """
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        _as_double,
+        _flat_replicated_assign,
+    )
+
+    c = spark.read.parquet(centroids_dir)
+
+    def _append(bdf: DataFrame, bid: int) -> None:
+        e0 = bdf.select(
+            F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+        )
+        assign = _flat_replicated_assign(e0, c, replication)
+        postings = bdf.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+        write_batch_idempotent(postings, bid, postings_dir)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(postings_dir).drop("batch_id")
