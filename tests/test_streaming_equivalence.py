@@ -418,3 +418,96 @@ def test_stream_near_dedup_store_survives_compaction_between_drives(
         d for d in os.listdir(store_dir) if d.startswith("batch_id=")
     )
     assert len(batches) == 4
+
+
+def test_stream_ivf_postings_survive_compaction_between_drives(
+    spark, sf_dir, tmp_path
+):
+    """The IVF analogue of the store-compaction pin above: drive half
+    the embedding replay into the posting store, compact it
+    (batch_id-partitioned leaves), resume the SAME checkpoint over the
+    rest — the probe over the final postings must equal the probe over
+    a batch-built index against the same seed centroids."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        _as_double,
+        _flat_replicated_assign,
+        cosine_knn_ivf_probe,
+        ivf_assignments,
+        select_ivf_centroids,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_embeddings_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        compact_partitioned_parquet,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_ivf_index_append,
+    )
+
+    staged = _ordered_embeddings_stream_dir(sf_dir)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cdir = str(tmp_path / "cent")
+    pdir = str(tmp_path / "post")
+    seed = spark.read.parquet(os.path.join(staged, parts[0]))
+    c, _ = ivf_assignments(seed, select_ivf_centroids(seed, "vec_id", 24))
+    c.write.parquet(cdir)
+
+    def drive():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_ivf_index_append(
+            spark,
+            stream,
+            centroids_dir=cdir,
+            postings_dir=pdir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            replication=2,
+        )
+
+    for p in parts[:2]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    drive()
+    stats = compact_partitioned_parquet(spark, pdir, target_file_bytes=1 << 30)
+    assert stats["partitions"] == 2
+    for p in parts[2:]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    postings = drive()
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cp = spark.read.parquet(cdir)
+    got = sorted(
+        tuple(r)
+        for r in cosine_knn_ivf_probe(
+            cp, postings, queries, k=3, nprobe=8, replication=2
+        ).collect()
+    )
+    e0 = emb.select(
+        F.col("vec_id").alias("_id"), _as_double(F.col("embedding")).alias("_v")
+    )
+    batch_post = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    ).join(
+        _flat_replicated_assign(e0, cp, 2).withColumnRenamed(
+            "_id", "neighbor_id"
+        ),
+        "neighbor_id",
+    )
+    want = sorted(
+        tuple(r)
+        for r in cosine_knn_ivf_probe(
+            cp, batch_post, queries, k=3, nprobe=8, replication=2
+        ).collect()
+    )
+    assert got == want and len(got) == 30
