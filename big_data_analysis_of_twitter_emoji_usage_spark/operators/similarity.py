@@ -582,6 +582,95 @@ def embedding_near_dup_against_store(
     )
 
 
+def cosine_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bits: int = 4,
+    tables: int = 18,
+    dim: int = 64,
+    nnz: int = 16,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """ANN kNN JOIN: for EVERY left row, the top-``k`` cosine neighbors
+    among the right rows that share a hyperplane-LSH bucket in any
+    table — (left_id, right_id, rank, cosine). The operator class the
+    query-set kNNs (``cosine_knn_*``) don't cover: those broadcast a
+    small query set against the corpus, which stops working when the
+    "query set" IS a second corpus (aligning two datasets, attaching
+    nearest-neighbor labels/captions, retrieval-augmenting every
+    training document). Both sides band into the shared seeded
+    sparse-Rademacher signature space (``lsh_hyperplanes`` — the SAME
+    schedule ``cosine_knn_sign_lsh`` bands on) and the candidate stage
+    is a per-side-guarded (table, bucket) equi-join — one scan + one
+    band shuffle per corpus, candidates bounded by bucket products,
+    never |L|×|R|.
+
+    The signature scheme is a MEASURED choice, not a default carried
+    over: this operator first shipped on the dedup family's
+    coordinate-sign buckets at 8 bits × 2 tables and measured
+    **recall@3 = 0.025** against brute-force cross top-3 on the
+    fixture — a near-dup operating point finds near-DUPLICATES, while
+    a kNN join must find merely-nearest neighbors (cosine ≈ 0.4–0.6 on
+    a structure-free corpus), whose per-table bucket-agreement
+    probability at 8 bits is a few percent. Recall there is bought
+    with TABLE COUNT, which coordinate-sign caps at dim/bits; the
+    hyperplane schedule has no such cap, and ``cosine_knn_sign_lsh``'s
+    pinned operating point (4 bits × 18 tables, recall@3 0.933 on the
+    query-kNN task) transfers: measured 0.912 here (pinned by
+    ``test_knn_join_recall_floor``). A left row whose buckets contain
+    no right rows yields NO output rows — the honest answer under LSH;
+    raise ``tables`` for coverage. Duplicate candidates from
+    multi-table agreement collapse via a map-side-partial max before
+    the per-left-row rank window."""
+    planes = lsh_hyperplanes(bits, tables, dim, nnz)
+    sig_udf = _hyperplane_sigs_udf(planes, dim)
+
+    def prep(corpus: DataFrame, out_id: str, out_vec: str):
+        e = corpus.select(
+            F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
+        )
+        buckets = e.select(
+            out_id,
+            out_vec,
+            F.posexplode(sig_udf(F.col(out_vec))).alias("_t", "_b"),
+        )
+        if max_bucket is not None:
+            w = Window.partitionBy("_t", "_b")
+            buckets = (
+                buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
+                .filter(F.col("_bc") <= max_bucket)
+                .drop("_bc")
+            )
+        return buckets
+
+    lb = prep(left, "left_id", "_lv")
+    rb = prep(right, "right_id", "_rv")
+    scored = (
+        lb.join(rb, ["_t", "_b"])
+        .select(
+            "left_id",
+            "right_id",
+            cosine(F.col("_lv"), F.col("_rv")).alias("_cos"),
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.max("_cos").alias("_cos"))
+    )
+    w = Window.partitionBy("left_id").orderBy(F.desc("_cos"), F.asc("right_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "left_id",
+            "right_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("_cos", 6).alias("cosine"),
+        )
+    )
+
+
 def ivf_assignments(
     corpus: DataFrame,
     centroids: DataFrame,

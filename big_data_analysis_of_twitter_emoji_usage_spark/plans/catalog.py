@@ -71,6 +71,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import 
     cosine_knn_bruteforce,
     cosine_knn_ivf,
     cosine_knn_ivf_probe,
+    cosine_knn_join,
     ivf_assignments,
     select_ivf_centroids,
     cosine_knn_sign_lsh,
@@ -562,6 +563,69 @@ def _cross_sign_lsh_sql(
         " JOIN eb y ON y.vec_id = id_b)"
         " SELECT id_a, id_b, round(cos, 6) AS cosine FROM p"
         f" WHERE cos >= {threshold}"
+    )
+
+
+def _knn_join_sql(
+    bits: int,
+    tables: int,
+    max_bucket: int | None,
+    k: int,
+    left_pred: str,
+    right_pred: str,
+) -> str:
+    """DuckDB mirror of similarity.cosine_knn_join: per-side
+    hyperplane-LSH buckets from the SAME ``lsh_hyperplanes``
+    coefficient schedule (baked as literals, summed in schedule
+    order), per-side guard, DISTINCT cross candidates (mirrors the
+    operator's identical-cosine max collapse), cosine + per-left-row
+    top-k rank."""
+    sig_exprs = ", ".join(
+        "concat("
+        + ", ".join(
+            "CASE WHEN ("
+            + " + ".join(f"embedding[{i}]::DOUBLE * {float(s)}" for i, s in terms)
+            + ") > 0 THEN '1' ELSE '0' END"
+            for terms in row
+        )
+        + f") AS sig{t}"
+        for t, row in enumerate(lsh_hyperplanes(bits, tables, 64))
+    )
+
+    def side(sfx: str, pred: str) -> str:
+        tbl_selects = " UNION ALL ".join(
+            f"SELECT vec_id, {t} AS t, sig{t} AS bk FROM sigs"
+            f" WHERE {pred}"
+            for t in range(tables)
+        )
+        chain = f"b{sfx} AS ({tbl_selects})"
+        if max_bucket is not None:
+            chain += (
+                f", bf{sfx} AS (SELECT vec_id, t, bk FROM ("
+                f" SELECT *, count(*) OVER (PARTITION BY t, bk) AS bc"
+                f" FROM b{sfx}) WHERE bc <= {max_bucket})"
+            )
+        return chain
+
+    src_l = "bfl" if max_bucket is not None else "bl"
+    src_r = "bfr" if max_bucket is not None else "br"
+    return (
+        "WITH el AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM embeddings WHERE {left_pred}),"
+        " er AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM embeddings WHERE {right_pred}),"
+        f" sigs AS (SELECT vec_id, {sig_exprs} FROM embeddings),"
+        f" {side('l', left_pred)}, {side('r', right_pred)},"
+        " cand AS (SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id"
+        f" FROM {src_l} l JOIN {src_r} r ON l.t = r.t AND l.bk = r.bk),"
+        " p AS (SELECT left_id, right_id, list_dot_product(x.v, y.v) /"
+        " sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))"
+        " AS cos FROM cand JOIN el x ON x.vec_id = left_id"
+        " JOIN er y ON y.vec_id = right_id)"
+        " SELECT left_id, right_id, rank, round(cos, 6) AS cosine FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY left_id"
+        "   ORDER BY cos DESC, right_id) AS rank FROM p)"
+        f" WHERE rank <= {k}"
     )
 
 
@@ -2300,6 +2364,27 @@ def dedup_embedding_cross_q(spark, sf):
     )
 
 
+def knn_join_emb_q(spark, sf):
+    """ANN kNN JOIN (r9): every even-vec_id vector gets its top-3
+    cosine neighbors among the odd-vec_id vectors sharing a
+    hyperplane-LSH bucket in any of 18 tables — the corpus-vs-corpus
+    retrieval shape (align two datasets, attach nearest labels) the
+    small-query-set kNNs can't express. Operating point = knn_lsh's
+    pinned 4 bits × 18 tables (recall measured and floored by
+    test_knn_join_recall_floor; the dedup family's 8×2 point measured
+    recall@3 0.025 here — see the operator docstring). The oracle
+    bakes the identical hyperplane coefficient literals."""
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_knn_join(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=3,
+        bits=_KNN_LSH_BITS,
+        tables=_KNN_LSH_TABLES,
+        max_bucket=100,
+    )
+
+
 def dedup_embedding_hyperplane_q(spark, sf):
     """Embedding near-dup pairs over mixed-coordinate hyperplane LSH
     (r7) — the upgrade path past the coordinate-sign variant above,
@@ -3547,6 +3632,14 @@ ORACLE_SQL: dict[str, str] = {
     "stream_dedup_near_emb": _sign_lsh_keeper_sql(
         bits=8, tables=2, threshold=0.3
     ),
+    "knn_join_emb": _knn_join_sql(
+        bits=_KNN_LSH_BITS,
+        tables=_KNN_LSH_TABLES,
+        max_bucket=100,
+        k=3,
+        left_pred="vec_id % 2 = 0",
+        right_pred="vec_id % 2 = 1",
+    ),
     "dedup_embedding_cross": _cross_sign_lsh_sql(
         bits=8,
         tables=2,
@@ -4461,6 +4554,9 @@ _GATE_FRONT = {
     # semantic-space twin of dedup_cross_pairs, same operating point
     # as dedup_embedding so the two rows are directly comparable. ----
     "dedup_embedding_cross": dedup_embedding_cross_q,
+    # ---- r9 new surface: ANN kNN join — corpus-vs-corpus top-k
+    # retrieval on the same banded machinery. ----
+    "knn_join_emb": knn_join_emb_q,
     "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
     # ---- r6 drain head (VERDICT r8 #1): the 18 r6-attested leftovers
     # — pure-relational plans unchanged since r6 with every-round local
@@ -4518,12 +4614,11 @@ _GATE_FRONT = {
     "text_quality": text_quality_q,
     "text_token_stats": text_token_stats_q,
     "text_fingerprint": text_fingerprint_q,
-    "text_bpe_tokens": text_bpe_tokens_q,
 }
 
-# r9 again suspends the standing sentinel block: 9 new + 3 reshaped +
-# the full 18-row r6 drain head + 20 r7 rows fill the window exactly
-# (9 + 3 + 18 + 20 = 50), and every operator class a sentinel would
+# r9 again suspends the standing sentinel block: 10 new + 3 reshaped +
+# the full 18-row r6 drain head + 19 r7 rows fill the window exactly
+# (10 + 3 + 18 + 19 = 50), and every operator class a sentinel would
 # re-attest is represented (emoji kernel by q1_top_words and the tweet
 # family, events by the window/pivot/percentile block, streaming by
 # stream_decontam_join/stream_decontam_docs/stream_sessionize_native,
@@ -4532,22 +4627,25 @@ _GATE_FRONT = {
 # pii_scan by stream_dedup_near_docs, pack_sequences by
 # dedup_cross_pairs, sample_stratified by dedup_embedding_cross,
 # sample_hash by stream_dedup_near_emb, vocab_top_tokens by
-# dedup_containment_cross, and corpus_curation by stream_knn_ivf (all
-# of the displaced plans are byte-unchanged since their r7 rows;
-# local parity covers them every round).
+# dedup_containment_cross, corpus_curation by stream_knn_ivf, and
+# text_bpe_tokens by knn_join_emb (all of the displaced plans are
+# byte-unchanged since their r7 rows; local parity covers them every
+# round).
 _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (15, incl. the r9-displaced
+    # r7-attested leftovers (16, incl. the r9-displaced
     # stream_pii_redact, pii_redact — which gave up its slot to
     # knn_ivf_tree — pii_scan, displaced by stream_dedup_near_docs,
     # pack_sequences, displaced by dedup_cross_pairs,
     # sample_stratified, displaced by dedup_embedding_cross,
     # sample_hash, displaced by stream_dedup_near_emb,
     # vocab_top_tokens, displaced by dedup_containment_cross, and
-    # corpus_curation, displaced by stream_knn_ivf; all eight plans
+    # corpus_curation, displaced by stream_knn_ivf, and
+    # text_bpe_tokens, displaced by knn_join_emb; all nine plans
     # are byte-unchanged since their r7 rows) — the r10 drain head.
+    "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
     "vocab_top_tokens": vocab_top_tokens_q,
     "sample_hash": sample_hash_q,
