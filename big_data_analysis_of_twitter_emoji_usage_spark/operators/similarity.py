@@ -671,6 +671,93 @@ def cosine_knn_join(
     )
 
 
+def cosine_knn_join_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 24,
+    nprobe: int = 8,
+    replication: int = 2,
+    coarse_assign: str = "flat",
+    probe_supers: int = 2,
+) -> DataFrame:
+    """ANN kNN JOIN via IVF — the measured better-frontier path for
+    corpus-vs-corpus top-k at scale (``cosine_knn_join``'s hyperplane
+    banding is the fixture-pinned small-corpus path). The 100k × 100k
+    decade sweep (SCALE.md) is the honest picture: LSH recall
+    collapses to 0.12–0.27 even at 36 tables (bucket granularity must
+    grow with the corpus; tables can't buy it back on structure-free
+    data), while IVF at matched cost concentrates the scan where the
+    neighbors are — recall 0.288 at scan fraction 0.031, 0.407 at
+    0.063, 0.565 at 0.127 (≈ 4–9× better than fraction-proportional)
+    — but NEITHER method holds 0.9 on an i.i.d.-gaussian corpus at
+    this size without scanning a large fraction: that corpus is ANN's
+    adversarial case, and real embedding corpora (which cluster) sit
+    far above these floors. The exactness contract is pinned instead:
+    ``nprobe ≥ n_lists`` with ``replication=1`` probes every list and
+    recovers brute-force cross top-k bit-for-bit
+    (``test_knn_join_ivf_full_probe_is_exact``), so recall is a pure
+    budget knob, never a correctness one. Index the RIGHT corpus
+    (``build_ivf_index`` — reusable/persistable), route every left row
+    to its ``nprobe`` nearest centroids (centroids broadcast — the
+    left corpus never collects anywhere), and join the probe rows to
+    the posting lists on the list id: unlike the query-set probe
+    (``cosine_knn_ivf_probe``), the probe relation here is
+    corpus-sized, so it is NOT broadcast — the list-id equi-join
+    shuffles both sides on ~n_lists keys and AQE splits the skew.
+    Returns (left_id, right_id, rank, cosine). No same-id
+    self-exclusion: the corpora are distinct relations, and equal ids
+    are legitimate matches (unlike the single-corpus query task)."""
+    c, postings = build_ivf_index(
+        right,
+        id_col,
+        vec_col,
+        n_lists,
+        0,
+        replication,
+        coarse_assign,
+        probe_supers,
+    )
+    q = left.select(
+        F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    q_scored = q.join(F.broadcast(c)).select(
+        "left_id",
+        "qv",
+        F.col("_cid"),
+        cosine(F.col("qv"), F.col("_cv")).alias("_ccos"),
+    )
+    wq = Window.partitionBy("left_id").orderBy(F.desc("_ccos"), F.asc("_cid"))
+    probes = (
+        q_scored.withColumn("_prk", F.row_number().over(wq))
+        .filter(F.col("_prk") <= nprobe)
+        .select("left_id", "qv", F.col("_cid").alias("_list"))
+    )
+    scored = (
+        postings.join(probes, "_list")
+        .select(
+            "left_id",
+            F.col("neighbor_id").alias("right_id"),
+            cosine(F.col("qv"), F.col("cv")).alias("_cos"),
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.max("_cos").alias("_cos"))
+    )
+    w = Window.partitionBy("left_id").orderBy(F.desc("_cos"), F.asc("right_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "left_id",
+            "right_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("_cos", 6).alias("cosine"),
+        )
+    )
+
+
 def ivf_assignments(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -445,3 +445,47 @@ def test_ivf_index_probe_equals_inline_knn(spark, tmp_path, sf_dir):
             for r in cosine_knn_ivf(emb, queries, k=3, nprobe=8, **kw).collect()
         )
         assert got == want and len(got) == 30, mode
+
+
+def test_knn_join_ivf_full_probe_is_exact(spark, sf_dir):
+    """cosine_knn_join_ivf's exactness law: nprobe >= n_lists with
+    replication=1 probes every posting list, so the result equals
+    brute-force cross top-k bit-for-bit — recall is a budget knob,
+    never a correctness one."""
+    from pyspark.sql import Window
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        cosine,
+        cosine_knn_join_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0).filter(F.col("vec_id") < 100)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    got = sorted(
+        tuple(r)
+        for r in cosine_knn_join_ivf(
+            left, right, k=3, n_lists=8, nprobe=8, replication=1
+        ).collect()
+    )
+    l = left.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").cast("array<double>").alias("lv"),
+    )
+    r = right.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").cast("array<double>").alias("rv"),
+    )
+    w = Window.partitionBy("left_id").orderBy(F.desc("_c"), F.asc("right_id"))
+    want = sorted(
+        (x.left_id, x.right_id, x.rank, round(x._c, 6))
+        for x in (
+            l.crossJoin(r)
+            .select("left_id", "right_id", cosine(F.col("lv"), F.col("rv")).alias("_c"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 3")
+            .collect()
+        )
+    )
+    assert got == want and len(got) == 150
