@@ -1042,14 +1042,15 @@ def cosine_knn_ivf_probe(
     ``nprobe`` nearest centroids' lists, exact-cosine rank, top-k.
     Per run this touches O(|queries| · n_lists) centroid math (the
     centroid relation is broadcast) plus the probed fraction of the
-    postings — the corpus itself is never re-assigned. Pass the same
-    ``replication`` the index was built with (>1 enables the
-    shared-list duplicate collapse; the value itself only gates
-    whether that aggregate is planned)."""
+    postings — the corpus itself is never re-assigned. The shared-list
+    duplicate collapse is always planned, so the probe is correct for
+    any index regardless of its build-time replication (``replication``
+    is retained for signature compatibility; it no longer gates
+    anything)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    return _ivf_probe_tail(centroids, postings, q, k, nprobe, replication)
+    return _ivf_probe_tail(centroids, postings, q, k, nprobe)
 
 
 def cosine_knn_ivf(
@@ -1130,7 +1131,7 @@ def cosine_knn_ivf(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    return _ivf_probe_tail(c, e, q, k, nprobe, replication)
+    return _ivf_probe_tail(c, e, q, k, nprobe)
 
 
 def _ivf_probe_tail(
@@ -1139,7 +1140,6 @@ def _ivf_probe_tail(
     q: DataFrame,
     k: int,
     nprobe: int,
-    replication: int,
 ) -> DataFrame:
     """Shared probe tail of ``cosine_knn_ivf`` / ``cosine_knn_ivf_probe``:
     c = centroids (_cid, _cv), e = postings (neighbor_id, cv, _list),
@@ -1166,14 +1166,20 @@ def _ivf_probe_tail(
             cosine(F.col("qv"), F.col("cv")).alias("_cos"),
         )
     )
-    if replication > 1:
-        # a (query, neighbor) pair sharing several probed lists appears
-        # once per shared list with an IDENTICAL cosine — collapse with
-        # a partial-aggregating max (one exchange, map-side combine)
-        # rather than distinct-ing the wider pre-cosine candidate set
-        scored = scored.groupBy("query_id", "neighbor_id").agg(
-            F.max("_cos").alias("_cos")
-        )
+    # a (query, neighbor) pair sharing several probed lists appears
+    # once per shared list with an IDENTICAL cosine — collapse with a
+    # partial-aggregating max (one exchange, map-side combine) rather
+    # than distinct-ing the wider pre-cosine candidate set. Applied
+    # UNCONDITIONALLY: the probe caller's `replication` cannot be
+    # trusted to match the (possibly persisted) index's build-time
+    # replication, and gating on it made a mismatched caller silently
+    # fill top-k ranks with duplicate neighbors. For a replication=1
+    # index the aggregate is a semantic no-op (every pair is unique);
+    # its exchange partial-aggregates map-side ahead of the rank
+    # window's shuffle on the same leading key.
+    scored = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("_cos").alias("_cos")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -654,8 +654,10 @@ def stream_near_dedup_embedding(
     the probe, vector column for the handful of candidates) joined
     against the BROADCAST batch — O(total × history/batch) total scan
     work, amortized by store compaction + bucket-partitioned layout
-    (``sources.writers.compact_parquet_dir`` on the store dir between
-    triggers is the maintenance loop).
+    (``sources.writers.compact_partitioned_parquet`` on the store dir
+    between triggers is the maintenance loop — the store is
+    batch_id-partitioned, so the flat ``compact_parquet_dir`` would
+    find no top-level files and no-op).
 
     Returns the drained keeper rows (original stream columns) over
     ``out_dir``.
@@ -765,6 +767,8 @@ def stream_ivf_index_append(
     is an explicit offline rebuild, exactly like re-bucketing a dedup
     store. Returns the accumulated postings (batch_id dropped).
     """
+    from pyspark.errors import AnalysisException
+
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
         _as_double,
         _flat_replicated_assign,
@@ -790,4 +794,22 @@ def stream_ivf_index_append(
         .start()
     )
     query.awaitTermination()
-    return spark.read.parquet(postings_dir).drop("batch_id")
+    try:
+        return spark.read.parquet(postings_dir).drop("batch_id")
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            # First drive over an empty source: no trigger fired, so no
+            # postings dir exists yet. Same contract as the sibling
+            # drains — derive the (neighbor_id, cv, _list) schema from
+            # an empty batch (schema-only, nothing executes).
+            empty = spark.createDataFrame([], stream_df.schema)
+            e0 = empty.select(
+                F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+            )
+            assign = _flat_replicated_assign(e0, c, replication)
+            postings = empty.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+            return spark.createDataFrame([], postings.schema)
+        raise

@@ -489,3 +489,27 @@ def test_knn_join_ivf_full_probe_is_exact(spark, sf_dir):
         )
     )
     assert got == want and len(got) == 150
+
+
+def test_ivf_probe_collapse_is_unconditional(spark, tmp_path, sf_dir):
+    """ADVICE r9 #3: probing a replication=2 index while passing
+    replication=1 to cosine_knn_ivf_probe used to skip the shared-list
+    duplicate collapse and silently fill top-k ranks with the same
+    neighbor twice. The collapse is now unconditional: the mismatched
+    call must return the same neighbors as the honest one, with no
+    (query, neighbor) pair occupying two ranks."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_knn_ivf_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    c, p = build_ivf_index(emb, n_lists=24, replication=2)
+    kw = dict(k=3, nprobe=8)
+    lied = cosine_knn_ivf_probe(c, p, queries, replication=1, **kw).collect()
+    honest = cosine_knn_ivf_probe(c, p, queries, replication=2, **kw).collect()
+    assert sorted(map(tuple, lied)) == sorted(map(tuple, honest))
+    pairs = [(r.query_id, r.neighbor_id) for r in lied]
+    assert len(pairs) == len(set(pairs)) == 30

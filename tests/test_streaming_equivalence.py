@@ -511,3 +511,38 @@ def test_stream_ivf_postings_survive_compaction_between_drives(
         ).collect()
     )
     assert got == want and len(got) == 30
+
+
+def test_stream_ivf_append_empty_source_returns_empty_postings(
+    spark, tmp_path, sf_dir
+):
+    """ADVICE r9 #1: a first drive over an empty source (no trigger
+    ever fires, so no postings dir is written) must return an empty
+    postings frame with the (neighbor_id, cv, _list) schema instead of
+    raising PATH_NOT_FOUND — the same empty-drain contract every
+    sibling drain honors."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        ivf_assignments,
+        select_ivf_centroids,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_ivf_index_append,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cdir = str(tmp_path / "cent")
+    c, _ = ivf_assignments(emb, select_ivf_centroids(emb, "vec_id", 8))
+    c.write.parquet(cdir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    postings = stream_ivf_index_append(
+        spark,
+        stream,
+        centroids_dir=cdir,
+        postings_dir=str(tmp_path / "post"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert postings.columns == ["neighbor_id", "cv", "_list"]
+    assert postings.count() == 0
