@@ -72,6 +72,7 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import 
     cosine_knn_ivf,
     cosine_knn_ivf_probe,
     cosine_knn_join,
+    cosine_knn_join_ivf,
     ivf_assignments,
     select_ivf_centroids,
     cosine_knn_sign_lsh,
@@ -2385,6 +2386,31 @@ def knn_join_emb_q(spark, sf):
     )
 
 
+def knn_join_emb_ivf_q(spark, sf):
+    """ANN kNN JOIN via IVF (r10) — the PRODUCTION corpus-vs-corpus
+    path, promoted to the gate per VERDICT r9 #1: the 100k × 100k
+    sweep measured hyperplane-LSH recall collapsing to 0.12–0.27 at
+    corpus scale while IVF at matched scan cost holds 4–9× better than
+    fraction-proportional (SCALE.md), and the full-probe exactness law
+    is pinned separately (test_knn_join_ivf_full_probe_is_exact). Same
+    task split as knn_join_emb (even queries vs odd corpus, top-3) and
+    the shared _KNN_IVF_* 24/8×2 sizing, so the two siblings' rows are
+    directly comparable; knn_join_emb stays the documented small-corpus
+    LSH path. The oracle re-derives the md5 centroid sample over the
+    RIGHT corpus, the 2-way replicated assignment, the 8-probe routing
+    of every left row, and the shared-list max-collapse; no same-id
+    exclusion — the corpora are distinct relations."""
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_knn_join_ivf(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=3,
+        n_lists=_KNN_IVF_LISTS,
+        nprobe=_KNN_IVF_NPROBE,
+        replication=_KNN_IVF_REPL,
+    )
+
+
 def dedup_embedding_hyperplane_q(spark, sf):
     """Embedding near-dup pairs over mixed-coordinate hyperplane LSH
     (r7) — the upgrade path past the coordinate-sign variant above,
@@ -3770,6 +3796,41 @@ ORACLE_SQL: dict[str, str] = {
         "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
         " WHERE rank <= 3"
     ),
+    # IVF kNN JOIN: centroids sampled from the RIGHT corpus only, the
+    # probe set is the (corpus-sized) LEFT relation, and there is no
+    # same-id exclusion — equal ids across two distinct corpora are
+    # legitimate matches. Shared-list duplicates collapse via DISTINCT
+    # (cosines are identical per pair, mirroring the operator's
+    # combining max).
+    "knn_join_emb_ivf": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " r AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),"
+        " l AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),"
+        " cent AS (SELECT vec_id AS cid, v AS cv FROM r"
+        f"  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_KNN_IVF_LISTS}),"
+        " asg AS (SELECT vec_id, cid AS list FROM ("
+        "  SELECT r.vec_id, c.cid, row_number() OVER (PARTITION BY r.vec_id"
+        "   ORDER BY list_dot_product(r.v, c.cv) /"
+        "   sqrt(list_dot_product(r.v, r.v) * list_dot_product(c.cv, c.cv))"
+        "   DESC, c.cid ASC) AS rk FROM r CROSS JOIN cent c)"
+        f" WHERE rk <= {_KNN_IVF_REPL}),"
+        " probes AS (SELECT left_id, qv, cid AS list FROM ("
+        "  SELECT l.vec_id AS left_id, l.v AS qv, c.cid, row_number() OVER ("
+        "   PARTITION BY l.vec_id"
+        "   ORDER BY list_dot_product(l.v, c.cv) /"
+        "   sqrt(list_dot_product(l.v, l.v) * list_dot_product(c.cv, c.cv))"
+        "   DESC, c.cid ASC) AS prk FROM l CROSS JOIN cent c)"
+        f" WHERE prk <= {_KNN_IVF_NPROBE}),"
+        " scored AS (SELECT DISTINCT p.left_id, r.vec_id AS right_id,"
+        "  list_dot_product(p.qv, r.v) /"
+        "  sqrt(list_dot_product(p.qv, p.qv) * list_dot_product(r.v, r.v)) AS cos"
+        "  FROM probes p JOIN asg a ON a.list = p.list"
+        "  JOIN r ON r.vec_id = a.vec_id)"
+        " SELECT left_id, right_id, rank, round(cos, 6) AS cosine FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY left_id"
+        "   ORDER BY cos DESC, right_id) AS rank FROM scored)"
+        " WHERE rank <= 3"
+    ),
     # Streaming-maintained IVF: identical probe/rank tail to knn_ivf;
     # only the centroid CTE differs — the md5 rank runs over the SEED
     # subset (the first ceil(n/4) vec_ids = the first staged replay
@@ -4508,6 +4569,11 @@ ORACLE_SQL["stream_quality_docs"] = ORACLE_SQL["text_quality"]
 # --------------------------------------------------------------------------
 
 _GATE_FRONT = {
+    # ---- r10 new surface: the IVF kNN join promoted to the gate
+    # (VERDICT r9 #1) — the measured better frontier for
+    # corpus-vs-corpus retrieval at scale; knn_join_emb (hyperplane
+    # LSH) stays as the documented small-corpus sibling. ----
+    "knn_join_emb_ivf": knn_join_emb_ivf_q,
     # ---- r9 new surface: join-mode streaming decontamination (the
     # foreachBatch path the array guard's error message points at), and
     # 64-bit × 2-band SimHash pairs (the in-engine fix for the
