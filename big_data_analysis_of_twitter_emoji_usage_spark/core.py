@@ -58,6 +58,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -65,7 +66,27 @@ def get_spark(
     apply unchanged — everything scale-sensitive (AQE, partition counts,
     broadcast thresholds) is expressed declaratively so Catalyst can
     re-plan at runtime instead of us hand-scheduling.
+
+    ``state_store="rocksdb"`` switches streaming state to
+    ``RocksDBStateStoreProvider`` with changelog checkpointing — the
+    production lever the r9 streaming-decade measurements named: the
+    default in-heap HDFSBackedStateStore holds every open key in
+    executor memory and was the terminal OOM boundary at ~12.5 M open
+    session rows (SCALE.md "Streaming"), while RocksDB spills state to
+    local disk (bounded heap at any key count) and measured ~18%
+    FASTER on the incremental-arrival legs (changelog checkpointing
+    commits a delta per batch instead of snapshotting the full store).
+    Default off: state results are provider-independent, the in-heap
+    store is simpler to debug at test scale, and the provider class is
+    honored per-QUERY at stream start, so callers can also flip the
+    raw conf on a live session before ``.start()``. Any other non-None
+    value raises — a typo'd provider must not silently run in-heap.
     """
+    if state_store is not None and state_store != "rocksdb":
+        raise ValueError(
+            f"get_spark: state_store={state_store!r} — expected 'rocksdb' "
+            "or None (the default in-heap HDFSBackedStateStoreProvider)"
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -94,6 +115,19 @@ def get_spark(
         # session-tz TIMESTAMP is value-preserving.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
+    if state_store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            # Per-batch delta commits instead of full-store snapshot
+            # uploads — the measured ~18% incremental-arrival win and
+            # the right default wherever RocksDB is on.
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

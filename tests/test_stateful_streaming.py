@@ -4,6 +4,7 @@ each user's trailing (still-open) session — the conservative-emission
 contract documented on streaming.jobs.stateful_sessionize.
 """
 
+import pytest
 from pyspark.sql import Window, functions as F
 
 from big_data_analysis_of_twitter_emoji_usage_spark.core import load_events, load_events_stream
@@ -172,3 +173,63 @@ def test_run_stream_to_parquet_zero_batches_returns_empty(spark, tmp_path):
     )
     assert out.count() == 0
     assert out.columns == ["doc_id", "text"]
+
+
+def test_rocksdb_state_store_sessionize_matches_default(spark, sf_dir):
+    """VERDICT r9 #5: the RocksDB state-store lever (surfaced by
+    core.get_spark(state_store="rocksdb")) must be a pure
+    provider swap — the same native sessionize drive under
+    RocksDBStateStoreProvider emits the identical closed-session set,
+    and the query's state-operator metrics prove RocksDB actually
+    engaged (the provider class is honored per-query at stream start,
+    which is why flipping the live session conf here exercises the
+    same code path the factory knob sets at build time)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        native_sessionize_stream,
+        run_stream_to_memory,
+    )
+
+    baseline = sorted(
+        map(
+            tuple,
+            run_stream_to_memory(
+                spark,
+                native_sessionize_stream(load_events_stream(spark, sf_dir)),
+                "rocks_base",
+                output_mode="append",
+            ).collect(),
+        )
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            native_sessionize_stream(load_events_stream(spark, sf_dir))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rocks_got")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        metrics = q.lastProgress["stateOperators"][0].get("customMetrics", {})
+        assert any("rocksdb" in k.lower() for k in metrics)
+    finally:
+        spark.conf.set(key, prev)
+    got = sorted(map(tuple, spark.table("rocks_got").collect()))
+    assert len(got) > 0
+    assert got == baseline
+
+
+def test_get_spark_rejects_unknown_state_store():
+    """A typo'd provider must raise, not silently run in-heap."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import get_spark
+
+    with pytest.raises(ValueError, match="state_store='rocksdbx'"):
+        get_spark(state_store="rocksdbx")
