@@ -2933,7 +2933,13 @@ def stream_dedup_near_docs(spark, sf):
     matters: batches 1–3 exercise the store probe path (cross-batch
     pairs), batch-internal pairs exercise the in-batch path, and the
     store accumulates one partition per batch — the scratch dirs are
-    fresh per call and reaped at process exit."""
+    fresh per call and reaped at process exit.
+
+    r10: ``store_buckets=32`` — the gate drives the band-partitioned
+    store layout (the probe's DPP bucket pruning, VERDICT r9 #3), a
+    pure layout change whose keeper set is pinned equal to the flat
+    drive's by the banded keeper-parity test; the oracle is unchanged
+    because the results are."""
     import atexit
     import shutil
     import tempfile
@@ -2954,6 +2960,7 @@ def stream_dedup_near_docs(spark, sf):
         checkpoint_dir=_os.path.join(scratch, "ckpt"),
         store_dir=_os.path.join(scratch, "store"),
         threshold=0.2,
+        store_buckets=32,
     )
     return out.select("doc_id", "source").orderBy("doc_id")
 
@@ -2971,7 +2978,8 @@ def stream_dedup_near_emb(spark, sf):
     "drop every vector with a smaller-id bucket-sharing partner at
     cosine ≥ threshold", which is the oracle (the sign-LSH pair CTE
     with a NOT-EXISTS keeper wrapper). Scratch dirs fresh per call,
-    reaped at process exit."""
+    reaped at process exit. r10: ``store_buckets=32`` — the banded
+    store layout, same contract as stream_dedup_near_docs."""
     import atexit
     import shutil
     import tempfile
@@ -2994,6 +3002,7 @@ def stream_dedup_near_emb(spark, sf):
         bits=8,
         tables=2,
         threshold=0.3,
+        store_buckets=32,
     )
     return out.select("vec_id", "label").orderBy("vec_id")
 
@@ -4572,145 +4581,20 @@ _GATE_FRONT = {
     # ---- r10 new surface: the IVF kNN join promoted to the gate
     # (VERDICT r9 #1) — the measured better frontier for
     # corpus-vs-corpus retrieval at scale; knn_join_emb (hyperplane
-    # LSH) stays as the documented small-corpus sibling. ----
+    # LSH) stays as the documented small-corpus sibling, attested r9. ----
     "knn_join_emb_ivf": knn_join_emb_ivf_q,
-    # ---- r9 new surface: join-mode streaming decontamination (the
-    # foreachBatch path the array guard's error message points at), and
-    # 64-bit × 2-band SimHash pairs (the in-engine fix for the
-    # third-decade recall boundary the r9 5M-doc measurement pinned). ----
-    "stream_decontam_join": stream_decontam_join,
-    # ---- r9 new surface: incremental streaming near-dup dedup — each
-    # micro-batch deduplicated against the accumulating MinHash
-    # signature store (the ingestion-time twin of near_dup_pairs;
-    # batch-exact under the ordered-replay staging contract). ----
+    # ---- r10 RESHAPED plans (changed since their r9 rows, so they
+    # must re-attest): both streaming near-dedup drives now land and
+    # probe the band-partitioned store layout (store_buckets=32 — the
+    # probe joins on the _bkt partition column and DPP prunes bucket
+    # dirs; VERDICT r9 #3). Results unchanged (keeper parity pinned by
+    # the banded staged-replay tests), plans changed. ----
     "stream_dedup_near_docs": stream_dedup_near_docs,
-    # ---- r9 new surface: incremental streaming SEMANTIC dedup — the
-    # embedding-space twin of the row above (sign-LSH bucket store,
-    # exact-cosine verify, batch-exact under ordered replay). ----
     "stream_dedup_near_emb": stream_dedup_near_emb,
-    # ---- r9 new surface: streaming-maintained IVF index — arriving
-    # vectors are posted against fixed seed centroids per trigger and
-    # are probe-searchable immediately (the ANN member of the
-    # continuous-curation contract). ----
-    "stream_knn_ivf": stream_knn_ivf,
-    # ---- r9 new surface: cross-corpus near-dup pairs — dedupe a new
-    # corpus against a read-only reference without self-joining either
-    # side (the batch twin of the streaming store probe above; same
-    # deterministic signature space). ----
-    "dedup_cross_pairs": dedup_cross_pairs_q,
-    # ---- r9 new surface: cross-corpus containment — the asymmetric
-    # (quote/contamination) direction of the cross family. ----
-    "dedup_containment_cross": dedup_containment_cross_q,
-    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
-    # ---- r9 reshaped plans (changed since their last green rows, so
-    # they must re-attest): knn_ivf moves to 24 lists / 8 probes with
-    # SPANN-style 2-way boundary replication (recall@3 floor
-    # 0.6 → 0.85; oracle re-derives the replicated assignment), and
-    # the embedding near-dup family's shared verify tail is rewritten
-    # in-band (the 100×-measured dead distinct + re-join removal —
-    # SCALE.md r9 profile), which changes both consumers' plans. ----
-    "knn_ivf": knn_ivf_q,
-    # ---- r9 late addition: the two-level coarse quantizer, born from
-    # the same 2M-vector sweep (flat assignment is O(n x L) and
-    # dominates at sqrt-n list sizing — the tree is the measured fix,
-    # pinned here at the comparable 24/8x2 sizing). ----
-    "knn_ivf_tree": knn_ivf_tree_q,
-    "dedup_embedding": dedup_embedding_q,
-    # ---- r9 new surface: cross-corpus embedding near-dup — the
-    # semantic-space twin of dedup_cross_pairs, same operating point
-    # as dedup_embedding so the two rows are directly comparable. ----
-    "dedup_embedding_cross": dedup_embedding_cross_q,
-    # ---- r9 new surface: ANN kNN join — corpus-vs-corpus top-k
-    # retrieval on the same banded machinery. ----
-    "knn_join_emb": knn_join_emb_q,
-    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
-    # ---- r6 drain head (VERDICT r8 #1): the 18 r6-attested leftovers
-    # — pure-relational plans unchanged since r6 with every-round local
-    # parity (ONE exception: event_distinct_users_sketch is r9-RESHAPED
-    # — the third events decade caught its mixed distinct+HLL agg
-    # materializing a digest per (type, user) pair, 124.7 → 12.7 s at
-    # 100M rows — so its slot re-attests a changed plan, same output);
-    # re-attested here so the whole ledger reaches staleness <= 2 with
-    # nothing older than r7. The six plan-pinned entries (tpch_q1/q3,
-    # join_revenue, prune/dpp, bucketed join) also re-verify their
-    # in-plan assertions on the current session confs (VERDICT r8 #6;
-    # test_scale_plans.py). ----
-    "word_position_counts": word_position_counts,
-    "setop_intersect": setop_intersect,
-    "setop_except": setop_except,
-    "rollup_doc_counts": rollup_doc_counts,
-    "cube_doc_counts": cube_doc_counts,
-    "pivot_events_by_day": pivot_events_by_day,
-    "events_json_props": events_json_props,
-    "window_running_value": window_running_value,
-    "event_value_percentiles": event_value_percentiles,
-    "tpch_q1_pricing": tpch_q1_pricing,
-    "tpch_q3_topk": tpch_q3_topk,
-    "join_revenue_by_nation": join_revenue_by_nation,
-    "window_top_customer_per_nation": window_top_customer_per_nation,
-    "events_partitioned_prune": events_partitioned_prune,
-    "events_partitioned_dpp": events_partitioned_dpp,
-    "event_value_percentiles_sketch": event_value_percentiles_sketch,
-    "bucketed_join_events": bucketed_join_events,
-    "event_distinct_users_sketch": event_distinct_users_sketch,
-    # ---- r7 drain: the oldest r7-attested rows (plans unchanged;
-    # re-attesting for freshness). The ones left behind the window
-    # (pii_scan — displaced by the r9 stream_dedup_near_docs addition
-    # — plus pii_redact, repetition_scores, mix_sources,
-    # embedding_centroids, embedding_label_spread, tfidf_top_terms,
-    # inverted_index, tpch_q5_local_supply) are the r10 drain head —
-    # with 107 queries and a 50-slot window, a <=2-round staleness
-    # ceiling is the steady state the rotation holds by construction.
-    "event_top_users_sketch": event_top_users_sketch,
-    "stream_sessionize_native": stream_sessionize_native,
-    "dedup_simhash": dedup_simhash_q,
-    "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    "stream_decontam_docs": stream_decontam_docs,
-    "shuffle_shards": shuffle_shards_q,
-    "q4_tweets_end_to_end": q4_tweets_end_to_end,
-    "q4_words_by_source": q4_words_by_source,
-    "q5_words_by_lang": q5_words_by_lang,
-    "q4_emoji_by_user_synth": q4_emoji_by_user_synth,
-    "q6_words_by_lang_excl": q6_words_by_lang_excl,
-    "q6_word_search_by_lang": q6_word_search_by_lang,
-    "q5_tweets_categories": q5_tweets_categories,
-    "q6_tweets_geo": q6_tweets_geo,
-    "q1_top_words": q1_top_words,
-    "text_langid": text_langid_q,
-    "text_quality": text_quality_q,
-    "text_token_stats": text_token_stats_q,
-    "text_fingerprint": text_fingerprint_q,
-}
-
-# r9 again suspends the standing sentinel block: 10 new + 3 reshaped +
-# the full 18-row r6 drain head + 19 r7 rows fill the window exactly
-# (10 + 3 + 18 + 19 = 50), and every operator class a sentinel would
-# re-attest is represented (emoji kernel by q1_top_words and the tweet
-# family, events by the window/pivot/percentile block, streaming by
-# stream_decontam_join/stream_decontam_docs/stream_sessionize_native,
-# dedup by the simhash family, ANN by knn_ivf). stream_pii_redact was
-# displaced below the boundary by dedup_simhash64_pairs,
-# pii_scan by stream_dedup_near_docs, pack_sequences by
-# dedup_cross_pairs, sample_stratified by dedup_embedding_cross,
-# sample_hash by stream_dedup_near_emb, vocab_top_tokens by
-# dedup_containment_cross, corpus_curation by stream_knn_ivf, and
-# text_bpe_tokens by knn_join_emb (all of the displaced plans are
-# byte-unchanged since their r7 rows; local parity covers them every
-# round).
-_SENTINELS = {}
-
-_PROVEN = {
-    # ---- window boundary: slots above re-attest in r9. ----
-    # r7-attested leftovers (16, incl. the r9-displaced
-    # stream_pii_redact, pii_redact — which gave up its slot to
-    # knn_ivf_tree — pii_scan, displaced by stream_dedup_near_docs,
-    # pack_sequences, displaced by dedup_cross_pairs,
-    # sample_stratified, displaced by dedup_embedding_cross,
-    # sample_hash, displaced by stream_dedup_near_emb,
-    # vocab_top_tokens, displaced by dedup_containment_cross, and
-    # corpus_curation, displaced by stream_knn_ivf, and
-    # text_bpe_tokens, displaced by knn_join_emb; all nine plans
-    # are byte-unchanged since their r7 rows) — the r10 drain head.
+    # ---- r7 drain head (VERDICT r9 #2): the 16 r7-attested leftovers
+    # pre-declared at the r9 window boundary — every plan byte-unchanged
+    # since r7 with every-round local parity; re-attested here so no
+    # ledger row is older than r8 after this round. ----
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
     "vocab_top_tokens": vocab_top_tokens_q,
@@ -4727,8 +4611,12 @@ _PROVEN = {
     "tfidf_top_terms": tfidf_top_terms_q,
     "inverted_index": inverted_index_q,
     "tpch_q5_local_supply": tpch_q5_local_supply,
-    # ---- driver-attested green in r8 (CORRECTNESS_r08 window),
-    # oldest-first for the r10+ rotation ----
+    # ---- r8 drain (oldest-first): the 31 oldest r8-attested rows fill
+    # the window to exactly 50; the 16 youngest r8 rows
+    # (stream_stream_join_events ... q2_stream_top_words, listed at the
+    # top of _PROVEN) are the r11 drain head — with 114 queries in a
+    # 50-slot window, staleness <= 2 is the rotation's steady-state
+    # floor, and it holds iff each round drains its head. ----
     "stream_sessionize_stateful_demo": stream_sessionize_stateful_demo,
     "dedup_minhash_pairs": dedup_minhash_pairs_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
@@ -4760,6 +4648,23 @@ _PROVEN = {
     "asof_join_events": asof_join_events,
     "range_join_events": range_join_events,
     "sessionize_events": sessionize_events,
+}
+
+# r10 keeps the standing sentinel-block suspension: 1 new + 2 reshaped
+# + the full 16-row r7 drain head + 31 r8 rows fill the window exactly
+# (1 + 2 + 16 + 31 = 50), and every operator class a sentinel would
+# re-attest is represented (emoji kernel by q1_kernel_equiv and
+# pii/repetition text rows, events by funnel/cohort/salted/asof/range/
+# sessionize, streaming by stream_pii_redact/stream_quality_docs/
+# stream_sessionize_stateful_demo, dedup by the minhash/ngram/clusters/
+# keep_best/containment family, ANN by knn_wta/knn_lsh and the gated
+# IVF join, multimodal by all four multimodal rows).
+_SENTINELS = {}
+
+_PROVEN = {
+    # ---- window boundary: slots above re-attest in r10. ----
+    # r8-attested leftovers (16, youngest r8 rows) — the pre-declared
+    # r11 drain head, oldest-first. ----
     "stream_stream_join_events": stream_stream_join_events,
     "stream_dedup_events": stream_dedup_events,
     "dedup_exact": dedup_exact_q,
@@ -4776,6 +4681,56 @@ _PROVEN = {
     "q1_top_emojis": q1_top_emojis,
     "q7_events_early": q7_events_early,
     "q2_stream_top_words": q2_stream_top_words,
+    # ---- driver-attested green in r9 (CORRECTNESS_r09 window),
+    # oldest-first for the r11+ rotation ----
+    "stream_decontam_join": stream_decontam_join,
+    "stream_knn_ivf": stream_knn_ivf,
+    "dedup_cross_pairs": dedup_cross_pairs_q,
+    "dedup_containment_cross": dedup_containment_cross_q,
+    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
+    "knn_ivf": knn_ivf_q,
+    "knn_ivf_tree": knn_ivf_tree_q,
+    "dedup_embedding": dedup_embedding_q,
+    "dedup_embedding_cross": dedup_embedding_cross_q,
+    "knn_join_emb": knn_join_emb_q,
+    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
+    "word_position_counts": word_position_counts,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "rollup_doc_counts": rollup_doc_counts,
+    "cube_doc_counts": cube_doc_counts,
+    "pivot_events_by_day": pivot_events_by_day,
+    "events_json_props": events_json_props,
+    "window_running_value": window_running_value,
+    "event_value_percentiles": event_value_percentiles,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q3_topk": tpch_q3_topk,
+    "join_revenue_by_nation": join_revenue_by_nation,
+    "window_top_customer_per_nation": window_top_customer_per_nation,
+    "events_partitioned_prune": events_partitioned_prune,
+    "events_partitioned_dpp": events_partitioned_dpp,
+    "event_value_percentiles_sketch": event_value_percentiles_sketch,
+    "bucketed_join_events": bucketed_join_events,
+    "event_distinct_users_sketch": event_distinct_users_sketch,
+    "event_top_users_sketch": event_top_users_sketch,
+    "stream_sessionize_native": stream_sessionize_native,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    "stream_decontam_docs": stream_decontam_docs,
+    "shuffle_shards": shuffle_shards_q,
+    "q4_tweets_end_to_end": q4_tweets_end_to_end,
+    "q4_words_by_source": q4_words_by_source,
+    "q5_words_by_lang": q5_words_by_lang,
+    "q4_emoji_by_user_synth": q4_emoji_by_user_synth,
+    "q6_words_by_lang_excl": q6_words_by_lang_excl,
+    "q6_word_search_by_lang": q6_word_search_by_lang,
+    "q5_tweets_categories": q5_tweets_categories,
+    "q6_tweets_geo": q6_tweets_geo,
+    "q1_top_words": q1_top_words,
+    "text_langid": text_langid_q,
+    "text_quality": text_quality_q,
+    "text_token_stats": text_token_stats_q,
+    "text_fingerprint": text_fingerprint_q,
 }
 
 QUERIES = {**_GATE_FRONT, **_SENTINELS, **_PROVEN}

@@ -264,7 +264,15 @@ def compact_partitioned_parquet(
             k
             for k in kids
             if k.isDirectory()
-            and not k.getPath().getName().startswith((".", "_"))
+            # same convention as Spark's file-index hidden-path filter:
+            # dot/underscore names are metadata (_spark_metadata, _SUCCESS
+            # siblings) UNLESS they contain '=', which marks a partition
+            # dir for an underscore-named column (e.g. the dedup band
+            # stores' _bkt=K leaves)
+            and (
+                not k.getPath().getName().startswith((".", "_"))
+                or "=" in k.getPath().getName()
+            )
             and ".__compact_" not in k.getPath().getName()
         ]
         if subdirs:

@@ -490,6 +490,7 @@ def stream_near_dedup_minhash(
     band_size: int = 2,
     threshold: float = 0.4,
     unit: str = "word",
+    store_buckets: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup deduplication of a document stream against
     an accumulating MinHash signature store (r9) — the ingestion-time
@@ -524,14 +525,41 @@ def stream_near_dedup_minhash(
     history side), and the verify reads only the ``shingles`` column
     for the handful of candidate ids. Per-doc state is written exactly
     once, at arrival. The sum over triggers is O(total × history/batch)
-    scan work — the intrinsic cost of exact dedup against full history
-    with a plain file store; the production levers are store compaction
-    plus band-partitioned or bucketed store layout (saveAsTable
-    bucketBy on the band signature turns the probe into a
-    partition-pruned point lookup), neither of which changes this
-    operator's semantics. ``max_bucket`` is deliberately NOT offered:
-    bucket occupancy would be counted per-probe, not corpus-globally,
-    silently diverging from the batch operator it mirrors.
+    scan work with the flat layout — the intrinsic cost of exact dedup
+    against full history when every trigger re-bands the whole store.
+    ``store_buckets`` (r10, VERDICT r9 #3) is the band-partitioned
+    layout that removes it: when set, each batch's band rows are ALSO
+    landed pre-banded at ``<store_dir>_bands/batch_id=N/_bkt=K`` where
+    ``_bkt = pmod(xxhash64(band, sig), store_buckets)``, and the probe
+    reads the banded store pruned to the batch's buckets — an explicit
+    literal ``IN`` on the ``_bkt`` PARTITION column (plan-pinned in
+    the scan's PartitionFilters; one bounded driver-side collect of
+    ≤ store_buckets ints per trigger — NOT DPP, whose benefit
+    heuristic measurably declines to plant at large bucket counts) —
+    so untouched bucket directories are never read, and history is
+    never re-banded (the flat probe re-derives band rows from the h*
+    columns every trigger; the banded store pays that once at
+    arrival). The pruning arithmetic is honest (r10 decade curve in
+    SCALE.md): probe cost ≈ c·store_buckets (listing + per-file open)
+    + coverage(m, store_buckets) × history-read where a batch with
+    ``m`` band rows touches ≤ m buckets — CONSTANT-in-history at large
+    ``store_buckets`` (measured flat across 50k→5M-doc stores) where
+    the flat layout's probe grows linearly, with the crossover on
+    local[32] in the tens-of-millions-of-docs history range. The win
+    is real exactly in the trickle regime (small frequent batches
+    against deep history); a batch with m ≫ store_buckets covers every
+    bucket and degrades to the flat scan cost plus the constant. Size
+    ``store_buckets`` ≈ 5–10× the per-trigger band-row count. The
+    layout is a STORE-LIFETIME contract like the signature space:
+    resuming a store written flat with ``store_buckets`` set (or
+    changing the bucket count) silently hides pre-switch history from
+    the probe — rebuild the store instead, exactly like re-bucketing.
+    Maintenance loop: ``compact_partitioned_parquet`` on BOTH dirs
+    (the bands dir accumulates per-trigger leaf files; compaction
+    walks nested ``batch_id=N/_bkt=K`` leaves). ``max_bucket`` is
+    deliberately NOT offered: bucket occupancy would be counted
+    per-probe, not corpus-globally, silently diverging from the batch
+    operator it mirrors.
 
     Returns the drained keeper rows (original stream columns) as a
     batch DataFrame over ``out_dir``.
@@ -543,6 +571,7 @@ def stream_near_dedup_minhash(
     )
 
     hcols = [f"h{i}" for i in range(num_hashes)]
+    bands_dir = store_dir.rstrip("/") + "_bands"
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
         # the per-batch state IS one build_minhash_store increment —
@@ -568,17 +597,51 @@ def stream_near_dedup_minhash(
         bands_cur = signature_bands(
             cur.select(id_col, *hcols), id_col, num_hashes, band_size
         )
-        bands_seen = signature_bands(
-            store.select(id_col, *hcols), id_col, num_hashes, band_size
-        )
-        cand = (
-            bands_seen.alias("a")
-            .join(
-                F.broadcast(bands_cur).alias("b"),
+        if store_buckets is not None:
+            # band-partitioned layout: land the batch's band rows under
+            # batch_id=N/_bkt=K (overwrite = replay-idempotent, and the
+            # bucket of a band row is deterministic so a replay rewrites
+            # the same leaves), then probe the banded store pruned to
+            # the batch's buckets. The pruning is an EXPLICIT literal
+            # IN on the _bkt partition column — a bounded driver-side
+            # collect (≤ store_buckets ints) — rather than relying on
+            # the broadcast join's DPP: the r10 decade measurement
+            # caught DPP's benefit heuristic declining to plant the
+            # pruning subquery exactly at the production bucket count
+            # (4096), silently degrading to a full scan; the static IN
+            # shows up in the scan's PartitionFilters unconditionally
+            # (plan-pinned).
+            bc = bands_cur.withColumn(
+                "_bkt", F.pmod(F.xxhash64("band", "sig"), F.lit(store_buckets))
+            )
+            bc.write.mode("overwrite").partitionBy("_bkt").parquet(
+                f"{bands_dir}/batch_id={bid}"
+            )
+            bc = spark.read.parquet(f"{bands_dir}/batch_id={bid}")
+            bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
+            bands_seen = spark.read.parquet(bands_dir).filter(
+                (F.col("batch_id") <= F.lit(bid)) & F.col("_bkt").isin(bkts)
+            )
+            join_on = (
+                (F.col("a._bkt") == F.col("b._bkt"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            )
+            bands_probe = F.broadcast(bc)
+        else:
+            bands_seen = signature_bands(
+                store.select(id_col, *hcols), id_col, num_hashes, band_size
+            )
+            join_on = (
                 (F.col("a.band") == F.col("b.band"))
                 & (F.col("a.sig") == F.col("b.sig"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             )
+            bands_probe = F.broadcast(bands_cur)
+        cand = (
+            bands_seen.alias("a")
+            .join(bands_probe.alias("b"), join_on)
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
@@ -621,6 +684,7 @@ def stream_near_dedup_embedding(
     bits: int = 8,
     tables: int = 2,
     threshold: float = 0.4,
+    store_buckets: int | None = None,
 ) -> DataFrame:
     """Incremental SEMANTIC near-dup deduplication of an embedding
     stream against an accumulating sign-LSH bucket store (r9) — the
@@ -653,11 +717,18 @@ def stream_near_dedup_embedding(
     trigger costs two columnar store scans (bucket-code columns for
     the probe, vector column for the handful of candidates) joined
     against the BROADCAST batch — O(total × history/batch) total scan
-    work, amortized by store compaction + bucket-partitioned layout
-    (``sources.writers.compact_partitioned_parquet`` on the store dir
-    between triggers is the maintenance loop — the store is
-    batch_id-partitioned, so the flat ``compact_parquet_dir`` would
-    find no top-level files and no-op).
+    work with the flat layout. ``store_buckets`` (r10) is the same
+    band-partitioned lever as the MinHash twin's: (table, bucket) rows
+    land pre-banded at ``<store_dir>_bands/batch_id=N/_bkt=K``
+    (``_bkt = pmod(xxhash64(_t, _b), store_buckets)``) and the probe's
+    DPP filter prunes every bucket dir the batch doesn't touch — the
+    win is real in the trickle regime (per-trigger band rows ≪
+    ``store_buckets``), and the layout is a store-lifetime contract
+    like ``bits``: never flip it (or the bucket count) mid-store.
+    Maintenance loop: ``sources.writers.compact_partitioned_parquet``
+    on both dirs between triggers (the stores are batch_id-partitioned,
+    so the flat ``compact_parquet_dir`` would find no top-level files
+    and no-op).
 
     Returns the drained keeper rows (original stream columns) over
     ``out_dir``.
@@ -681,6 +752,8 @@ def stream_near_dedup_embedding(
             F.col(id_col), explode_nonempty(structs).alias("_tb")
         ).select(id_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
 
+    bands_dir = store_dir.rstrip("/") + "_bands"
+
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
         # one build_signbucket_store increment — batch-built reference
         # stores and this accumulating store are interchangeable
@@ -691,15 +764,40 @@ def stream_near_dedup_embedding(
             F.col("batch_id") <= F.lit(bid)
         )
         cur = store.filter(F.col("batch_id") == bid)
-        cand = (
-            _bands(store.select(id_col, *bcols))
-            .alias("a")
-            .join(
-                F.broadcast(_bands(cur.select(id_col, *bcols))).alias("b"),
+        bands_cur = _bands(cur.select(id_col, *bcols))
+        if store_buckets is not None:
+            # band-partitioned layout (see the MinHash twin, incl. why
+            # the pruning is an explicit literal IN on the _bkt
+            # partition column rather than DPP)
+            bc = bands_cur.withColumn(
+                "_bkt", F.pmod(F.xxhash64("_t", "_b"), F.lit(store_buckets))
+            )
+            bc.write.mode("overwrite").partitionBy("_bkt").parquet(
+                f"{bands_dir}/batch_id={bid}"
+            )
+            bc = spark.read.parquet(f"{bands_dir}/batch_id={bid}")
+            bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
+            bands_seen = spark.read.parquet(bands_dir).filter(
+                (F.col("batch_id") <= F.lit(bid)) & F.col("_bkt").isin(bkts)
+            )
+            join_on = (
+                (F.col("a._bkt") == F.col("b._bkt"))
+                & (F.col("a._t") == F.col("b._t"))
+                & (F.col("a._b") == F.col("b._b"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            )
+            bands_probe = F.broadcast(bc)
+        else:
+            bands_seen = _bands(store.select(id_col, *bcols))
+            join_on = (
                 (F.col("a._t") == F.col("b._t"))
                 & (F.col("a._b") == F.col("b._b"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             )
+            bands_probe = F.broadcast(bands_cur)
+        cand = (
+            bands_seen.alias("a")
+            .join(bands_probe.alias("b"), join_on)
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),

@@ -546,3 +546,236 @@ def test_stream_ivf_append_empty_source_returns_empty_postings(
     )
     assert postings.columns == ["neighbor_id", "cv", "_list"]
     assert postings.count() == 0
+
+
+def test_stream_near_dedup_banded_store_matches_batch_keepers(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r9 #3: the band-partitioned store layout
+    (store_buckets) must be a pure layout change — the banded drive's
+    keeper set equals the flat drive's (== the batch rule, pinned by
+    the sibling test), the bands dir holds one batch_id=N/_bkt=K tree
+    per trigger, and the probe shape it enables is DPP (plan pinned
+    below on the drive's own store)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    src_dir = _ordered_docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "store")
+    got = stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+        store_buckets=16,
+    ).select("doc_id")
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+    assert 0 < dropped.count()
+    # layout: per-trigger batch_id dirs, _bkt leaf dirs inside
+    bands_dir = store_dir + "_bands"
+    batches = sorted(
+        d for d in os.listdir(bands_dir) if d.startswith("batch_id=")
+    )
+    assert len(batches) == 4
+    leaves = os.listdir(os.path.join(bands_dir, batches[0]))
+    assert any(d.startswith("_bkt=") for d in leaves)
+
+
+def test_stream_near_dedup_banded_probe_plan_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    """The banded probe's whole point: the store scan must carry the
+    batch's bucket list as a static PartitionFilter on _bkt — otherwise
+    the layout exists but every trigger still scans all bucket dirs.
+    Built exactly as the operator builds it (literal IN from the
+    batch's collected buckets — NOT DPP, whose benefit heuristic the
+    r10 decade measurement caught declining to plant at 4096 buckets)
+    over a store a real drive wrote."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
+        signature_bands,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    src_dir = _ordered_docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "store")
+    stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+        store_buckets=16,
+    )
+    hcols = [f"h{i}" for i in range(8)]
+    store = spark.read.parquet(store_dir)
+    bc = signature_bands(
+        store.filter(F.col("batch_id") == 3).select("doc_id", *hcols),
+        "doc_id",
+        8,
+        2,
+    ).withColumn("_bkt", F.pmod(F.xxhash64("band", "sig"), F.lit(16)))
+    bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
+    assert 0 < len(bkts) <= 16
+    bands_seen = spark.read.parquet(store_dir + "_bands").filter(
+        F.col("_bkt").isin(bkts)
+    )
+    probe = bands_seen.alias("a").join(
+        F.broadcast(bc).alias("b"),
+        (F.col("a._bkt") == F.col("b._bkt"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters"):][:400]
+    assert "_bkt" in scan and "INSET" in scan
+
+
+def test_stream_near_dedup_embedding_banded_matches_batch_keepers(
+    spark, sf_dir, tmp_path
+):
+    """The embedding twin's banded layout: same keeper parity as the
+    flat drive at the same operating point."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_embeddings_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_embedding,
+    )
+
+    src_dir = _ordered_embeddings_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "store")
+    got = stream_near_dedup_embedding(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        bits=8,
+        tables=2,
+        threshold=0.3,
+        store_buckets=16,
+    ).select("vec_id")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dropped = (
+        embedding_near_dup_pairs(emb, threshold=0.3, bits=8, tables=2)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    want = emb.join(dropped, "vec_id", "left_anti").select("vec_id")
+    assert rows(got) == rows(want)
+    assert 0 < dropped.count()
+    bands_dir = store_dir + "_bands"
+    assert len(os.listdir(bands_dir)) >= 4
+
+
+def test_stream_near_dedup_banded_store_survives_compaction_between_drives(
+    spark, sf_dir, tmp_path
+):
+    """Compaction survival extended to the banded layout (VERDICT r9
+    #3's last clause): drive half the replay with store_buckets set,
+    compact BOTH stores (the bands dir's nested batch_id=N/_bkt=K
+    leaves are walked by compact_partitioned_parquet), resume the same
+    checkpoint over the rest — keeper parity must hold."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        compact_partitioned_parquet,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    staged = _ordered_docs_stream_dir(sf_dir)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store_dir = str(tmp_path / "store")
+    kwargs = dict(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+        store_buckets=16,
+    )
+
+    def drive():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_near_dedup_minhash(spark, stream, **kwargs)
+
+    for p in parts[:2]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    drive()
+    stats = compact_partitioned_parquet(spark, store_dir, target_file_bytes=1 << 30)
+    assert stats["partitions"] == 2
+    bstats = compact_partitioned_parquet(
+        spark, store_dir + "_bands", target_file_bytes=1 << 30
+    )
+    assert bstats["partitions"] > 2  # nested batch_id/_bkt leaves walked
+    for p in parts[2:]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    got = drive().select("doc_id")
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
