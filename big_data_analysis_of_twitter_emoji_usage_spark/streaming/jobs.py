@@ -564,6 +564,8 @@ def stream_near_dedup_minhash(
     Returns the drained keeper rows (original stream columns) as a
     batch DataFrame over ``out_dir``.
     """
+    from pyspark.errors import AnalysisException
+
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
         build_minhash_store,
         signature_bands,
@@ -617,7 +619,19 @@ def stream_near_dedup_minhash(
             bc.write.mode("overwrite").partitionBy("_bkt").parquet(
                 f"{bands_dir}/batch_id={bid}"
             )
-            bc = spark.read.parquet(f"{bands_dir}/batch_id={bid}")
+            try:
+                bc = spark.read.parquet(f"{bands_dir}/batch_id={bid}")
+            except AnalysisException as exc:
+                if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                    raise
+                # a zero-row micro-batch lands an EMPTY partitioned dir
+                # (partitionBy writes no part files for no rows, so the
+                # re-read has no schema to infer): nothing to dedup,
+                # nothing to probe — land the (empty) keeper set and
+                # return before touching the bands store, which may
+                # also be file-less at this point
+                write_batch_idempotent(bdf, bid, out_dir)
+                return
             bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
             bands_seen = spark.read.parquet(bands_dir).filter(
                 (F.col("batch_id") <= F.lit(bid)) & F.col("_bkt").isin(bkts)
@@ -663,8 +677,6 @@ def stream_near_dedup_minhash(
         .start()
     )
     query.awaitTermination()
-    from pyspark.errors import AnalysisException
-
     try:
         return spark.read.parquet(out_dir).drop("batch_id")
     except AnalysisException as exc:
@@ -752,6 +764,8 @@ def stream_near_dedup_embedding(
             F.col(id_col), explode_nonempty(structs).alias("_tb")
         ).select(id_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
 
+    from pyspark.errors import AnalysisException
+
     bands_dir = store_dir.rstrip("/") + "_bands"
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
@@ -775,7 +789,16 @@ def stream_near_dedup_embedding(
             bc.write.mode("overwrite").partitionBy("_bkt").parquet(
                 f"{bands_dir}/batch_id={bid}"
             )
-            bc = spark.read.parquet(f"{bands_dir}/batch_id={bid}")
+            try:
+                bc = spark.read.parquet(f"{bands_dir}/batch_id={bid}")
+            except AnalysisException as exc:
+                if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                    raise
+                # zero-row micro-batch: empty partitioned dir has no
+                # schema to infer (see the MinHash twin) — land the
+                # empty keeper set and return
+                write_batch_idempotent(bdf, bid, out_dir)
+                return
             bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
             bands_seen = spark.read.parquet(bands_dir).filter(
                 (F.col("batch_id") <= F.lit(bid)) & F.col("_bkt").isin(bkts)
@@ -827,8 +850,6 @@ def stream_near_dedup_embedding(
         .start()
     )
     query.awaitTermination()
-    from pyspark.errors import AnalysisException
-
     try:
         return spark.read.parquet(out_dir).drop("batch_id")
     except AnalysisException as exc:

@@ -779,3 +779,65 @@ def test_stream_near_dedup_banded_store_survives_compaction_between_drives(
     )
     want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
     assert rows(got) == rows(want)
+
+
+def test_stream_near_dedup_banded_survives_empty_batch(spark, sf_dir, tmp_path):
+    """A zero-row micro-batch under the banded layout lands an EMPTY
+    partitioned bands dir (partitionBy writes no part files for no
+    rows), which the per-batch re-read cannot infer a schema from —
+    the guard must land the empty keeper set and keep the drive alive,
+    and a later real batch must still dedup correctly against the
+    store (the empty batch_id dir is ignored by partition listing)."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    staged = _ordered_docs_stream_dir(sf_dir)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # an empty (schema-only) file arrives FIRST, then the full replay
+    schema = spark.read.parquet(staged).schema
+    spark.createDataFrame([], schema).coalesce(1).write.parquet(
+        str(tmp_path / "empty")
+    )
+    empty_part = next(
+        p for p in os.listdir(str(tmp_path / "empty")) if p.endswith(".parquet")
+    )
+    shutil.copy2(
+        os.path.join(str(tmp_path / "empty"), empty_part),
+        os.path.join(src, "0000_empty.parquet"),
+    )
+    for p in parts:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=str(tmp_path / "store"),
+        threshold=0.2,
+        store_buckets=16,
+    ).select("doc_id")
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
