@@ -43,6 +43,24 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a) * _dot(b, b)))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the self-dot-products precomputed per SIDE
+    instead of per PAIR (r10): ``na``/``nb`` must be ``_dot(a, a)`` /
+    ``_dot(b, b)`` computed on the pre-join relations. Bit-identical to
+    ``cosine`` — the norm columns are the same ``aggregate(zip_with)``
+    expressions over the same arrays, and ``sqrt(na * nb)`` multiplies
+    the same doubles in the same order — but the pair stage evaluates
+    ONE interpreted-HOF dot instead of three. The dot HOFs are
+    CodegenFallback (same janino story as the hyperplane signatures),
+    so on candidate-scoring joins the two self-dots were ~2/3 of the
+    hot stage: measured at sf0.1 (min-of-3 warm, noop), the IVF kNN
+    join's ~1.3M-candidate plan dropped 12.7 → 5.0 s, the LSH kNN
+    join 7.1 → 2.8 s, brute-force kNN 0.77 → 0.41 s (SCALE.md r10).
+    Applied to every pair-scoring stage in this module and the
+    streaming embedding-dedup verify."""
+    return F.try_divide(_dot(a, b), F.sqrt(na * nb))
+
+
 def _as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
@@ -72,12 +90,18 @@ def cosine_knn_bruteforce(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
+    # per-side self-norms (bit-identical; cosine_with_norms): the
+    # corpus norm is computed n times, not n x |q| times
+    q_n = q.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
+    c_n = c.withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c_n.join(F.broadcast(q_n), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("_cos"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+            ).alias("_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -303,17 +327,34 @@ def _banded_pairs_cosine_verify(
             .filter(F.col("_bc") <= max_bucket)
             .drop("_bc")
         )
-    bv = buckets.join(e, "_id")
+    # per-side self-norms ride the band rows so the verify join pays
+    # one interpreted-HOF dot per candidate, not three (bit-identical;
+    # cosine_with_norms)
+    bv = buckets.join(e.withColumn("_n", _dot(F.col("_v"), F.col("_v"))), "_id")
     aa = bv.select(
-        "_t", "_b", F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+        "_t",
+        "_b",
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     bb = bv.select(
-        "_t", "_b", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+        "_t",
+        "_b",
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         aa.join(bb, ["_t", "_b"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("_cos"),
+        )
         .filter(F.col("_cos") >= threshold)
         .groupBy("id_a", "id_b")
         .agg(F.round(F.max("_cos"), 6).alias("cosine"))
@@ -412,15 +453,31 @@ def _banded_pairs_cosine_verify_cross(
             .drop("_bc")
         )
 
-    aa = guard(buckets_a).join(ea, "_id").select(
-        "_t", "_b", F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+    ea_n = ea.withColumn("_n", _dot(F.col("_v"), F.col("_v")))
+    eb_n = eb.withColumn("_n", _dot(F.col("_v"), F.col("_v")))
+    aa = guard(buckets_a).join(ea_n, "_id").select(
+        "_t",
+        "_b",
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
-    bb = guard(buckets_b).join(eb, "_id").select(
-        "_t", "_b", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    bb = guard(buckets_b).join(eb_n, "_id").select(
+        "_t",
+        "_b",
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         aa.join(bb, ["_t", "_b"])
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("_cos"),
+        )
         .filter(F.col("_cos") >= threshold)
         .groupBy("id_a", "id_b")
         .agg(F.round(F.max("_cos"), 6).alias("cosine"))
@@ -571,12 +628,26 @@ def embedding_near_dup_against_store(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = store_df.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-    vb = new_state.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    va = store_df.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        _dot(F.col("_v"), F.col("_v")).alias("_na"),
+    )
+    vb = new_state.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        _dot(F.col("_v"), F.col("_v")).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("_cos"),
+        )
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
@@ -629,12 +700,15 @@ def cosine_knn_join(
     sig_udf = _hyperplane_sigs_udf(planes, dim)
 
     def prep(corpus: DataFrame, out_id: str, out_vec: str):
+        # the side's self-norm is computed once per band row here,
+        # never per candidate pair (bit-identical; cosine_with_norms)
         e = corpus.select(
             F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
-        )
+        ).withColumn(f"_{out_id}_n", _dot(F.col(out_vec), F.col(out_vec)))
         buckets = e.select(
             out_id,
             out_vec,
+            f"_{out_id}_n",
             F.posexplode(sig_udf(F.col(out_vec))).alias("_t", "_b"),
         )
         if max_bucket is not None:
@@ -653,7 +727,12 @@ def cosine_knn_join(
         .select(
             "left_id",
             "right_id",
-            cosine(F.col("_lv"), F.col("_rv")).alias("_cos"),
+            cosine_with_norms(
+                F.col("_lv"),
+                F.col("_rv"),
+                F.col("_left_id_n"),
+                F.col("_right_id_n"),
+            ).alias("_cos"),
         )
         .groupBy("left_id", "right_id")
         .agg(F.max("_cos").alias("_cos"))
@@ -740,12 +819,20 @@ def cosine_knn_join_ivf(
         .filter(F.col("_prk") <= nprobe)
         .select("left_id", "qv", F.col("_cid").alias("_list"))
     )
+    # self-norms per SIDE, not per pair: the pair join below scores
+    # |left|·replication·(nprobe/n_lists)·|right| candidates and the
+    # interpreted-HOF self-dots were ~2/3 of that stage's cost
+    # (cosine_with_norms docstring; bit-identical results)
+    probes = probes.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
+    postings_n = postings.withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
     scored = (
-        postings.join(probes, "_list")
+        postings_n.join(probes, "_list")
         .select(
             "left_id",
             F.col("neighbor_id").alias("right_id"),
-            cosine(F.col("qv"), F.col("cv")).alias("_cos"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+            ).alias("_cos"),
         )
         .groupBy("left_id", "right_id")
         .agg(F.max("_cos").alias("_cos"))
@@ -795,10 +882,19 @@ def _assign_to_centroids(e: DataFrame, c: DataFrame) -> DataFrame:
     against the broadcast centroid set ``c`` — one corpus-wide
     aggregate that shrinks to one row per vector, ties to the smaller
     centroid id (matching the oracle's ``ORDER BY cos DESC, cid``)."""
-    scored = e.join(F.broadcast(c)).select(
+    # per-side self-norms: the vector's self-dot is evaluated once per
+    # corpus row and the centroid's once per centroid, not once per
+    # (vector, centroid) — at the O(n x L) assignment pass the two
+    # interpreted-HOF self-dots were ~2/3 of the cosine cost
+    # (bit-identical; cosine_with_norms)
+    e_n = e.withColumn("_vn", _dot(F.col("_v"), F.col("_v")))
+    c_n = c.withColumn("_cn2", _dot(F.col("_cv"), F.col("_cv")))
+    scored = e_n.join(F.broadcast(c_n)).select(
         "_id",
         F.struct(
-            cosine(F.col("_v"), F.col("_cv")).alias("_cos"),
+            cosine_with_norms(
+                F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn2")
+            ).alias("_cos"),
             (-F.col("_cid")).alias("_neg_cid"),  # tie-break: smaller cid wins
             F.col("_cid").alias("cid"),
         ).alias("_scored"),
@@ -872,12 +968,21 @@ def _tree_assign(
         .filter(F.col("_crk") <= centroid_rep)
         .select("_sid", "_cid", "_cv")
     )
-    # vector -> supers: slim (_id, _sid, score) through the rank window
+    # vector -> supers: slim (_id, _sid, score) through the rank window.
+    # The vector self-norm (_vn) is computed once per corpus row and
+    # reused by BOTH per-pair scoring passes below (bit-identical;
+    # cosine_with_norms).
+    e_n = e.withColumn("_vn", _dot(F.col("_v"), F.col("_v")))
+    s_n = s.withColumn("_sn", _dot(F.col("_sv"), F.col("_sv")))
     wv = Window.partitionBy("_id").orderBy(F.desc("_vscos"), F.asc("_sid"))
     vsup = (
-        e.join(F.broadcast(s))
+        e_n.join(F.broadcast(s_n))
         .select(
-            "_id", "_sid", cosine(F.col("_v"), F.col("_sv")).alias("_vscos")
+            "_id",
+            "_sid",
+            cosine_with_norms(
+                F.col("_v"), F.col("_sv"), F.col("_vn"), F.col("_sn")
+            ).alias("_vscos"),
         )
         .withColumn("_vrk", F.row_number().over(wv))
         .filter(F.col("_vrk") <= probe_supers)
@@ -888,11 +993,16 @@ def _tree_assign(
     # an IDENTICAL cosine — the combining max collapses it map-side
     # before the posting-rank window (same dedup shape as the flat
     # path's shared-list candidates).
+    cs_n = cs.withColumn("_cn2", _dot(F.col("_cv"), F.col("_cv")))
     cand = (
-        e.join(vsup, "_id")
-        .join(F.broadcast(cs), "_sid")
+        e_n.join(vsup, "_id")
+        .join(F.broadcast(cs_n), "_sid")
         .select(
-            "_id", "_cid", cosine(F.col("_v"), F.col("_cv")).alias("_ccos")
+            "_id",
+            "_cid",
+            cosine_with_norms(
+                F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn2")
+            ).alias("_ccos"),
         )
         .groupBy("_id", "_cid")
         .agg(F.max("_ccos").alias("_ccos"))
@@ -973,8 +1083,14 @@ def _flat_replicated_assign(
     replication). e0 = (_id, _v), c = (_cid, _cv, broadcast-sized);
     returns (_id, _list). Shared by ``build_ivf_index`` and the
     streaming index appender so the two can never drift."""
-    sc_all = e0.join(F.broadcast(c)).select(
-        "_id", "_cid", cosine(F.col("_v"), F.col("_cv")).alias("_acos")
+    e_n = e0.withColumn("_vn", _dot(F.col("_v"), F.col("_v")))
+    c_n = c.withColumn("_cn2", _dot(F.col("_cv"), F.col("_cv")))
+    sc_all = e_n.join(F.broadcast(c_n)).select(
+        "_id",
+        "_cid",
+        cosine_with_norms(
+            F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn2")
+        ).alias("_acos"),
     )
     wa = Window.partitionBy("_id").orderBy(F.desc("_acos"), F.asc("_cid"))
     return (
@@ -1162,13 +1278,20 @@ def _ivf_probe_tail(
         .filter(F.col("_prk") <= nprobe)
         .select("query_id", "qv", F.col("_cid").alias("_list"))
     )
+    # per-side self-norms ahead of the candidate join (bit-identical;
+    # see cosine_with_norms) — the posting side's norm is computed once
+    # per posting row instead of once per (query, posting) candidate
+    probes = probes.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
+    e_n = e.withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
     scored = (
-        e.join(F.broadcast(probes), "_list")
+        e_n.join(F.broadcast(probes), "_list")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("_cos"),
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+            ).alias("_cos"),
         )
     )
     # a (query, neighbor) pair sharing several probed lists appears
@@ -1413,14 +1536,17 @@ def cosine_knn_sign_lsh(
     sig_udf = _hyperplane_sigs_udf(planes, dim)
 
     def banded(df, out_id):
+        # the side's self-norm rides the band rows so the collision
+        # scoring pays one HOF dot per candidate (cosine_with_norms)
         sigs = df.select(
             F.col(id_col).alias(out_id),
             _as_double(F.col(vec_col)).alias(f"_{out_id}_v"),
             sig_udf(F.col(vec_col)).alias("_sigarr"),
-        )
+        ).withColumn(f"_{out_id}_n", _dot(F.col(f"_{out_id}_v"), F.col(f"_{out_id}_v")))
         return sigs.select(
             out_id,
             f"_{out_id}_v",
+            f"_{out_id}_n",
             F.posexplode("_sigarr").alias("band", "sig"),
         )
 
@@ -1432,7 +1558,12 @@ def cosine_knn_sign_lsh(
         .groupBy("query_id", "neighbor_id")
         .agg(
             F.max(
-                cosine(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+                cosine_with_norms(
+                    F.col("_query_id_v"),
+                    F.col("_neighbor_id_v"),
+                    F.col("_query_id_n"),
+                    F.col("_neighbor_id_n"),
+                )
             ).alias("_cos")
         )
     )
@@ -1588,10 +1719,11 @@ def cosine_knn_wta(
             F.col(id_col).alias(out_id),
             _as_double(F.col(vec_col)).alias(f"_{out_id}_v"),
             sig_arr.alias("_sigarr"),
-        )
+        ).withColumn(f"_{out_id}_n", _dot(F.col(f"_{out_id}_v"), F.col(f"_{out_id}_v")))
         return sigs.select(
             out_id,
             f"_{out_id}_v",
+            f"_{out_id}_n",
             F.posexplode_outer("_sigarr").alias("band", "sig"),
         )
 
@@ -1603,7 +1735,12 @@ def cosine_knn_wta(
         .groupBy("query_id", "neighbor_id")
         .agg(
             F.max(
-                cosine(F.col("_query_id_v"), F.col("_neighbor_id_v"))
+                cosine_with_norms(
+                    F.col("_query_id_v"),
+                    F.col("_neighbor_id_v"),
+                    F.col("_query_id_n"),
+                    F.col("_neighbor_id_n"),
+                )
             ).alias("_cos")
         )
     )

@@ -746,8 +746,9 @@ def stream_near_dedup_embedding(
     ``out_dir``.
     """
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        _dot,
         build_signbucket_store,
-        cosine,
+        cosine_with_norms,
     )
     from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
 
@@ -827,17 +828,34 @@ def stream_near_dedup_embedding(
             )
             .distinct()
         )
-        vecs = store.select(F.col(id_col), F.col("_v"))
+        vecs = store.select(
+            F.col(id_col),
+            F.col("_v"),
+            _dot(F.col("_v"), F.col("_v")).alias("_n"),
+        )
         dropped = (
             cand.join(
-                vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
+                vecs.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"),
+                ),
                 "id_a",
             )
             .join(
-                vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
+                vecs.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"),
+                ),
                 "id_b",
             )
-            .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+            .filter(
+                cosine_with_norms(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                )
+                >= threshold
+            )
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )
