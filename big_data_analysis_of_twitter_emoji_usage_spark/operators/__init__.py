@@ -22,9 +22,16 @@ from big_data_analysis_of_twitter_emoji_usage_spark.operators.relational import 
     sessionize,
 )
 from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (  # noqa: F401
+    build_ivf_index,
     cosine,
     cosine_knn_bruteforce,
+    cosine_knn_ivf,
+    cosine_knn_ivf_probe,
+    cosine_knn_join,
+    cosine_knn_join_ivf,
+    cosine_knn_join_ivf_probe,
     cosine_knn_sign_lsh,
+    cosine_with_norms,
     embedding_near_dup_pairs,
     sign_bucket,
 )

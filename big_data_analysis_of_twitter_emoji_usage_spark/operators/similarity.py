@@ -804,10 +804,34 @@ def cosine_knn_join_ivf(
         coarse_assign,
         probe_supers,
     )
+    return cosine_knn_join_ivf_probe(
+        c, postings, left, id_col, vec_col, k, nprobe
+    )
+
+
+def cosine_knn_join_ivf_probe(
+    centroids: DataFrame,
+    postings: DataFrame,
+    left: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 8,
+) -> DataFrame:
+    """The query half of ``cosine_knn_join_ivf`` over a (typically
+    persisted) ``build_ivf_index`` result — the production shape for
+    CONTINUOUS corpus alignment: index the reference corpus once,
+    then every arriving left batch (a new crawl to label, documents
+    to retrieval-augment) runs only this probe. ``cosine_knn_join_ivf``
+    is literally build + this. Same plan as the inline join from the
+    probe routing down (pinned bit-for-bit by
+    ``test_knn_join_ivf_probe_equals_inline``); the shared-list
+    duplicate collapse is unconditional, so the probe is correct for
+    any index regardless of its build-time replication."""
     q = left.select(
         F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    q_scored = q.join(F.broadcast(c)).select(
+    q_scored = q.join(F.broadcast(centroids)).select(
         "left_id",
         "qv",
         F.col("_cid"),

@@ -513,3 +513,38 @@ def test_ivf_probe_collapse_is_unconditional(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, lied)) == sorted(map(tuple, honest))
     pairs = [(r.query_id, r.neighbor_id) for r in lied]
     assert len(pairs) == len(set(pairs)) == 30
+
+
+def test_knn_join_ivf_probe_equals_inline(spark, tmp_path, sf_dir):
+    """The persisted-index loop for the kNN JOIN (r10): build_ivf_index
+    written to parquet, probed with cosine_knn_join_ivf_probe for a
+    left corpus, must return cosine_knn_join_ivf(left, right)
+    bit-for-bit — index once, align every arriving batch."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_knn_join_ivf,
+        cosine_knn_join_ivf_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    c, p = build_ivf_index(right, n_lists=24, replication=2)
+    cdir, pdir = str(tmp_path / "cent"), str(tmp_path / "post")
+    c.write.parquet(cdir)
+    p.write.parquet(pdir)
+    got = sorted(
+        tuple(r)
+        for r in cosine_knn_join_ivf_probe(
+            spark.read.parquet(cdir), spark.read.parquet(pdir), left,
+            k=3, nprobe=8,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cosine_knn_join_ivf(
+            left, right, k=3, n_lists=24, nprobe=8, replication=2
+        ).collect()
+    )
+    assert got == want and len(got) == 750
