@@ -4663,8 +4663,16 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r10. ----
-    # r8-attested leftovers (16, youngest r8 rows) — the pre-declared
-    # r11 drain head, oldest-first. ----
+    # The r11 drain head, pre-declared, is (a) the 16 r8-attested
+    # leftovers below (youngest r8 rows, oldest-first), PLUS (b) the
+    # seven r9-green entries whose plans the r10 norm-carrying edit
+    # (cosine_with_norms — results bit-identical, every one re-driven
+    # against its DuckDB oracle at sf0.01 in-session and covered by
+    # the every-round sf0.001 parity suite) changed behind the window:
+    # knn_ivf, knn_ivf_tree, stream_knn_ivf, dedup_embedding,
+    # dedup_embedding_cross, dedup_embedding_hyperplane, knn_join_emb.
+    # (knn_brute's plan also changed; it is already in the head below.)
+    # ----
     "stream_stream_join_events": stream_stream_join_events,
     "stream_dedup_events": stream_dedup_events,
     "dedup_exact": dedup_exact_q,
