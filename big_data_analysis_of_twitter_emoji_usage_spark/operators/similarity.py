@@ -848,7 +848,9 @@ def cosine_knn_join_ivf_probe(
     # interpreted-HOF self-dots were ~2/3 of that stage's cost
     # (cosine_with_norms docstring; bit-identical results)
     probes = probes.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
-    postings_n = postings.withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+    postings_n = postings if "_cn" in postings.columns else postings.withColumn(
+        "_cn", _dot(F.col("cv"), F.col("cv"))
+    )
     scored = (
         postings_n.join(probes, "_list")
         .select(
@@ -1166,9 +1168,17 @@ def build_ivf_index(
         )
     elif replication > 1:
         assign = _flat_replicated_assign(e0, c, replication)
-    postings = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+    # the posting row carries its vector's self-norm (_cn) so a
+    # persisted index NEVER pays the norm pass at probe time — the
+    # probe tails use a stored _cn when present (r10, cosine_with_norms)
+    postings = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+        .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+    )
     return c, postings
 
 
@@ -1306,7 +1316,9 @@ def _ivf_probe_tail(
     # see cosine_with_norms) — the posting side's norm is computed once
     # per posting row instead of once per (query, posting) candidate
     probes = probes.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
-    e_n = e.withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+    e_n = e if "_cn" in e.columns else e.withColumn(
+        "_cn", _dot(F.col("cv"), F.col("cv"))
+    )
     scored = (
         e_n.join(F.broadcast(probes), "_list")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -908,6 +908,7 @@ def stream_ivf_index_append(
 
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
         _as_double,
+        _dot,
         _flat_replicated_assign,
     )
 
@@ -918,10 +919,17 @@ def stream_ivf_index_append(
             F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
         )
         assign = _flat_replicated_assign(e0, c, replication)
-        postings = bdf.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("cv"),
-        ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+        # same posting shape as build_ivf_index incl. the stored
+        # self-norm (_cn) — the streamed index stays probe-identical
+        # AND schema-identical to the batch-built one
+        postings = (
+            bdf.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            )
+            .withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+            .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+        )
         write_batch_idempotent(postings, bid, postings_dir)
 
     query = (
@@ -944,9 +952,13 @@ def stream_ivf_index_append(
                 F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
             )
             assign = _flat_replicated_assign(e0, c, replication)
-            postings = empty.select(
-                F.col(id_col).alias("neighbor_id"),
-                _as_double(F.col(vec_col)).alias("cv"),
-            ).join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+            postings = (
+                empty.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    _as_double(F.col(vec_col)).alias("cv"),
+                )
+                .withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+                .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+            )
             return spark.createDataFrame([], postings.schema)
         raise

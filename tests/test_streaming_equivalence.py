@@ -544,7 +544,7 @@ def test_stream_ivf_append_empty_source_returns_empty_postings(
         postings_dir=str(tmp_path / "post"),
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
-    assert postings.columns == ["neighbor_id", "cv", "_list"]
+    assert postings.columns == ["neighbor_id", "cv", "_cn", "_list"]
     assert postings.count() == 0
 
 
