@@ -560,19 +560,29 @@ def build_signbucket_store(
     tables: int = 2,
 ) -> DataFrame:
     """Per-vector semantic-dedup state, computed once for persistence:
-    (id, _v double-array, b0..b{tables-1} sign-bucket codes) — the
-    embedding twin of ``dedup.build_minhash_store`` and byte-compatible
-    with ``streaming.jobs.stream_near_dedup_embedding``'s accumulating
-    store (which builds exactly this per micro-batch). ``bits`` /
-    ``tables`` are baked into the stored codes: probes must use the
-    SAME values, and re-bucketing means rebuilding the store (the
-    persisted-LSH-index contract). The coordinate-sign schedule is
+    (id, _v double-array, _n self-norm, b0..b{tables-1} sign-bucket
+    codes) — the embedding twin of ``dedup.build_minhash_store`` and
+    byte-compatible with ``streaming.jobs.stream_near_dedup_embedding``'s
+    accumulating store (which builds exactly this per micro-batch).
+    ``bits`` / ``tables`` are baked into the stored codes: probes must
+    use the SAME values, and re-bucketing means rebuilding the store
+    (the persisted-LSH-index contract). The coordinate-sign schedule is
     deterministic, so stores built in different sessions share one
-    bucket space."""
+    bucket space.
+
+    ``_n`` (r11) is the vector's self-dot, stored at build time for the
+    same reason ``build_ivf_index`` stores ``_cn``: a dedup store is
+    probed for its whole lifetime, and a probe that recomputes
+    ``_dot(_v,_v)`` pays one interpreted-HOF pass over the ENTIRE
+    accumulated history per probe — at trickle-against-deep-history
+    that recompute was the dominant verify term (measured, SCALE.md).
+    Probes use a stored ``_n`` when present and fall back to computing
+    it for pre-r11 stores."""
     v = _as_double(F.col(vec_col))
     return df.select(
         F.col(id_col),
         v.alias("_v"),
+        _dot(v, v).alias("_n"),
         *[
             sign_bucket(v, bits, offset=t * bits).alias(f"b{t}")
             for t in range(tables)
@@ -628,15 +638,23 @@ def embedding_near_dup_against_store(
         .select("id_a", "id_b")
         .distinct()
     )
+    # stored self-norm when the store has one (r11 schema); compute as
+    # the pre-r11 fallback — recomputing is one HOF pass over the whole
+    # store per probe, exactly the tax the stored column removes
+    _na = (
+        F.col("_n")
+        if "_n" in store_df.columns
+        else _dot(F.col("_v"), F.col("_v"))
+    )
     va = store_df.select(
         F.col(id_col).alias("id_a"),
         F.col("_v").alias("_va"),
-        _dot(F.col("_v"), F.col("_v")).alias("_na"),
+        _na.alias("_na"),
     )
     vb = new_state.select(
         F.col(id_col).alias("id_b"),
         F.col("_v").alias("_vb"),
-        _dot(F.col("_v"), F.col("_v")).alias("_nb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         cand.join(va, "id_a")
@@ -828,12 +846,20 @@ def cosine_knn_join_ivf_probe(
     ``test_knn_join_ivf_probe_equals_inline``); the shared-list
     duplicate collapse is unconditional, so the probe is correct for
     any index regardless of its build-time replication."""
+    # self-norms per SIDE, not per pair: the pair join below scores
+    # |left|·replication·(nprobe/n_lists)·|right| candidates and the
+    # interpreted-HOF self-dots were ~2/3 of that stage's cost
+    # (cosine_with_norms docstring; bit-identical results). _qn is
+    # projected BELOW the centroid join — once per query row, not once
+    # per (query, centroid) fan-out row (r11; the join boundary keeps
+    # CollapseProject from inlining it upward).
     q = left.select(
         F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
     q_scored = q.join(F.broadcast(centroids)).select(
         "left_id",
         "qv",
+        "_qn",
         F.col("_cid"),
         cosine(F.col("qv"), F.col("_cv")).alias("_ccos"),
     )
@@ -841,13 +867,8 @@ def cosine_knn_join_ivf_probe(
     probes = (
         q_scored.withColumn("_prk", F.row_number().over(wq))
         .filter(F.col("_prk") <= nprobe)
-        .select("left_id", "qv", F.col("_cid").alias("_list"))
+        .select("left_id", "qv", "_qn", F.col("_cid").alias("_list"))
     )
-    # self-norms per SIDE, not per pair: the pair join below scores
-    # |left|·replication·(nprobe/n_lists)·|right| candidates and the
-    # interpreted-HOF self-dots were ~2/3 of that stage's cost
-    # (cosine_with_norms docstring; bit-identical results)
-    probes = probes.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
     postings_n = postings if "_cn" in postings.columns else postings.withColumn(
         "_cn", _dot(F.col("cv"), F.col("cv"))
     )
@@ -1300,9 +1321,16 @@ def _ivf_probe_tail(
     c = centroids (_cid, _cv), e = postings (neighbor_id, cv, _list),
     q = (query_id, qv)."""
     # nprobe nearest centroids per query → (query, probed list) pairs.
+    # per-side self-norms ahead of the candidate join (bit-identical;
+    # see cosine_with_norms) — the posting side's norm is computed once
+    # per posting row instead of once per (query, posting) candidate,
+    # and _qn is projected BELOW the centroid join so it evaluates once
+    # per query row, not once per (query, centroid) fan-out row (r11).
+    q = q.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
     q_scored = q.join(F.broadcast(c)).select(
         "query_id",
         "qv",
+        "_qn",
         F.col("_cid"),
         cosine(F.col("qv"), F.col("_cv")).alias("_ccos"),
     )
@@ -1310,12 +1338,8 @@ def _ivf_probe_tail(
     probes = (
         q_scored.withColumn("_prk", F.row_number().over(wq))
         .filter(F.col("_prk") <= nprobe)
-        .select("query_id", "qv", F.col("_cid").alias("_list"))
+        .select("query_id", "qv", "_qn", F.col("_cid").alias("_list"))
     )
-    # per-side self-norms ahead of the candidate join (bit-identical;
-    # see cosine_with_norms) — the posting side's norm is computed once
-    # per posting row instead of once per (query, posting) candidate
-    probes = probes.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
     e_n = e if "_cn" in e.columns else e.withColumn(
         "_cn", _dot(F.col("cv"), F.col("cv"))
     )

@@ -266,12 +266,17 @@ def compact_partitioned_parquet(
             if k.isDirectory()
             # same convention as Spark's file-index hidden-path filter:
             # dot/underscore names are metadata (_spark_metadata, _SUCCESS
-            # siblings) UNLESS they contain '=', which marks a partition
-            # dir for an underscore-named column (e.g. the dedup band
-            # stores' _bkt=K leaves)
+            # siblings) UNLESS an underscore-prefixed name contains '=',
+            # which marks a partition dir for an underscore-named column
+            # (e.g. the dedup band stores' _bkt=K / _pbkt=K leaves).
+            # DOT-prefixed paths are always hidden to Spark — a dot-named
+            # staging dir containing '=' must never be compacted as data
             and (
                 not k.getPath().getName().startswith((".", "_"))
-                or "=" in k.getPath().getName()
+                or (
+                    k.getPath().getName().startswith("_")
+                    and "=" in k.getPath().getName()
+                )
             )
             and ".__compact_" not in k.getPath().getName()
         ]

@@ -15,6 +15,9 @@ pointing the batch reader at a directory; README.md:30).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -477,6 +480,80 @@ def stream_decontaminate_join(
         bench_static.unpersist()
 
 
+_STORE_LAYOUT_FILE = "_layout.json"
+# v2 (r11): payload rows carry the verify columns the probe needs
+# (signbucket stores land _n; banded stores land id-bucketed _pbkt dirs)
+_STORE_LAYOUT_VERSION = 2
+
+
+def write_store_layout_marker(
+    store_dir: str, kind: str, store_buckets: int | None
+) -> None:
+    """Persist the accumulating dedup store's layout contract as
+    ``<store_dir>/_layout.json`` (underscore-prefixed, so Spark's file
+    index never reads it as data). The banded layout (``store_buckets``)
+    is a STORE-LIFETIME choice: resuming a flat-written store with
+    ``store_buckets`` set — or changing the bucket count — silently
+    hides pre-switch history from the probe and emits wrong keeper
+    sets, so the drives refuse to start on a mismatch instead of
+    relying on a docstring (same fail-fast posture as ``get_spark``
+    rejecting a typo'd ``state_store``). Call this yourself when
+    seeding a store from batch-built ``build_minhash_store`` /
+    ``build_signbucket_store`` output. Marker IO is plain local-file
+    (the drives own their store dirs on the checkpoint filesystem); a
+    port to an object store swaps these few lines for its client."""
+    os.makedirs(store_dir, exist_ok=True)
+    with open(os.path.join(store_dir, _STORE_LAYOUT_FILE), "w") as fh:
+        json.dump(
+            {
+                "layout_version": _STORE_LAYOUT_VERSION,
+                "kind": kind,
+                "store_buckets": store_buckets,
+            },
+            fh,
+        )
+
+
+def _enforce_store_layout(
+    store_dir: str, kind: str, store_buckets: int | None
+) -> None:
+    """Drive-start layout gate: first use writes the marker; every
+    later drive (or resume) must present the SAME kind and bucket
+    count, and a non-empty store without a marker is refused (it could
+    be either layout — rebuild it, or ``write_store_layout_marker`` if
+    you know which; pre-v2 stores also predate the stored verify
+    columns, so a rebuild is the correct migration)."""
+    marker = os.path.join(store_dir, _STORE_LAYOUT_FILE)
+    expected = {
+        "layout_version": _STORE_LAYOUT_VERSION,
+        "kind": kind,
+        "store_buckets": store_buckets,
+    }
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            got = json.load(fh)
+        if got != expected:
+            raise ValueError(
+                f"dedup store layout mismatch at {store_dir}: the store "
+                f"was written with {got}, this drive requests {expected}. "
+                "The layout (bucketing and bucket count) is a "
+                "store-lifetime contract — rebuild the store to change it."
+            )
+        return
+    if os.path.isdir(store_dir) and any(
+        e != _STORE_LAYOUT_FILE for e in os.listdir(store_dir)
+    ):
+        raise ValueError(
+            f"dedup store at {store_dir} has no _layout.json marker "
+            "(pre-r11 store?): its layout cannot be verified against "
+            f"this drive's (kind={kind!r}, store_buckets={store_buckets!r}). "
+            "Rebuild the store, or write_store_layout_marker() if you "
+            "know its layout matches (pre-v2 stores lack the stored "
+            "verify columns and should be rebuilt)."
+        )
+    write_store_layout_marker(store_dir, kind, store_buckets)
+
+
 def stream_near_dedup_minhash(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -549,14 +626,28 @@ def stream_near_dedup_minhash(
     is real exactly in the trickle regime (small frequent batches
     against deep history); a batch with m ≫ store_buckets covers every
     bucket and degrades to the flat scan cost plus the constant. Size
-    ``store_buckets`` ≈ 5–10× the per-trigger band-row count. The
-    layout is a STORE-LIFETIME contract like the signature space:
+    ``store_buckets`` ≈ 5–10× the per-trigger band-row count.
+
+    The banded layout also ID-BUCKETS THE PAYLOAD (r11): signature
+    rows land under ``store_dir/batch_id=N/_pbkt=K`` with ``_pbkt =
+    pmod(xxhash64(id), store_buckets)``, and the exact-Jaccard verify
+    reads only the candidate ids' buckets (same literal-IN partition
+    pruning as the band probe) — without it every trigger scanned the
+    full history's ``shingles`` column (the store's widest) for a
+    handful of candidates, an O(history)-per-trigger term the banded
+    band probe alone did not remove (VERDICT r10).
+
+    The layout is a STORE-LIFETIME contract like the signature space:
     resuming a store written flat with ``store_buckets`` set (or
-    changing the bucket count) silently hides pre-switch history from
-    the probe — rebuild the store instead, exactly like re-bucketing.
-    Maintenance loop: ``compact_partitioned_parquet`` on BOTH dirs
-    (the bands dir accumulates per-trigger leaf files; compaction
-    walks nested ``batch_id=N/_bkt=K`` leaves). ``max_bucket`` is
+    changing the bucket count) would silently hide pre-switch history
+    from the probe — so the drive persists the layout in
+    ``<store_dir>/_layout.json`` on first use and REFUSES to start on
+    a mismatch or on an unmarked pre-existing store
+    (``_enforce_store_layout``); rebuild the store to change layout,
+    exactly like re-bucketing. Maintenance loop:
+    ``compact_partitioned_parquet`` on BOTH dirs (both accumulate
+    per-trigger leaf files; compaction walks the nested
+    ``batch_id=N/_bkt=K`` / ``_pbkt=K`` leaves). ``max_bucket`` is
     deliberately NOT offered: bucket occupancy would be counted
     per-probe, not corpus-globally, silently diverging from the batch
     operator it mirrors.
@@ -574,6 +665,7 @@ def stream_near_dedup_minhash(
 
     hcols = [f"h{i}" for i in range(num_hashes)]
     bands_dir = store_dir.rstrip("/") + "_bands"
+    _enforce_store_layout(store_dir, "minhash", store_buckets)
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
         # the per-batch state IS one build_minhash_store increment —
@@ -586,15 +678,40 @@ def stream_near_dedup_minhash(
         # one compute of the shingle/signature kernel per batch; the
         # probe and verify below re-READ it columnar instead of
         # re-executing the subtree (SCALE.md execution caveat)
-        state.write.mode("overwrite").parquet(
-            f"{store_dir}/batch_id={bid}"
-        )
+        if store_buckets is None:
+            state.write.mode("overwrite").parquet(
+                f"{store_dir}/batch_id={bid}"
+            )
+        else:
+            # id-bucketed payload landing (r11): the verify stage reads
+            # the store's WIDEST column (shingles) for a handful of
+            # candidate ids — landing the rows under _pbkt =
+            # pmod(xxhash64(id), store_buckets) partition dirs lets the
+            # verify prune to the candidates' buckets instead of
+            # scanning the whole history's payload every trigger (the
+            # band probe got this treatment in r10; this is the same
+            # lever on the verify axis)
+            state.withColumn(
+                "_pbkt",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
+            ).write.mode("overwrite").partitionBy("_pbkt").parquet(
+                f"{store_dir}/batch_id={bid}"
+            )
         # <= bid: replays must not see a later batch's state (none can
         # exist in normal operation — out_dir lands after store — but
         # the filter makes the replay read-set explicit and exact)
-        store = spark.read.parquet(store_dir).filter(
-            F.col("batch_id") <= F.lit(bid)
-        )
+        try:
+            store = spark.read.parquet(store_dir).filter(
+                F.col("batch_id") <= F.lit(bid)
+            )
+        except AnalysisException as exc:
+            if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                raise
+            # banded landing writes NO part files for a zero-row batch;
+            # if every batch so far (incl. this one) was empty, the
+            # store has no schema to infer — and nothing to dedup
+            write_batch_idempotent(bdf, bid, out_dir)
+            return
         cur = store.filter(F.col("batch_id") == bid)
         bands_cur = signature_bands(
             cur.select(id_col, *hcols), id_col, num_hashes, band_size
@@ -662,13 +779,51 @@ def stream_near_dedup_minhash(
             )
             .distinct()
         )
-        pairs = verify_pairs_jaccard(
-            cand, store.select(id_col, "shingles"), id_col, threshold
-        )
-        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        write_batch_idempotent(
-            bdf.join(dropped, id_col, "left_anti"), bid, out_dir
-        )
+        if store_buckets is None:
+            payload = store.select(id_col, "shingles")
+            pairs = verify_pairs_jaccard(cand, payload, id_col, threshold)
+            dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            write_batch_idempotent(
+                bdf.join(dropped, id_col, "left_anti"), bid, out_dir
+            )
+        else:
+            # verify pruned to the candidates' payload buckets (r11):
+            # the same bounded driver-side literal-IN idiom as the band
+            # probe (≤ store_buckets ints; the partition filter shows
+            # up in the scan's PartitionFilters unconditionally). cand
+            # is persisted so the bucket collect and the verify join
+            # share one execution of the band-probe subtree.
+            cand = cand.persist()
+            try:
+                pbkts = [
+                    r[0]
+                    for r in cand.select(
+                        F.explode(F.array("id_a", "id_b")).alias("_i")
+                    )
+                    .select(
+                        F.pmod(
+                            F.xxhash64("_i"), F.lit(store_buckets)
+                        ).alias("_pbkt")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                if pbkts:
+                    payload = store.filter(
+                        F.col("_pbkt").isin(pbkts)
+                    ).select(id_col, "shingles")
+                    pairs = verify_pairs_jaccard(
+                        cand, payload, id_col, threshold
+                    )
+                    dropped = pairs.select(
+                        F.col("id_b").alias(id_col)
+                    ).distinct()
+                    keep = bdf.join(dropped, id_col, "left_anti")
+                else:
+                    keep = bdf
+                write_batch_idempotent(keep, bid, out_dir)
+            finally:
+                cand.unpersist()
 
     query = (
         stream_df.writeStream.foreachBatch(_dedup_batch)
@@ -732,15 +887,25 @@ def stream_near_dedup_embedding(
     work with the flat layout. ``store_buckets`` (r10) is the same
     band-partitioned lever as the MinHash twin's: (table, bucket) rows
     land pre-banded at ``<store_dir>_bands/batch_id=N/_bkt=K``
-    (``_bkt = pmod(xxhash64(_t, _b), store_buckets)``) and the probe's
-    DPP filter prunes every bucket dir the batch doesn't touch — the
-    win is real in the trickle regime (per-trigger band rows ≪
-    ``store_buckets``), and the layout is a store-lifetime contract
-    like ``bits``: never flip it (or the bucket count) mid-store.
-    Maintenance loop: ``sources.writers.compact_partitioned_parquet``
-    on both dirs between triggers (the stores are batch_id-partitioned,
-    so the flat ``compact_parquet_dir`` would find no top-level files
-    and no-op).
+    (``_bkt = pmod(xxhash64(_t, _b), store_buckets)``) and the probe
+    prunes every bucket dir the batch doesn't touch via an explicit
+    literal ``IN`` on the ``_bkt`` partition column — a bounded
+    driver-side collect of ≤ ``store_buckets`` ints, NOT DPP, whose
+    benefit heuristic was measured declining to plant the pruning
+    subquery at production bucket counts (see the MinHash twin). The
+    banded layout also id-buckets the payload (r11): store rows land
+    under ``batch_id=N/_pbkt=K`` with ``_pbkt = pmod(xxhash64(id),
+    store_buckets)`` and the cosine verify reads only the candidate
+    ids' buckets (plus the stored per-vector self-norm ``_n``, so no
+    per-trigger whole-history norm recompute). The win is real in the
+    trickle regime (per-trigger band rows ≪ ``store_buckets``), and
+    the layout is a store-lifetime contract like ``bits``, enforced by
+    the ``<store_dir>/_layout.json`` marker (the drive refuses a
+    mismatched or unmarked resume; never flip layout or bucket count
+    mid-store). Maintenance loop:
+    ``sources.writers.compact_partitioned_parquet`` on both dirs
+    between triggers (the stores are batch_id-partitioned, so the flat
+    ``compact_parquet_dir`` would find no top-level files and no-op).
 
     Returns the drained keeper rows (original stream columns) over
     ``out_dir``.
@@ -768,16 +933,39 @@ def stream_near_dedup_embedding(
     from pyspark.errors import AnalysisException
 
     bands_dir = store_dir.rstrip("/") + "_bands"
+    _enforce_store_layout(store_dir, "signbucket", store_buckets)
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
         # one build_signbucket_store increment — batch-built reference
         # stores and this accumulating store are interchangeable
         # (similarity.embedding_near_dup_against_store probes either)
         state = build_signbucket_store(bdf, id_col, vec_col, bits, tables)
-        state.write.mode("overwrite").parquet(f"{store_dir}/batch_id={bid}")
-        store = spark.read.parquet(store_dir).filter(
-            F.col("batch_id") <= F.lit(bid)
-        )
+        if store_buckets is None:
+            state.write.mode("overwrite").parquet(
+                f"{store_dir}/batch_id={bid}"
+            )
+        else:
+            # id-bucketed payload landing (r11, see the MinHash twin):
+            # the verify reads the store's vector column for a handful
+            # of candidate ids — _pbkt partition dirs let it prune to
+            # the candidates' buckets instead of scanning all history
+            state.withColumn(
+                "_pbkt",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
+            ).write.mode("overwrite").partitionBy("_pbkt").parquet(
+                f"{store_dir}/batch_id={bid}"
+            )
+        try:
+            store = spark.read.parquet(store_dir).filter(
+                F.col("batch_id") <= F.lit(bid)
+            )
+        except AnalysisException as exc:
+            if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                raise
+            # banded landing writes no part files for a zero-row batch;
+            # an all-empty store has no schema — and nothing to dedup
+            write_batch_idempotent(bdf, bid, out_dir)
+            return
         cur = store.filter(F.col("batch_id") == bid)
         bands_cur = _bands(cur.select(id_col, *bcols))
         if store_buckets is not None:
@@ -828,10 +1016,46 @@ def stream_near_dedup_embedding(
             )
             .distinct()
         )
-        vecs = store.select(
+        # stored self-norm (r11 store schema; build_signbucket_store
+        # lands _n at arrival) — recomputing _dot(_v,_v) here was one
+        # interpreted-HOF pass over the ENTIRE accumulated store per
+        # trigger, exactly the tax the norm-carrying rewrite removed
+        # from the batch probes (VERDICT r10 #1). Fallback compute for
+        # seeded stores predating the column.
+        _nexpr = (
+            F.col("_n")
+            if "_n" in store.columns
+            else _dot(F.col("_v"), F.col("_v"))
+        )
+        vec_src = store
+        if store_buckets is not None:
+            # verify pruned to the candidates' payload buckets — same
+            # bounded literal-IN idiom as the band probe; cand is
+            # persisted so the bucket collect and the verify join share
+            # one execution of the band-probe subtree
+            cand = cand.persist()
+            pbkts = [
+                r[0]
+                for r in cand.select(
+                    F.explode(F.array("id_a", "id_b")).alias("_i")
+                )
+                .select(
+                    F.pmod(F.xxhash64("_i"), F.lit(store_buckets)).alias(
+                        "_pbkt"
+                    )
+                )
+                .distinct()
+                .collect()
+            ]
+            if not pbkts:
+                write_batch_idempotent(bdf, bid, out_dir)
+                cand.unpersist()
+                return
+            vec_src = store.filter(F.col("_pbkt").isin(pbkts))
+        vecs = vec_src.select(
             F.col(id_col),
             F.col("_v"),
-            _dot(F.col("_v"), F.col("_v")).alias("_n"),
+            _nexpr.alias("_n"),
         )
         dropped = (
             cand.join(
@@ -859,7 +1083,11 @@ def stream_near_dedup_embedding(
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )
-        write_batch_idempotent(bdf.join(dropped, id_col, "left_anti"), bid, out_dir)
+        write_batch_idempotent(
+            bdf.join(dropped, id_col, "left_anti"), bid, out_dir
+        )
+        if store_buckets is not None:
+            cand.unpersist()
 
     query = (
         stream_df.writeStream.foreachBatch(_dedup_batch)

@@ -555,8 +555,9 @@ def test_stream_near_dedup_banded_store_matches_batch_keepers(
     (store_buckets) must be a pure layout change — the banded drive's
     keeper set equals the flat drive's (== the batch rule, pinned by
     the sibling test), the bands dir holds one batch_id=N/_bkt=K tree
-    per trigger, and the probe shape it enables is DPP (plan pinned
-    below on the drive's own store)."""
+    per trigger, and the probe shape it enables is explicit literal-IN
+    partition pruning on _bkt (plan pinned below on the drive's own
+    store; NOT DPP — see the operator docstring for why)."""
     from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
@@ -662,7 +663,11 @@ def test_stream_near_dedup_banded_probe_plan_prunes_partitions(
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     scan = plan[plan.index("PartitionFilters"):][:400]
-    assert "_bkt" in scan and "INSET" in scan
+    # Spark renders the literal filter as INSET only above
+    # spark.sql.optimizer.inSetConversionThreshold (default 10); a
+    # batch touching fewer buckets renders as IN (...) — both are the
+    # same static partition filter, so accept either form
+    assert "_bkt" in scan and ("INSET" in scan or "IN (" in scan)
 
 
 def test_stream_near_dedup_embedding_banded_matches_batch_keepers(
@@ -762,7 +767,10 @@ def test_stream_near_dedup_banded_store_survives_compaction_between_drives(
         shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
     drive()
     stats = compact_partitioned_parquet(spark, store_dir, target_file_bytes=1 << 30)
-    assert stats["partitions"] == 2
+    # r11: the banded payload store nests batch_id=N/_pbkt=K leaves,
+    # so 2 driven batches yield >= 2 leaf partitions (one per touched
+    # bucket per batch), all walked and compacted independently
+    assert stats["partitions"] >= 2
     bstats = compact_partitioned_parquet(
         spark, store_dir + "_bands", target_file_bytes=1 << 30
     )
@@ -779,6 +787,107 @@ def test_stream_near_dedup_banded_store_survives_compaction_between_drives(
     )
     want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
     assert rows(got) == rows(want)
+
+
+def test_store_layout_marker_enforced(spark, sf_dir, tmp_path):
+    """ADVICE r10: the banded-store layout is a store-lifetime contract
+    — the drive must persist a layout marker on first use and REFUSE
+    (not silently mis-probe) a resume with a different bucket count, a
+    flat resume of a banded store, or an unmarked pre-existing store."""
+    import json
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        _STORE_LAYOUT_FILE,
+        stream_near_dedup_minhash,
+    )
+
+    src_dir = _ordered_docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def drive(store_dir, ckpt, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        return stream_near_dedup_minhash(
+            spark,
+            stream,
+            out_dir=str(tmp_path / f"out{ckpt}"),
+            checkpoint_dir=str(tmp_path / f"ckpt{ckpt}"),
+            store_dir=store_dir,
+            threshold=0.2,
+            **kw,
+        )
+
+    store_dir = str(tmp_path / "store")
+    drive(store_dir, 0, store_buckets=16)
+    marker = os.path.join(store_dir, _STORE_LAYOUT_FILE)
+    with open(marker) as fh:
+        assert json.load(fh)["store_buckets"] == 16
+
+    # changed bucket count → refused
+    with pytest.raises(ValueError, match="store-lifetime"):
+        drive(store_dir, 1, store_buckets=32)
+    # flat resume of a banded store → refused
+    with pytest.raises(ValueError, match="store-lifetime"):
+        drive(store_dir, 2, store_buckets=None)
+    # unmarked pre-existing store → refused (cannot verify its layout)
+    os.remove(marker)
+    with pytest.raises(ValueError, match="no _layout.json"):
+        drive(store_dir, 3, store_buckets=16)
+
+
+def test_stream_near_dedup_payload_scan_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r10 #2: the verify stage must not scan the full
+    history's payload column per trigger — under the banded layout the
+    store lands id-bucketed (_pbkt partition dirs) and the verify's
+    payload read carries the candidates' bucket list as a static
+    PartitionFilter, built exactly as the operator builds it."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    src_dir = _ordered_docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "store")
+    stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+        store_buckets=16,
+    )
+    # the store landed id-bucketed
+    batch0 = os.path.join(store_dir, "batch_id=0")
+    assert any(d.startswith("_pbkt=") for d in os.listdir(batch0))
+    # the verify's payload read shape: literal IN on _pbkt prunes
+    payload = (
+        spark.read.parquet(store_dir)
+        .filter(F.col("_pbkt").isin([1, 3, 5]))
+        .select("doc_id", "shingles")
+    )
+    plan = payload._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters"):][:400]
+    assert "_pbkt" in scan and ("INSET" in scan or "IN (" in scan)
+    # and only the shingles payload column is read (column pruning)
+    rs = plan[plan.index("ReadSchema"):][:200]
+    assert "shingles" in rs and "h0" not in rs
 
 
 def test_stream_near_dedup_banded_survives_empty_batch(spark, sf_dir, tmp_path):
