@@ -2365,6 +2365,46 @@ def dedup_embedding_cross_q(spark, sf):
     )
 
 
+def dedup_emb_store_probe_q(spark, sf):
+    """Persisted-store probe of the embedding dedup loop (r11): the
+    even-vec_id corpus is built into its ``build_signbucket_store``
+    relation and LANDED to parquet (the deployment arm — sign-bucket
+    codes and the per-vector self-norm ``_n`` computed once at build,
+    probed forever), then the odd-vec_id arrivals probe it via
+    ``embedding_near_dup_against_store`` at ``dedup_embedding_cross``'s
+    operating point minus the bucket guard (store probes deliberately
+    don't offer ``max_bucket`` — store-split occupancy diverges from
+    the corpus-global guard). The pair set equals
+    ``embedding_near_dup_pairs_cross`` unguarded at the same
+    parameters, which is the oracle; the probe's store side reads the
+    STORED ``_n`` (r11 schema) instead of recomputing self-norms —
+    this entry attests that read path on the driver gate. Scratch dir
+    fresh per call, reaped at process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        build_signbucket_store,
+        embedding_near_dup_against_store,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="spark_graft_emb_store_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    store_path = _os.path.join(scratch, "store")
+    build_signbucket_store(
+        emb.filter(F.col("vec_id") % 2 == 0), bits=8, tables=2
+    ).write.parquet(store_path)
+    return embedding_near_dup_against_store(
+        spark.read.parquet(store_path),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        threshold=0.3,
+        bits=8,
+        tables=2,
+    )
+
+
 def knn_join_emb_q(spark, sf):
     """ANN kNN JOIN (r9): every even-vec_id vector gets its top-3
     cosine neighbors among the odd-vec_id vectors sharing a
@@ -3686,6 +3726,16 @@ ORACLE_SQL: dict[str, str] = {
         left_pred="vec_id % 2 = 0",
         right_pred="vec_id % 2 = 1",
     ),
+    # the persisted-store probe is the same cross pair set UNGUARDED
+    # (store probes don't offer max_bucket — see the builder docstring)
+    "dedup_emb_store_probe": _cross_sign_lsh_sql(
+        bits=8,
+        tables=2,
+        max_bucket=None,
+        threshold=0.3,
+        left_pred="vec_id % 2 = 0",
+        right_pred="vec_id % 2 = 1",
+    ),
     "dedup_embedding": _sign_lsh_near_dup_sql(
         bits=8, tables=2, max_bucket=100, threshold=0.3
     ),
@@ -4581,23 +4631,124 @@ ORACLE_SQL["stream_quality_docs"] = ORACLE_SQL["text_quality"]
 # --------------------------------------------------------------------------
 
 _GATE_FRONT = {
-    # ---- r10 new surface: the IVF kNN join promoted to the gate
-    # (VERDICT r9 #1) — the measured better frontier for
-    # corpus-vs-corpus retrieval at scale; knn_join_emb (hyperplane
-    # LSH) stays as the documented small-corpus sibling, attested r9. ----
-    "knn_join_emb_ivf": knn_join_emb_ivf_q,
-    # ---- r10 RESHAPED plans (changed since their r9 rows, so they
-    # must re-attest): both streaming near-dedup drives now land and
-    # probe the band-partitioned store layout (store_buckets=32 — the
-    # probe joins on the _bkt partition column and DPP prunes bucket
-    # dirs; VERDICT r9 #3). Results unchanged (keeper parity pinned by
-    # the banded staged-replay tests), plans changed. ----
+    # ---- r11 new surface: the persisted-store probe of the embedding
+    # dedup loop (build_signbucket_store landed to parquet, probed by
+    # embedding_near_dup_against_store) — attests the r11 store schema
+    # (stored self-norm _n) on the driver gate. ----
+    "dedup_emb_store_probe": dedup_emb_store_probe_q,
+    # ---- r11 RESHAPED plans (changed since their r10 rows, so they
+    # must re-attest): both streaming near-dedup drives now read the
+    # STORED self-norm, land the payload id-bucketed (_pbkt partition
+    # dirs) and prune the verify's payload scan to the candidates'
+    # buckets, and enforce the store layout via _layout.json
+    # (VERDICT r10 #1/#2 + ADVICE). Results unchanged (keeper parity
+    # pinned by the banded staged-replay tests), plans changed. ----
     "stream_dedup_near_docs": stream_dedup_near_docs,
     "stream_dedup_near_emb": stream_dedup_near_emb,
-    # ---- r7 drain head (VERDICT r9 #2): the 16 r7-attested leftovers
-    # pre-declared at the r9 window boundary — every plan byte-unchanged
-    # since r7 with every-round local parity; re-attested here so no
-    # ledger row is older than r8 after this round. ----
+    # ---- the seven r9-green entries whose plans the r10
+    # norm-carrying edit changed behind the window (pre-declared as
+    # the r11 drain head at the r10 boundary): results bit-identical,
+    # but the driver ledger row is the contract, so they re-attest
+    # here. ----
+    "knn_ivf": knn_ivf_q,
+    "knn_ivf_tree": knn_ivf_tree_q,
+    "stream_knn_ivf": stream_knn_ivf,
+    "dedup_embedding": dedup_embedding_q,
+    "dedup_embedding_cross": dedup_embedding_cross_q,
+    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
+    "knn_join_emb": knn_join_emb_q,
+    # ---- r8 drain head (pre-declared at the r10 window boundary):
+    # the 16 r8-attested leftovers — after this round no ledger row is
+    # older than r9. ----
+    "stream_stream_join_events": stream_stream_join_events,
+    "stream_dedup_events": stream_dedup_events,
+    "dedup_exact": dedup_exact_q,
+    "knn_brute": knn_brute_q,
+    "q1_rare_words": q1_rare_words,
+    "q1_word_search": q1_word_search,
+    "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
+    "q3_ratio_synth": q3_ratio_synth,
+    "q3_corpus_counts": q3_corpus_counts,
+    "q7_events_late": q7_events_late,
+    "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
+    "stream_windowed_events": stream_windowed_events,
+    "decontam_docs": decontam_docs_q,
+    "q1_top_emojis": q1_top_emojis,
+    "q7_events_early": q7_events_early,
+    "q2_stream_top_words": q2_stream_top_words,
+    # ---- r9 drain (oldest-first): the 24 oldest remaining
+    # r9-attested rows fill the window to exactly 50; the
+    # 17 youngest r9 rows (listed at the top of
+    # _PROVEN) plus the oldest r10 rows are the r12 drain head. ----
+    "stream_decontam_join": stream_decontam_join,
+    "dedup_cross_pairs": dedup_cross_pairs_q,
+    "dedup_containment_cross": dedup_containment_cross_q,
+    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
+    "word_position_counts": word_position_counts,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "rollup_doc_counts": rollup_doc_counts,
+    "cube_doc_counts": cube_doc_counts,
+    "pivot_events_by_day": pivot_events_by_day,
+    "events_json_props": events_json_props,
+    "window_running_value": window_running_value,
+    "event_value_percentiles": event_value_percentiles,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q3_topk": tpch_q3_topk,
+    "join_revenue_by_nation": join_revenue_by_nation,
+    "window_top_customer_per_nation": window_top_customer_per_nation,
+    "events_partitioned_prune": events_partitioned_prune,
+    "events_partitioned_dpp": events_partitioned_dpp,
+    "event_value_percentiles_sketch": event_value_percentiles_sketch,
+    "bucketed_join_events": bucketed_join_events,
+    "event_distinct_users_sketch": event_distinct_users_sketch,
+    "event_top_users_sketch": event_top_users_sketch,
+    "stream_sessionize_native": stream_sessionize_native,
+}
+
+# r11 keeps the standing sentinel-block suspension: 1 new + 2 reshaped
+# + 7 plan-changed + the full 16-row r8 drain head + 24 r9 rows
+# fill the window exactly (1 + 2 + 7 + 16 + 24 = 50), and every
+# operator class a sentinel would re-attest is represented (emoji
+# kernel by q1_emoji_kernel_synth/q1_top_emojis, events by the
+# partitioned/sketch/percentile rows, streaming by
+# stream_stream_join_events/stream_windowed_events/stream_knn_ivf/
+# the near-dedup drives, dedup by exact/cross/containment/simhash64,
+# ANN by knn_brute/knn_ivf/knn_join_emb, relational by the
+# join/window/setop/rollup rows).
+_SENTINELS = {}
+
+_PROVEN = {
+    # ---- window boundary: slots above re-attest in r11. ----
+    # The r12 drain head, pre-declared, is the 17
+    # youngest r9-attested rows below (oldest-first), then the oldest
+    # r10 rows. RULE (rotation invariant): any entry whose PLAN
+    # changes behind the window — an operator edit that alters the
+    # physical plan even with bit-identical results — must re-enter
+    # _GATE_FRONT the round the change lands, ahead of the staleness
+    # drain; with 115 queries in a 50-slot window the steady-state
+    # staleness floor is 2 rounds, and it holds iff each round drains
+    # its pre-declared head. ----
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    "stream_decontam_docs": stream_decontam_docs,
+    "shuffle_shards": shuffle_shards_q,
+    "q4_tweets_end_to_end": q4_tweets_end_to_end,
+    "q4_words_by_source": q4_words_by_source,
+    "q5_words_by_lang": q5_words_by_lang,
+    "q4_emoji_by_user_synth": q4_emoji_by_user_synth,
+    "q6_words_by_lang_excl": q6_words_by_lang_excl,
+    "q6_word_search_by_lang": q6_word_search_by_lang,
+    "q5_tweets_categories": q5_tweets_categories,
+    "q6_tweets_geo": q6_tweets_geo,
+    "q1_top_words": q1_top_words,
+    "text_langid": text_langid_q,
+    "text_quality": text_quality_q,
+    "text_token_stats": text_token_stats_q,
+    "text_fingerprint": text_fingerprint_q,
+    # ---- driver-attested green in r10 (CORRECTNESS_r10 window),
+    # oldest-first for the r12+ rotation ----
+    "knn_join_emb_ivf": knn_join_emb_ivf_q,
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
     "vocab_top_tokens": vocab_top_tokens_q,
@@ -4614,12 +4765,6 @@ _GATE_FRONT = {
     "tfidf_top_terms": tfidf_top_terms_q,
     "inverted_index": inverted_index_q,
     "tpch_q5_local_supply": tpch_q5_local_supply,
-    # ---- r8 drain (oldest-first): the 31 oldest r8-attested rows fill
-    # the window to exactly 50; the 16 youngest r8 rows
-    # (stream_stream_join_events ... q2_stream_top_words, listed at the
-    # top of _PROVEN) are the r11 drain head — with 114 queries in a
-    # 50-slot window, staleness <= 2 is the rotation's steady-state
-    # floor, and it holds iff each round drains its head. ----
     "stream_sessionize_stateful_demo": stream_sessionize_stateful_demo,
     "dedup_minhash_pairs": dedup_minhash_pairs_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
@@ -4651,97 +4796,6 @@ _GATE_FRONT = {
     "asof_join_events": asof_join_events,
     "range_join_events": range_join_events,
     "sessionize_events": sessionize_events,
-}
-
-# r10 keeps the standing sentinel-block suspension: 1 new + 2 reshaped
-# + the full 16-row r7 drain head + 31 r8 rows fill the window exactly
-# (1 + 2 + 16 + 31 = 50), and every operator class a sentinel would
-# re-attest is represented (emoji kernel by q1_kernel_equiv and
-# pii/repetition text rows, events by funnel/cohort/salted/asof/range/
-# sessionize, streaming by stream_pii_redact/stream_quality_docs/
-# stream_sessionize_stateful_demo, dedup by the minhash/ngram/clusters/
-# keep_best/containment family, ANN by knn_wta/knn_lsh and the gated
-# IVF join, multimodal by all four multimodal rows).
-_SENTINELS = {}
-
-_PROVEN = {
-    # ---- window boundary: slots above re-attest in r10. ----
-    # The r11 drain head, pre-declared, is (a) the 16 r8-attested
-    # leftovers below (youngest r8 rows, oldest-first), PLUS (b) the
-    # seven r9-green entries whose plans the r10 norm-carrying edit
-    # (cosine_with_norms — results bit-identical, every one re-driven
-    # against its DuckDB oracle at sf0.01 in-session and covered by
-    # the every-round sf0.001 parity suite) changed behind the window:
-    # knn_ivf, knn_ivf_tree, stream_knn_ivf, dedup_embedding,
-    # dedup_embedding_cross, dedup_embedding_hyperplane, knn_join_emb.
-    # (knn_brute's plan also changed; it is already in the head below.)
-    # ----
-    "stream_stream_join_events": stream_stream_join_events,
-    "stream_dedup_events": stream_dedup_events,
-    "dedup_exact": dedup_exact_q,
-    "knn_brute": knn_brute_q,
-    "q1_rare_words": q1_rare_words,
-    "q1_word_search": q1_word_search,
-    "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
-    "q3_ratio_synth": q3_ratio_synth,
-    "q3_corpus_counts": q3_corpus_counts,
-    "q7_events_late": q7_events_late,
-    "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
-    "stream_windowed_events": stream_windowed_events,
-    "decontam_docs": decontam_docs_q,
-    "q1_top_emojis": q1_top_emojis,
-    "q7_events_early": q7_events_early,
-    "q2_stream_top_words": q2_stream_top_words,
-    # ---- driver-attested green in r9 (CORRECTNESS_r09 window),
-    # oldest-first for the r11+ rotation ----
-    "stream_decontam_join": stream_decontam_join,
-    "stream_knn_ivf": stream_knn_ivf,
-    "dedup_cross_pairs": dedup_cross_pairs_q,
-    "dedup_containment_cross": dedup_containment_cross_q,
-    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
-    "knn_ivf": knn_ivf_q,
-    "knn_ivf_tree": knn_ivf_tree_q,
-    "dedup_embedding": dedup_embedding_q,
-    "dedup_embedding_cross": dedup_embedding_cross_q,
-    "knn_join_emb": knn_join_emb_q,
-    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
-    "word_position_counts": word_position_counts,
-    "setop_intersect": setop_intersect,
-    "setop_except": setop_except,
-    "rollup_doc_counts": rollup_doc_counts,
-    "cube_doc_counts": cube_doc_counts,
-    "pivot_events_by_day": pivot_events_by_day,
-    "events_json_props": events_json_props,
-    "window_running_value": window_running_value,
-    "event_value_percentiles": event_value_percentiles,
-    "tpch_q1_pricing": tpch_q1_pricing,
-    "tpch_q3_topk": tpch_q3_topk,
-    "join_revenue_by_nation": join_revenue_by_nation,
-    "window_top_customer_per_nation": window_top_customer_per_nation,
-    "events_partitioned_prune": events_partitioned_prune,
-    "events_partitioned_dpp": events_partitioned_dpp,
-    "event_value_percentiles_sketch": event_value_percentiles_sketch,
-    "bucketed_join_events": bucketed_join_events,
-    "event_distinct_users_sketch": event_distinct_users_sketch,
-    "event_top_users_sketch": event_top_users_sketch,
-    "stream_sessionize_native": stream_sessionize_native,
-    "dedup_simhash": dedup_simhash_q,
-    "dedup_simhash_pairs": dedup_simhash_pairs_q,
-    "stream_decontam_docs": stream_decontam_docs,
-    "shuffle_shards": shuffle_shards_q,
-    "q4_tweets_end_to_end": q4_tweets_end_to_end,
-    "q4_words_by_source": q4_words_by_source,
-    "q5_words_by_lang": q5_words_by_lang,
-    "q4_emoji_by_user_synth": q4_emoji_by_user_synth,
-    "q6_words_by_lang_excl": q6_words_by_lang_excl,
-    "q6_word_search_by_lang": q6_word_search_by_lang,
-    "q5_tweets_categories": q5_tweets_categories,
-    "q6_tweets_geo": q6_tweets_geo,
-    "q1_top_words": q1_top_words,
-    "text_langid": text_langid_q,
-    "text_quality": text_quality_q,
-    "text_token_stats": text_token_stats_q,
-    "text_fingerprint": text_fingerprint_q,
 }
 
 QUERIES = {**_GATE_FRONT, **_SENTINELS, **_PROVEN}
