@@ -2976,12 +2976,13 @@ def stream_dedup_near_docs(spark, sf):
     fresh per call and reaped at process exit.
 
     r10: ``store_buckets=32`` — the gate drives the band-partitioned
-    store layout (explicit literal-IN partition pruning on ``_bkt``;
-    VERDICT r9 #3), a pure layout change whose keeper set is pinned
-    equal to the flat drive's by the banded keeper-parity test; the
-    oracle is unchanged because the results are. r11: the banded
-    layout also id-buckets the payload (``_pbkt``) so the Jaccard
-    verify prunes to the candidates' buckets, and the store layout is
+    store layout (VERDICT r9 #3), a pure layout change whose keeper
+    set is pinned equal to the flat drive's by the banded
+    keeper-parity test; the oracle is unchanged because the results
+    are. r11: the layout went bucket-major (``_bkt=K/batch_id=N``,
+    dynamic partition overwrite, direct-path touched-subtree probes),
+    the payload is id-bucketed (``_pbkt``) so the Jaccard verify reads
+    only the candidates' buckets, and the store layout is
     marker-enforced (``_layout.json``) — still a pure layout change."""
     import atexit
     import shutil

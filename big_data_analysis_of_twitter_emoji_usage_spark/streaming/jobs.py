@@ -554,6 +554,37 @@ def _enforce_store_layout(
     write_store_layout_marker(store_dir, kind, store_buckets)
 
 
+def _read_bucket_subtrees(
+    spark: SparkSession, root: str, bucket_col: str, buckets: list
+) -> DataFrame | None:
+    """Direct-path read of ONLY the touched bucket partitions of a
+    bucket-major store (``<root>/<bucket_col>=K/batch_id=N/...``):
+    existence is checked per bucket through the Hadoop FS (≤
+    ``len(buckets)`` RPCs, bounded by ``store_buckets``), then Spark's
+    file index lists just the touched subtrees. This is the layout's
+    whole point: partition PRUNING (filter/INSET on a batch-major
+    layout) avoids reading untouched dirs but still pays a full
+    InMemoryFileIndex discovery of every partition dir per
+    ``spark.read`` — measured ~7 s per read at B=4096 on this host,
+    more than the pruned scan itself (r11, SCALE.md), and a per-trigger
+    O(B·batches) prefix listing on an object store. Bucket-major
+    direct paths make probe cost proportional to the TOUCHED buckets
+    only. Returns None when no touched bucket dir exists yet (e.g. a
+    zero-row first batch)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, root)
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    paths = [
+        p
+        for p in (f"{root}/{bucket_col}={k}" for k in buckets)
+        if fs.exists(jpath(p))
+    ]
+    if not paths:
+        return None
+    return spark.read.option("basePath", root).parquet(*paths)
+
+
 def stream_near_dedup_minhash(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -604,38 +635,43 @@ def stream_near_dedup_minhash(
     once, at arrival. The sum over triggers is O(total × history/batch)
     scan work with the flat layout — the intrinsic cost of exact dedup
     against full history when every trigger re-bands the whole store.
-    ``store_buckets`` (r10, VERDICT r9 #3) is the band-partitioned
+    ``store_buckets`` (r10, bucket-major since r11) is the banded
     layout that removes it: when set, each batch's band rows are ALSO
-    landed pre-banded at ``<store_dir>_bands/batch_id=N/_bkt=K`` where
-    ``_bkt = pmod(xxhash64(band, sig), store_buckets)``, and the probe
-    reads the banded store pruned to the batch's buckets — an explicit
-    literal ``IN`` on the ``_bkt`` PARTITION column (plan-pinned in
-    the scan's PartitionFilters; one bounded driver-side collect of
-    ≤ store_buckets ints per trigger — NOT DPP, whose benefit
-    heuristic measurably declines to plant at large bucket counts) —
-    so untouched bucket directories are never read, and history is
+    landed pre-banded at ``<store_dir>_bands/_bkt=K/batch_id=N`` where
+    ``_bkt = pmod(xxhash64(band, sig), store_buckets)``, landed via
+    DYNAMIC partition overwrite (a checkpoint replay rewrites exactly
+    its own (bucket, batch) leaves — exactly-once at the file level),
+    and the probe reads ONLY the touched bucket subtrees by direct
+    path (``_read_bucket_subtrees``; one bounded driver-side collect
+    of ≤ store_buckets bucket ids + ≤ store_buckets FS existence
+    checks per trigger). Untouched bucket directories are never read
+    — and, since r11, never even LISTED: the r10 batch-major layout
+    (``batch_id=N/_bkt=K`` + literal-IN partition pruning) skipped the
+    untouched dirs' bytes but still paid a full file-index discovery
+    of every partition dir per read, measured at ~7 s per read at
+    B=4096 on this host — more than the pruned scan itself — and an
+    O(B·batches) prefix listing on an object store (SCALE.md r11;
+    literal IN rather than DPP because DPP's benefit heuristic was
+    measured declining to plant at that bucket count). History is
     never re-banded (the flat probe re-derives band rows from the h*
     columns every trigger; the banded store pays that once at
-    arrival). The pruning arithmetic is honest (r10 decade curve in
-    SCALE.md): probe cost ≈ c·store_buckets (listing + per-file open)
-    + coverage(m, store_buckets) × history-read where a batch with
-    ``m`` band rows touches ≤ m buckets — CONSTANT-in-history at large
-    ``store_buckets`` (measured flat across 50k→5M-doc stores) where
-    the flat layout's probe grows linearly, with the crossover on
-    local[32] in the tens-of-millions-of-docs history range. The win
-    is real exactly in the trickle regime (small frequent batches
-    against deep history); a batch with m ≫ store_buckets covers every
-    bucket and degrades to the flat scan cost plus the constant. Size
-    ``store_buckets`` ≈ 5–10× the per-trigger band-row count.
+    arrival). Probe cost ≈ coverage(m, store_buckets) × (listing +
+    history-read) where a batch with ``m`` band rows touches ≤ m
+    buckets — constant-in-history in the trickle regime (small
+    frequent batches against deep history); a batch with m ≫
+    store_buckets covers every bucket and degrades to the flat scan
+    cost. Size ``store_buckets`` ≈ 5–10× the per-trigger band-row
+    count.
 
     The banded layout also ID-BUCKETS THE PAYLOAD (r11): signature
-    rows land under ``store_dir/batch_id=N/_pbkt=K`` with ``_pbkt =
+    rows land under ``store_dir/_pbkt=K/batch_id=N`` with ``_pbkt =
     pmod(xxhash64(id), store_buckets)``, and the exact-Jaccard verify
-    reads only the candidate ids' buckets (same literal-IN partition
-    pruning as the band probe) — without it every trigger scanned the
+    reads only the candidate ids' bucket subtrees (same direct-path
+    idiom as the band probe) — without it every trigger scanned the
     full history's ``shingles`` column (the store's widest) for a
     handful of candidates, an O(history)-per-trigger term the banded
-    band probe alone did not remove (VERDICT r10).
+    band probe alone did not remove (VERDICT r10; measured 6×+ and
+    growing at the 5M-doc decade, SCALE.md).
 
     The layout is a STORE-LIFETIME contract like the signature space:
     resuming a store written flat with ``store_buckets`` set (or
@@ -647,10 +683,11 @@ def stream_near_dedup_minhash(
     exactly like re-bucketing. Maintenance loop:
     ``compact_partitioned_parquet`` on BOTH dirs (both accumulate
     per-trigger leaf files; compaction walks the nested
-    ``batch_id=N/_bkt=K`` / ``_pbkt=K`` leaves). ``max_bucket`` is
-    deliberately NOT offered: bucket occupancy would be counted
-    per-probe, not corpus-globally, silently diverging from the batch
-    operator it mirrors.
+    ``_bkt=K/batch_id=N`` / ``_pbkt=K/batch_id=N`` leaves — and keeps
+    the touched-subtree listing small as history deepens).
+    ``max_bucket`` is deliberately NOT offered: bucket occupancy would
+    be counted per-probe, not corpus-globally, silently diverging from
+    the batch operator it mirrors.
 
     Returns the drained keeper rows (original stream columns) as a
     batch DataFrame over ``out_dir``.
@@ -675,154 +712,153 @@ def stream_near_dedup_minhash(
         state = build_minhash_store(
             bdf, text_col, id_col, k, num_hashes, unit
         )
-        # one compute of the shingle/signature kernel per batch; the
-        # probe and verify below re-READ it columnar instead of
-        # re-executing the subtree (SCALE.md execution caveat)
         if store_buckets is None:
+            # flat layout: one compute of the shingle/signature kernel
+            # per batch; the probe and verify below re-READ it columnar
+            # instead of re-executing the subtree (SCALE.md execution
+            # caveat). <= bid: replays must not see a later batch's
+            # state (none can exist in normal operation — out_dir lands
+            # after store — but the filter makes the replay read-set
+            # explicit and exact).
             state.write.mode("overwrite").parquet(
                 f"{store_dir}/batch_id={bid}"
             )
-        else:
-            # id-bucketed payload landing (r11): the verify stage reads
-            # the store's WIDEST column (shingles) for a handful of
-            # candidate ids — landing the rows under _pbkt =
-            # pmod(xxhash64(id), store_buckets) partition dirs lets the
-            # verify prune to the candidates' buckets instead of
-            # scanning the whole history's payload every trigger (the
-            # band probe got this treatment in r10; this is the same
-            # lever on the verify axis)
-            state.withColumn(
-                "_pbkt",
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
-            ).write.mode("overwrite").partitionBy("_pbkt").parquet(
-                f"{store_dir}/batch_id={bid}"
-            )
-        # <= bid: replays must not see a later batch's state (none can
-        # exist in normal operation — out_dir lands after store — but
-        # the filter makes the replay read-set explicit and exact)
-        try:
             store = spark.read.parquet(store_dir).filter(
                 F.col("batch_id") <= F.lit(bid)
             )
-        except AnalysisException as exc:
-            if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
-                raise
-            # banded landing writes NO part files for a zero-row batch;
-            # if every batch so far (incl. this one) was empty, the
-            # store has no schema to infer — and nothing to dedup
-            write_batch_idempotent(bdf, bid, out_dir)
-            return
-        cur = store.filter(F.col("batch_id") == bid)
-        bands_cur = signature_bands(
-            cur.select(id_col, *hcols), id_col, num_hashes, band_size
-        )
-        if store_buckets is not None:
-            # band-partitioned layout: land the batch's band rows under
-            # batch_id=N/_bkt=K (overwrite = replay-idempotent, and the
-            # bucket of a band row is deterministic so a replay rewrites
-            # the same leaves), then probe the banded store pruned to
-            # the batch's buckets. The pruning is an EXPLICIT literal
-            # IN on the _bkt partition column — a bounded driver-side
-            # collect (≤ store_buckets ints) — rather than relying on
-            # the broadcast join's DPP: the r10 decade measurement
-            # caught DPP's benefit heuristic declining to plant the
-            # pruning subquery exactly at the production bucket count
-            # (4096), silently degrading to a full scan; the static IN
-            # shows up in the scan's PartitionFilters unconditionally
-            # (plan-pinned).
-            bc = bands_cur.withColumn(
-                "_bkt", F.pmod(F.xxhash64("band", "sig"), F.lit(store_buckets))
+            cur = store.filter(F.col("batch_id") == bid)
+            bands_cur = signature_bands(
+                cur.select(id_col, *hcols), id_col, num_hashes, band_size
             )
-            bc.write.mode("overwrite").partitionBy("_bkt").parquet(
-                f"{bands_dir}/batch_id={bid}"
-            )
-            try:
-                bc = spark.read.parquet(f"{bands_dir}/batch_id={bid}")
-            except AnalysisException as exc:
-                if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
-                    raise
-                # a zero-row micro-batch lands an EMPTY partitioned dir
-                # (partitionBy writes no part files for no rows, so the
-                # re-read has no schema to infer): nothing to dedup,
-                # nothing to probe — land the (empty) keeper set and
-                # return before touching the bands store, which may
-                # also be file-less at this point
-                write_batch_idempotent(bdf, bid, out_dir)
-                return
-            bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
-            bands_seen = spark.read.parquet(bands_dir).filter(
-                (F.col("batch_id") <= F.lit(bid)) & F.col("_bkt").isin(bkts)
-            )
-            join_on = (
-                (F.col("a._bkt") == F.col("b._bkt"))
-                & (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.sig") == F.col("b.sig"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            )
-            bands_probe = F.broadcast(bc)
-        else:
             bands_seen = signature_bands(
                 store.select(id_col, *hcols), id_col, num_hashes, band_size
             )
-            join_on = (
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.sig") == F.col("b.sig"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            cand = (
+                bands_seen.alias("a")
+                .join(
+                    F.broadcast(bands_cur).alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                )
+                .distinct()
             )
-            bands_probe = F.broadcast(bands_cur)
-        cand = (
-            bands_seen.alias("a")
-            .join(bands_probe.alias("b"), join_on)
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
+            pairs = verify_pairs_jaccard(
+                cand, store.select(id_col, "shingles"), id_col, threshold
             )
-            .distinct()
-        )
-        if store_buckets is None:
-            payload = store.select(id_col, "shingles")
-            pairs = verify_pairs_jaccard(cand, payload, id_col, threshold)
             dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
             write_batch_idempotent(
                 bdf.join(dropped, id_col, "left_anti"), bid, out_dir
             )
-        else:
+            return
+        # Banded (bucket-major) layout: state and band rows land under
+        # <bucket>=K/batch_id=N via DYNAMIC partition overwrite — a
+        # checkpoint replay rewrites exactly its own (bucket, batch)
+        # leaves (the bucket of a row is deterministic), so landings
+        # stay exactly-once at the file level without a batch-major
+        # dir. Probes then read ONLY the touched bucket subtrees by
+        # direct path (_read_bucket_subtrees) — the r10 batch-major
+        # layout pruned the SCAN with a literal IN on _bkt but still
+        # paid a full partition discovery of all ~store_buckets dirs
+        # per read (measured ~7 s at B=4096, dominating the probe;
+        # SCALE.md r11), which bucket-major listing removes. The
+        # per-trigger driver work stays bounded: one collect of the
+        # batch's ≤ store_buckets band buckets, one of the candidates'
+        # ≤ store_buckets payload buckets, and ≤ store_buckets FS
+        # existence checks per probe.
+        state = state.persist()
+        state.withColumn(
+            "_pbkt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
+        ).withColumn("batch_id", F.lit(bid)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_pbkt", "batch_id").parquet(store_dir)
+        bc = (
+            signature_bands(
+                state.select(id_col, *hcols), id_col, num_hashes, band_size
+            )
+            .withColumn(
+                "_bkt", F.pmod(F.xxhash64("band", "sig"), F.lit(store_buckets))
+            )
+            .persist()
+        )
+        cand = None
+        try:
+            bc.withColumn("batch_id", F.lit(bid)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "_bkt", "batch_id"
+            ).parquet(bands_dir)
+            bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
+            bands_seen = _read_bucket_subtrees(spark, bands_dir, "_bkt", bkts)
+            if bands_seen is None:
+                # zero-row micro-batch: nothing landed, nothing to dedup
+                write_batch_idempotent(bdf, bid, out_dir)
+                return
+            cand = (
+                bands_seen.filter(F.col("batch_id") <= F.lit(bid))
+                .alias("a")
+                .join(
+                    F.broadcast(bc).alias("b"),
+                    (F.col("a._bkt") == F.col("b._bkt"))
+                    & (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                )
+                .distinct()
+                .persist()
+            )
             # verify pruned to the candidates' payload buckets (r11):
-            # the same bounded driver-side literal-IN idiom as the band
-            # probe (≤ store_buckets ints; the partition filter shows
-            # up in the scan's PartitionFilters unconditionally). cand
-            # is persisted so the bucket collect and the verify join
-            # share one execution of the band-probe subtree.
-            cand = cand.persist()
-            try:
-                pbkts = [
-                    r[0]
-                    for r in cand.select(
-                        F.explode(F.array("id_a", "id_b")).alias("_i")
+            # the exact-Jaccard verify reads the store's WIDEST column
+            # (shingles) for a handful of candidate ids — the pruned
+            # direct-path read touches only their buckets instead of
+            # scanning (or even listing) the whole history's payload.
+            # cand is persisted so the bucket collect and the verify
+            # join share one execution of the band-probe subtree.
+            pbkts = [
+                r[0]
+                for r in cand.select(
+                    F.explode(F.array("id_a", "id_b")).alias("_i")
+                )
+                .select(
+                    F.pmod(F.xxhash64("_i"), F.lit(store_buckets)).alias(
+                        "_pbkt"
                     )
-                    .select(
-                        F.pmod(
-                            F.xxhash64("_i"), F.lit(store_buckets)
-                        ).alias("_pbkt")
-                    )
-                    .distinct()
-                    .collect()
-                ]
-                if pbkts:
-                    payload = store.filter(
-                        F.col("_pbkt").isin(pbkts)
-                    ).select(id_col, "shingles")
-                    pairs = verify_pairs_jaccard(
-                        cand, payload, id_col, threshold
-                    )
-                    dropped = pairs.select(
-                        F.col("id_b").alias(id_col)
-                    ).distinct()
-                    keep = bdf.join(dropped, id_col, "left_anti")
-                else:
-                    keep = bdf
-                write_batch_idempotent(keep, bid, out_dir)
-            finally:
+                )
+                .distinct()
+                .collect()
+            ]
+            payload = (
+                _read_bucket_subtrees(spark, store_dir, "_pbkt", pbkts)
+                if pbkts
+                else None
+            )
+            if payload is None:
+                keep = bdf
+            else:
+                payload = payload.filter(
+                    F.col("batch_id") <= F.lit(bid)
+                ).select(id_col, "shingles")
+                pairs = verify_pairs_jaccard(
+                    cand, payload, id_col, threshold
+                )
+                dropped = pairs.select(
+                    F.col("id_b").alias(id_col)
+                ).distinct()
+                keep = bdf.join(dropped, id_col, "left_anti")
+            write_batch_idempotent(keep, bid, out_dir)
+        finally:
+            state.unpersist()
+            bc.unpersist()
+            if cand is not None:
                 cand.unpersist()
 
     query = (
@@ -886,25 +922,26 @@ def stream_near_dedup_embedding(
     against the BROADCAST batch — O(total × history/batch) total scan
     work with the flat layout. ``store_buckets`` (r10) is the same
     band-partitioned lever as the MinHash twin's: (table, bucket) rows
-    land pre-banded at ``<store_dir>_bands/batch_id=N/_bkt=K``
-    (``_bkt = pmod(xxhash64(_t, _b), store_buckets)``) and the probe
-    prunes every bucket dir the batch doesn't touch via an explicit
-    literal ``IN`` on the ``_bkt`` partition column — a bounded
-    driver-side collect of ≤ ``store_buckets`` ints, NOT DPP, whose
-    benefit heuristic was measured declining to plant the pruning
-    subquery at production bucket counts (see the MinHash twin). The
-    banded layout also id-buckets the payload (r11): store rows land
-    under ``batch_id=N/_pbkt=K`` with ``_pbkt = pmod(xxhash64(id),
+    land pre-banded at ``<store_dir>_bands/_bkt=K/batch_id=N``
+    (``_bkt = pmod(xxhash64(_t, _b), store_buckets)``, dynamic
+    partition overwrite for replay idempotence) and the probe reads
+    ONLY the touched bucket subtrees by direct path — never listing,
+    let alone reading, the untouched dirs (bucket-major since r11; the
+    batch-major r10 layout's literal-IN pruning still paid a full
+    ~store_buckets-dir discovery per read — see the MinHash twin for
+    the measurements and why DPP was rejected). The banded layout also
+    id-buckets the payload (r11): store rows land under
+    ``_pbkt=K/batch_id=N`` with ``_pbkt = pmod(xxhash64(id),
     store_buckets)`` and the cosine verify reads only the candidate
-    ids' buckets (plus the stored per-vector self-norm ``_n``, so no
-    per-trigger whole-history norm recompute). The win is real in the
-    trickle regime (per-trigger band rows ≪ ``store_buckets``), and
-    the layout is a store-lifetime contract like ``bits``, enforced by
-    the ``<store_dir>/_layout.json`` marker (the drive refuses a
-    mismatched or unmarked resume; never flip layout or bucket count
-    mid-store). Maintenance loop:
+    ids' bucket subtrees (plus the stored per-vector self-norm ``_n``,
+    so no per-trigger whole-history norm recompute). The win is real
+    in the trickle regime (per-trigger band rows ≪ ``store_buckets``),
+    and the layout is a store-lifetime contract like ``bits``,
+    enforced by the ``<store_dir>/_layout.json`` marker (the drive
+    refuses a mismatched or unmarked resume; never flip layout or
+    bucket count mid-store). Maintenance loop:
     ``sources.writers.compact_partitioned_parquet`` on both dirs
-    between triggers (the stores are batch_id-partitioned, so the flat
+    between triggers (the stores are partition-nested, so the flat
     ``compact_parquet_dir`` would find no top-level files and no-op).
 
     Returns the drained keeper rows (original stream columns) over
@@ -941,99 +978,98 @@ def stream_near_dedup_embedding(
         # (similarity.embedding_near_dup_against_store probes either)
         state = build_signbucket_store(bdf, id_col, vec_col, bits, tables)
         if store_buckets is None:
+            # flat layout (see the MinHash twin for the replay filter)
             state.write.mode("overwrite").parquet(
                 f"{store_dir}/batch_id={bid}"
             )
-        else:
-            # id-bucketed payload landing (r11, see the MinHash twin):
-            # the verify reads the store's vector column for a handful
-            # of candidate ids — _pbkt partition dirs let it prune to
-            # the candidates' buckets instead of scanning all history
-            state.withColumn(
-                "_pbkt",
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
-            ).write.mode("overwrite").partitionBy("_pbkt").parquet(
-                f"{store_dir}/batch_id={bid}"
-            )
-        try:
             store = spark.read.parquet(store_dir).filter(
                 F.col("batch_id") <= F.lit(bid)
             )
-        except AnalysisException as exc:
-            if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
-                raise
-            # banded landing writes no part files for a zero-row batch;
-            # an all-empty store has no schema — and nothing to dedup
-            write_batch_idempotent(bdf, bid, out_dir)
+            cur = store.filter(F.col("batch_id") == bid)
+            bands_cur = _bands(cur.select(id_col, *bcols))
+            cand = (
+                _bands(store.select(id_col, *bcols))
+                .alias("a")
+                .join(
+                    F.broadcast(bands_cur).alias("b"),
+                    (F.col("a._t") == F.col("b._t"))
+                    & (F.col("a._b") == F.col("b._b"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                )
+                .distinct()
+            )
+            # stored self-norm (r11 store schema; build_signbucket_store
+            # lands _n at arrival) — recomputing _dot(_v,_v) here was
+            # one interpreted-HOF pass over the ENTIRE accumulated
+            # store per trigger (VERDICT r10 #1). Fallback compute for
+            # seeded stores predating the column.
+            _nexpr = (
+                F.col("_n")
+                if "_n" in store.columns
+                else _dot(F.col("_v"), F.col("_v"))
+            )
+            vecs = store.select(F.col(id_col), F.col("_v"), _nexpr.alias("_n"))
+            dropped = _cosine_dropped(cand, vecs)
+            write_batch_idempotent(
+                bdf.join(dropped, id_col, "left_anti"), bid, out_dir
+            )
             return
-        cur = store.filter(F.col("batch_id") == bid)
-        bands_cur = _bands(cur.select(id_col, *bcols))
-        if store_buckets is not None:
-            # band-partitioned layout (see the MinHash twin, incl. why
-            # the pruning is an explicit literal IN on the _bkt
-            # partition column rather than DPP)
-            bc = bands_cur.withColumn(
+        # Banded (bucket-major) layout — same shape as the MinHash
+        # twin: dynamic-partition-overwrite landings under
+        # <bucket>=K/batch_id=N, probes by direct path over the touched
+        # bucket subtrees only (_read_bucket_subtrees; the batch-major
+        # r10 layout paid a full ~store_buckets-dir discovery per read).
+        state = state.persist()
+        state.withColumn(
+            "_pbkt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
+        ).withColumn("batch_id", F.lit(bid)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_pbkt", "batch_id").parquet(store_dir)
+        bc = (
+            _bands(state.select(id_col, *bcols))
+            .withColumn(
                 "_bkt", F.pmod(F.xxhash64("_t", "_b"), F.lit(store_buckets))
             )
-            bc.write.mode("overwrite").partitionBy("_bkt").parquet(
-                f"{bands_dir}/batch_id={bid}"
-            )
-            try:
-                bc = spark.read.parquet(f"{bands_dir}/batch_id={bid}")
-            except AnalysisException as exc:
-                if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
-                    raise
-                # zero-row micro-batch: empty partitioned dir has no
-                # schema to infer (see the MinHash twin) — land the
-                # empty keeper set and return
+            .persist()
+        )
+        cand = None
+        try:
+            bc.withColumn("batch_id", F.lit(bid)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "_bkt", "batch_id"
+            ).parquet(bands_dir)
+            bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
+            bands_seen = _read_bucket_subtrees(spark, bands_dir, "_bkt", bkts)
+            if bands_seen is None:
+                # zero-row micro-batch: nothing landed, nothing to dedup
                 write_batch_idempotent(bdf, bid, out_dir)
                 return
-            bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
-            bands_seen = spark.read.parquet(bands_dir).filter(
-                (F.col("batch_id") <= F.lit(bid)) & F.col("_bkt").isin(bkts)
+            cand = (
+                bands_seen.filter(F.col("batch_id") <= F.lit(bid))
+                .alias("a")
+                .join(
+                    F.broadcast(bc).alias("b"),
+                    (F.col("a._bkt") == F.col("b._bkt"))
+                    & (F.col("a._t") == F.col("b._t"))
+                    & (F.col("a._b") == F.col("b._b"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+                .select(
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                )
+                .distinct()
+                .persist()
             )
-            join_on = (
-                (F.col("a._bkt") == F.col("b._bkt"))
-                & (F.col("a._t") == F.col("b._t"))
-                & (F.col("a._b") == F.col("b._b"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            )
-            bands_probe = F.broadcast(bc)
-        else:
-            bands_seen = _bands(store.select(id_col, *bcols))
-            join_on = (
-                (F.col("a._t") == F.col("b._t"))
-                & (F.col("a._b") == F.col("b._b"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            )
-            bands_probe = F.broadcast(bands_cur)
-        cand = (
-            bands_seen.alias("a")
-            .join(bands_probe.alias("b"), join_on)
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .distinct()
-        )
-        # stored self-norm (r11 store schema; build_signbucket_store
-        # lands _n at arrival) — recomputing _dot(_v,_v) here was one
-        # interpreted-HOF pass over the ENTIRE accumulated store per
-        # trigger, exactly the tax the norm-carrying rewrite removed
-        # from the batch probes (VERDICT r10 #1). Fallback compute for
-        # seeded stores predating the column.
-        _nexpr = (
-            F.col("_n")
-            if "_n" in store.columns
-            else _dot(F.col("_v"), F.col("_v"))
-        )
-        vec_src = store
-        if store_buckets is not None:
-            # verify pruned to the candidates' payload buckets — same
-            # bounded literal-IN idiom as the band probe; cand is
-            # persisted so the bucket collect and the verify join share
-            # one execution of the band-probe subtree
-            cand = cand.persist()
+            # cosine verify over the candidates' payload buckets only,
+            # reading the STORED self-norm _n (r11): no per-trigger
+            # whole-history vector scan and no per-row norm recompute
             pbkts = [
                 r[0]
                 for r in cand.select(
@@ -1047,17 +1083,36 @@ def stream_near_dedup_embedding(
                 .distinct()
                 .collect()
             ]
-            if not pbkts:
-                write_batch_idempotent(bdf, bid, out_dir)
+            payload = (
+                _read_bucket_subtrees(spark, store_dir, "_pbkt", pbkts)
+                if pbkts
+                else None
+            )
+            if payload is None:
+                keep = bdf
+            else:
+                payload = payload.filter(F.col("batch_id") <= F.lit(bid))
+                _nexpr = (
+                    F.col("_n")
+                    if "_n" in payload.columns
+                    else _dot(F.col("_v"), F.col("_v"))
+                )
+                vecs = payload.select(
+                    F.col(id_col), F.col("_v"), _nexpr.alias("_n")
+                )
+                dropped = _cosine_dropped(cand, vecs)
+                keep = bdf.join(dropped, id_col, "left_anti")
+            write_batch_idempotent(keep, bid, out_dir)
+        finally:
+            state.unpersist()
+            bc.unpersist()
+            if cand is not None:
                 cand.unpersist()
-                return
-            vec_src = store.filter(F.col("_pbkt").isin(pbkts))
-        vecs = vec_src.select(
-            F.col(id_col),
-            F.col("_v"),
-            _nexpr.alias("_n"),
-        )
-        dropped = (
+
+    def _cosine_dropped(cand: DataFrame, vecs: DataFrame) -> DataFrame:
+        """ids of candidates whose exact cosine meets the threshold —
+        per-side stored/derived norms, never per-pair recompute."""
+        return (
             cand.join(
                 vecs.select(
                     F.col(id_col).alias("id_a"),
@@ -1083,11 +1138,6 @@ def stream_near_dedup_embedding(
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )
-        write_batch_idempotent(
-            bdf.join(dropped, id_col, "left_anti"), bid, out_dir
-        )
-        if store_buckets is not None:
-            cand.unpersist()
 
     query = (
         stream_df.writeStream.foreachBatch(_dedup_batch)

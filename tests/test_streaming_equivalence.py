@@ -554,10 +554,12 @@ def test_stream_near_dedup_banded_store_matches_batch_keepers(
     """VERDICT r9 #3: the band-partitioned store layout
     (store_buckets) must be a pure layout change — the banded drive's
     keeper set equals the flat drive's (== the batch rule, pinned by
-    the sibling test), the bands dir holds one batch_id=N/_bkt=K tree
-    per trigger, and the probe shape it enables is explicit literal-IN
-    partition pruning on _bkt (plan pinned below on the drive's own
-    store; NOT DPP — see the operator docstring for why)."""
+    the sibling test), the bands dir is bucket-major
+    (_bkt=K top level, one batch_id=N leaf per trigger inside, via
+    dynamic partition overwrite), and the probe shape it enables is a
+    direct-path read of the touched bucket subtrees only (pinned below
+    on the drive's own store; see the operator docstring for why
+    neither DPP nor literal-IN pruning is enough)."""
     from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
@@ -594,33 +596,37 @@ def test_stream_near_dedup_banded_store_matches_batch_keepers(
     want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
     assert rows(got) == rows(want)
     assert 0 < dropped.count()
-    # layout: per-trigger batch_id dirs, _bkt leaf dirs inside
+    # bucket-major layout (r11): _bkt=K top-level dirs, per-trigger
+    # batch_id=N leaves inside (dynamic partition overwrite) — every
+    # one of the 4 triggers landed band rows
     bands_dir = store_dir + "_bands"
-    batches = sorted(
-        d for d in os.listdir(bands_dir) if d.startswith("batch_id=")
-    )
-    assert len(batches) == 4
-    leaves = os.listdir(os.path.join(bands_dir, batches[0]))
-    assert any(d.startswith("_bkt=") for d in leaves)
+    buckets = [d for d in os.listdir(bands_dir) if d.startswith("_bkt=")]
+    assert buckets
+    bids = set()
+    for b in buckets:
+        bids |= {
+            d
+            for d in os.listdir(os.path.join(bands_dir, b))
+            if d.startswith("batch_id=")
+        }
+    assert bids == {f"batch_id={i}" for i in range(4)}
 
 
-def test_stream_near_dedup_banded_probe_plan_prunes_partitions(
+def test_stream_near_dedup_banded_probe_reads_touched_subtrees_only(
     spark, sf_dir, tmp_path
 ):
-    """The banded probe's whole point: the store scan must carry the
-    batch's bucket list as a static PartitionFilter on _bkt — otherwise
-    the layout exists but every trigger still scans all bucket dirs.
-    Built exactly as the operator builds it (literal IN from the
-    batch's collected buckets — NOT DPP, whose benefit heuristic the
-    r10 decade measurement caught declining to plant at 4096 buckets)
-    over a store a real drive wrote."""
-    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import (
-        signature_bands,
-    )
+    """The bucket-major probe's whole point (r11): the band/payload
+    reads must touch ONLY the requested buckets' subtrees — no file of
+    an untouched bucket may enter the scan's file index (the r10
+    batch-major layout pruned the scan bytes with a literal IN but
+    still paid a full partition discovery of every bucket dir per
+    read). Built exactly as the operator builds it
+    (_read_bucket_subtrees) over a store a real drive wrote."""
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
         _ordered_docs_stream_dir,
     )
     from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        _read_bucket_subtrees,
         stream_near_dedup_minhash,
     )
 
@@ -641,33 +647,26 @@ def test_stream_near_dedup_banded_probe_plan_prunes_partitions(
         threshold=0.2,
         store_buckets=16,
     )
-    hcols = [f"h{i}" for i in range(8)]
-    store = spark.read.parquet(store_dir)
-    bc = signature_bands(
-        store.filter(F.col("batch_id") == 3).select("doc_id", *hcols),
-        "doc_id",
-        8,
-        2,
-    ).withColumn("_bkt", F.pmod(F.xxhash64("band", "sig"), F.lit(16)))
-    bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
-    assert 0 < len(bkts) <= 16
-    bands_seen = spark.read.parquet(store_dir + "_bands").filter(
-        F.col("_bkt").isin(bkts)
+    bands_dir = store_dir + "_bands"
+    existing = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(bands_dir)
+        if d.startswith("_bkt=")
     )
-    probe = bands_seen.alias("a").join(
-        F.broadcast(bc).alias("b"),
-        (F.col("a._bkt") == F.col("b._bkt"))
-        & (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.sig") == F.col("b.sig"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    scan = plan[plan.index("PartitionFilters"):][:400]
-    # Spark renders the literal filter as INSET only above
-    # spark.sql.optimizer.inSetConversionThreshold (default 10); a
-    # batch touching fewer buckets renders as IN (...) — both are the
-    # same static partition filter, so accept either form
-    assert "_bkt" in scan and ("INSET" in scan or "IN (" in scan)
+    assert len(existing) > 2
+    touched = existing[:2]
+    df = _read_bucket_subtrees(spark, bands_dir, "_bkt", touched + [9999])
+    files = df.inputFiles()
+    assert files
+    assert all(
+        any(f"/_bkt={k}/" in f for k in touched) for f in files
+    ), files[:3]
+    # partition columns recovered from the dir structure, batch_id
+    # filterable for the replay read-set
+    assert {"_bkt", "batch_id"} <= set(df.columns)
+    assert df.filter(F.col("batch_id") <= 3).count() == df.count()
+    # a read of NO existing buckets is None (zero-row-batch contract)
+    assert _read_bucket_subtrees(spark, bands_dir, "_bkt", [9999]) is None
 
 
 def test_stream_near_dedup_embedding_banded_matches_batch_keepers(
@@ -724,7 +723,7 @@ def test_stream_near_dedup_banded_store_survives_compaction_between_drives(
 ):
     """Compaction survival extended to the banded layout (VERDICT r9
     #3's last clause): drive half the replay with store_buckets set,
-    compact BOTH stores (the bands dir's nested batch_id=N/_bkt=K
+    compact BOTH stores (the bands dir's nested _bkt=K/batch_id=N
     leaves are walked by compact_partitioned_parquet), resume the same
     checkpoint over the rest — keeper parity must hold."""
     import shutil
@@ -841,18 +840,19 @@ def test_store_layout_marker_enforced(spark, sf_dir, tmp_path):
         drive(store_dir, 3, store_buckets=16)
 
 
-def test_stream_near_dedup_payload_scan_prunes_partitions(
+def test_stream_near_dedup_payload_scan_prunes_to_candidate_buckets(
     spark, sf_dir, tmp_path
 ):
-    """VERDICT r10 #2: the verify stage must not scan the full
-    history's payload column per trigger — under the banded layout the
-    store lands id-bucketed (_pbkt partition dirs) and the verify's
-    payload read carries the candidates' bucket list as a static
-    PartitionFilter, built exactly as the operator builds it."""
+    """VERDICT r10 #2: the verify stage must not scan (or list) the
+    full history's payload column per trigger — under the banded
+    layout the store lands id-bucketed (_pbkt=K/batch_id=N) and the
+    verify's payload read touches only the candidate ids' bucket
+    subtrees, built exactly as the operator builds it."""
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
         _ordered_docs_stream_dir,
     )
     from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        _read_bucket_subtrees,
         stream_near_dedup_minhash,
     )
 
@@ -873,19 +873,23 @@ def test_stream_near_dedup_payload_scan_prunes_partitions(
         threshold=0.2,
         store_buckets=16,
     )
-    # the store landed id-bucketed
-    batch0 = os.path.join(store_dir, "batch_id=0")
-    assert any(d.startswith("_pbkt=") for d in os.listdir(batch0))
-    # the verify's payload read shape: literal IN on _pbkt prunes
-    payload = (
-        spark.read.parquet(store_dir)
-        .filter(F.col("_pbkt").isin([1, 3, 5]))
-        .select("doc_id", "shingles")
+    # the store landed id-bucketed, bucket-major
+    pdirs = [d for d in os.listdir(store_dir) if d.startswith("_pbkt=")]
+    assert pdirs
+    assert any(
+        d.startswith("batch_id=")
+        for d in os.listdir(os.path.join(store_dir, pdirs[0]))
     )
-    plan = payload._jdf.queryExecution().executedPlan().toString()
-    scan = plan[plan.index("PartitionFilters"):][:400]
-    assert "_pbkt" in scan and ("INSET" in scan or "IN (" in scan)
+    # the verify's payload read: direct-path over candidate buckets
+    touched = sorted(int(d.split("=")[1]) for d in pdirs)[:3]
+    payload = _read_bucket_subtrees(spark, store_dir, "_pbkt", touched)
+    files = payload.inputFiles()
+    assert files and all(
+        any(f"/_pbkt={k}/" in f for k in touched) for f in files
+    )
     # and only the shingles payload column is read (column pruning)
+    pruned = payload.select("doc_id", "shingles")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
     rs = plan[plan.index("ReadSchema"):][:200]
     assert "shingles" in rs and "h0" not in rs
 
