@@ -1229,6 +1229,82 @@ def cosine_knn_ivf_probe(
     return _ivf_probe_tail(centroids, postings, q, k, nprobe)
 
 
+def write_ivf_index(
+    centroids: DataFrame,
+    postings: DataFrame,
+    centroids_dir: str,
+    postings_dir: str,
+) -> None:
+    """Persist a ``build_ivf_index`` result in the probe-optimal
+    layout: centroids plain (broadcast-sized), postings LIST-MAJOR —
+    ``postings_dir/_list=K/`` partition dirs with ONE file per list
+    leaf (``repartition("_list")`` before the write; the r10 banded
+    store measurement showed a partitioned landing without it is a
+    file bomb — every task writes into every partition dir). The
+    list-major layout is what ``cosine_knn_ivf_probe_dir`` prunes its
+    listing against; a flat parquet landing works with
+    ``cosine_knn_ivf_probe`` but pays a full postings scan (and full
+    file listing) per probe batch."""
+    centroids.write.mode("overwrite").parquet(centroids_dir)
+    postings.repartition("_list").write.mode("overwrite").partitionBy(
+        "_list"
+    ).parquet(postings_dir)
+
+
+def cosine_knn_ivf_probe_dir(
+    spark,
+    centroids_dir: str,
+    postings_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """``cosine_knn_ivf_probe`` over a ``write_ivf_index``-persisted
+    index, reading ONLY the probed lists' partition subtrees — the
+    production probe shape at the classic ``n_lists ~ sqrt(n)``
+    sizing, where a probe batch touches nprobe·|queries| ≪ n_lists
+    lists and a flat postings read scans (and lists) the entire
+    corpus for every arriving batch. Probe routing runs once over the
+    broadcast centroid relation; the routed list ids are collected
+    driver-side (bounded ≤ n_lists ints — same idiom as the banded
+    dedup stores) and only those ``_list=K`` subtrees enter the file
+    index (``sources.readers.read_partition_subtrees``). Results are
+    identical to the in-memory probe at the same parameters (pinned by
+    ``test_knn_ivf_probe_dir_equals_probe``); a query whose probed
+    lists are all empty contributes no rows, exactly like the
+    in-memory probe."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        read_partition_subtrees,
+    )
+
+    c = spark.read.parquet(centroids_dir)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = _ivf_route_probes(c, q, nprobe).persist()
+    try:
+        lists = [r[0] for r in probes.select("_list").distinct().collect()]
+        e = read_partition_subtrees(spark, postings_dir, "_list", lists)
+        if e is None:
+            empty = _ivf_score_probes(
+                spark.createDataFrame(
+                    [], "neighbor_id long, cv array<double>, _cn double, _list long"
+                ),
+                probes,
+                k,
+            )
+            return spark.createDataFrame([], empty.schema)
+        out = _ivf_score_probes(e, probes, k)
+        # materialize before unpersisting the routed probes (they feed
+        # both the collect above and the scoring join)
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        probes.unpersist()
+
+
 def cosine_knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1320,12 +1396,15 @@ def _ivf_probe_tail(
     """Shared probe tail of ``cosine_knn_ivf`` / ``cosine_knn_ivf_probe``:
     c = centroids (_cid, _cv), e = postings (neighbor_id, cv, _list),
     q = (query_id, qv)."""
-    # nprobe nearest centroids per query → (query, probed list) pairs.
-    # per-side self-norms ahead of the candidate join (bit-identical;
-    # see cosine_with_norms) — the posting side's norm is computed once
-    # per posting row instead of once per (query, posting) candidate,
-    # and _qn is projected BELOW the centroid join so it evaluates once
-    # per query row, not once per (query, centroid) fan-out row (r11).
+    return _ivf_score_probes(e, _ivf_route_probes(c, q, nprobe), k)
+
+
+def _ivf_route_probes(c: DataFrame, q: DataFrame, nprobe: int) -> DataFrame:
+    """Probe routing: each query's ``nprobe`` nearest centroids →
+    (query_id, qv, _qn, _list) rows. _qn is projected BELOW the
+    centroid join so it evaluates once per query row, not once per
+    (query, centroid) fan-out row (r11; the join boundary keeps
+    CollapseProject from inlining it upward)."""
     q = q.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
     q_scored = q.join(F.broadcast(c)).select(
         "query_id",
@@ -1335,11 +1414,19 @@ def _ivf_probe_tail(
         cosine(F.col("qv"), F.col("_cv")).alias("_ccos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("_cid"))
-    probes = (
+    return (
         q_scored.withColumn("_prk", F.row_number().over(wq))
         .filter(F.col("_prk") <= nprobe)
         .select("query_id", "qv", "_qn", F.col("_cid").alias("_list"))
     )
+
+
+def _ivf_score_probes(e: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Score routed probes against the posting lists and take top-k.
+    Per-side self-norms ahead of the candidate join (bit-identical;
+    see cosine_with_norms) — the posting side's norm is computed once
+    per posting row (or read from a stored _cn) instead of once per
+    (query, posting) candidate."""
     e_n = e if "_cn" in e.columns else e.withColumn(
         "_cn", _dot(F.col("cv"), F.col("cv"))
     )

@@ -2524,6 +2524,46 @@ def knn_ivf_q(spark, sf):
     )
 
 
+def knn_ivf_persisted_q(spark, sf):
+    """The persisted-index production loop end-to-end (r11):
+    ``build_ivf_index`` at ``knn_ivf``'s exact operating point, landed
+    list-major by ``write_ivf_index`` (one file per ``_list`` leaf),
+    probed by ``cosine_knn_ivf_probe_dir`` — which reads ONLY the
+    probed lists' partition subtrees (measured 12× probe at 2M
+    vectors / sqrt-rule list count vs the flat-landing probe,
+    SCALE.md r11). Centroid selection is md5-deterministic and the
+    duplicate collapse is layout-independent, so the result equals
+    ``knn_ivf`` exactly and SHARES ITS ORACLE. Scratch dirs fresh per
+    call, reaped at process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_knn_ivf_probe_dir,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="spark_graft_ivf_idx_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    cdir = _os.path.join(scratch, "cent")
+    pdir = _os.path.join(scratch, "post")
+    c, p = build_ivf_index(
+        emb, n_lists=_KNN_IVF_LISTS, replication=_KNN_IVF_REPL
+    )
+    write_ivf_index(c, p, cdir, pdir)
+    return cosine_knn_ivf_probe_dir(
+        spark,
+        cdir,
+        pdir,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        nprobe=_KNN_IVF_NPROBE,
+    )
+
+
 def knn_ivf_tree_q(spark, sf):
     """IVF ANN with the TWO-LEVEL (tree) coarse quantizer: corpus
     vectors route through isqrt(n_lists) super-centroids and score only
@@ -4611,6 +4651,9 @@ ORACLE_SQL: dict[str, str] = {
 # The streaming quality query is the identical stateless projection in
 # append mode — it carries the batch oracle verbatim.
 ORACLE_SQL["stream_quality_docs"] = ORACLE_SQL["text_quality"]
+# the persisted list-major index probe returns knn_ivf's exact result
+# (md5-deterministic centroids, layout-independent duplicate collapse)
+ORACLE_SQL["knn_ivf_persisted"] = ORACLE_SQL["knn_ivf"]
 
 
 # --------------------------------------------------------------------------
@@ -4637,6 +4680,11 @@ _GATE_FRONT = {
     # embedding_near_dup_against_store) — attests the r11 store schema
     # (stored self-norm _n) on the driver gate. ----
     "dedup_emb_store_probe": dedup_emb_store_probe_q,
+    # ---- r11 new surface #2: the list-major persisted IVF index
+    # (write_ivf_index + cosine_knn_ivf_probe_dir — probed-list-only
+    # direct-path reads); shares knn_ivf's oracle (identical result
+    # by construction, pinned by test_knn_ivf_probe_dir_equals_probe).
+    "knn_ivf_persisted": knn_ivf_persisted_q,
     # ---- r11 RESHAPED plans (changed since their r10 rows, so they
     # must re-attest): both streaming near-dedup drives now read the
     # STORED self-norm, land the payload id-bucketed (_pbkt partition
@@ -4677,9 +4725,9 @@ _GATE_FRONT = {
     "q1_top_emojis": q1_top_emojis,
     "q7_events_early": q7_events_early,
     "q2_stream_top_words": q2_stream_top_words,
-    # ---- r9 drain (oldest-first): the 24 oldest remaining
+    # ---- r9 drain (oldest-first): the 23 oldest remaining
     # r9-attested rows fill the window to exactly 50; the
-    # 17 youngest r9 rows (listed at the top of
+    # 18 youngest r9 rows (listed at the top of
     # _PROVEN) plus the oldest r10 rows are the r12 drain head. ----
     "stream_decontam_join": stream_decontam_join,
     "dedup_cross_pairs": dedup_cross_pairs_q,
@@ -4704,12 +4752,11 @@ _GATE_FRONT = {
     "bucketed_join_events": bucketed_join_events,
     "event_distinct_users_sketch": event_distinct_users_sketch,
     "event_top_users_sketch": event_top_users_sketch,
-    "stream_sessionize_native": stream_sessionize_native,
 }
 
-# r11 keeps the standing sentinel-block suspension: 1 new + 2 reshaped
+# r11 keeps the standing sentinel-block suspension: 2 new + 2 reshaped
 # + 7 plan-changed + the full 16-row r8 drain head + 24 r9 rows
-# fill the window exactly (1 + 2 + 7 + 16 + 24 = 50), and every
+# fill the window exactly (2 + 2 + 7 + 16 + 23 = 50), and every
 # operator class a sentinel would re-attest is represented (emoji
 # kernel by q1_emoji_kernel_synth/q1_top_emojis, events by the
 # partitioned/sketch/percentile rows, streaming by
@@ -4721,7 +4768,7 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r11. ----
-    # The r12 drain head, pre-declared, is the 17
+    # The r12 drain head, pre-declared, is the 18
     # youngest r9-attested rows below (oldest-first), then the oldest
     # r10 rows. RULE (rotation invariant): any entry whose PLAN
     # changes behind the window — an operator edit that alters the
@@ -4730,6 +4777,7 @@ _PROVEN = {
     # drain; with 115 queries in a 50-slot window the steady-state
     # staleness floor is 2 rounds, and it holds iff each round drains
     # its pre-declared head. ----
+    "stream_sessionize_native": stream_sessionize_native,
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
     "stream_decontam_docs": stream_decontam_docs,

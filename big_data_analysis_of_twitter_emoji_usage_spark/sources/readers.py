@@ -70,3 +70,37 @@ def stream_tweets(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
+
+
+def read_partition_subtrees(
+    spark: SparkSession, root: str, col: str, keys: list
+) -> DataFrame | None:
+    """Direct-path read of ONLY the requested partition subtrees of a
+    partition-major parquet layout (``<root>/<col>=<key>/...``) — the
+    scale lever behind the banded dedup stores and the persisted IVF
+    postings: Spark's partition PRUNING (a filter or literal IN on the
+    partition column) skips the unmatched partitions' BYTES, but
+    ``spark.read.parquet(root)`` still builds a file index over every
+    partition directory first — measured ~7 s per read at 4096 dirs on
+    this host, more than the pruned scan itself (SCALE.md r11), and an
+    O(dirs) prefix listing per read on an object store. Reading the
+    matched subtrees by direct path (with ``basePath`` so the
+    partition column is still recovered from the dir names) makes
+    listing cost proportional to the TOUCHED partitions only.
+
+    Existence is checked per key through the Hadoop FS (≤ ``len(keys)``
+    RPCs — bound your key set before calling), because a path that
+    matches nothing fails the read. Returns None when no requested
+    subtree exists."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, root)
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    paths = [
+        p
+        for p in (f"{root}/{col}={k}" for k in keys)
+        if fs.exists(jpath(p))
+    ]
+    if not paths:
+        return None
+    return spark.read.option("basePath", root).parquet(*paths)

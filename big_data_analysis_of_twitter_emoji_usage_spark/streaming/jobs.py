@@ -570,19 +570,14 @@ def _read_bucket_subtrees(
     O(B·batches) prefix listing on an object store. Bucket-major
     direct paths make probe cost proportional to the TOUCHED buckets
     only. Returns None when no touched bucket dir exists yet (e.g. a
-    zero-row first batch)."""
-    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
+    zero-row first batch). Thin alias over
+    ``sources.readers.read_partition_subtrees`` (shared with the
+    persisted IVF postings probe)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        read_partition_subtrees,
+    )
 
-    fs, _ = _hadoop_fs(spark, root)
-    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    paths = [
-        p
-        for p in (f"{root}/{bucket_col}={k}" for k in buckets)
-        if fs.exists(jpath(p))
-    ]
-    if not paths:
-        return None
-    return spark.read.option("basePath", root).parquet(*paths)
+    return read_partition_subtrees(spark, root, bucket_col, buckets)
 
 
 def stream_near_dedup_minhash(

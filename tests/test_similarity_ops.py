@@ -4,6 +4,8 @@ reads dims [t*bits, (t+1)*bits), so a vector shorter than offset+bits
 must error loudly instead of silently collapsing into one null-derived
 degenerate bucket."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -548,3 +550,97 @@ def test_knn_join_ivf_probe_equals_inline(spark, tmp_path, sf_dir):
         ).collect()
     )
     assert got == want and len(got) == 750
+
+
+def test_knn_ivf_probe_dir_equals_probe(spark, tmp_path, sf_dir):
+    """The list-major persisted index (r11): write_ivf_index + the
+    direct-path probe must equal the in-memory probe bit-for-bit, the
+    postings must land one file per _list leaf (the file-bomb
+    invariant), and the probe's file index must contain ONLY the
+    probed lists' subtrees — at n_lists ~ sqrt(n) a probe batch
+    touches a small fraction of the lists, and listing the rest per
+    batch is the cost the layout removes."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        _ivf_route_probes,
+        build_ivf_index,
+        cosine_knn_ivf_probe,
+        cosine_knn_ivf_probe_dir,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    c, p = build_ivf_index(emb, n_lists=24, replication=2)
+    cdir, pdir = str(tmp_path / "cent"), str(tmp_path / "post")
+    write_ivf_index(c, p, cdir, pdir)
+
+    # one file per list leaf
+    ldirs = [d for d in os.listdir(pdir) if d.startswith("_list=")]
+    assert ldirs
+    for d in ldirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(pdir, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+
+    got = cosine_knn_ivf_probe_dir(
+        spark, cdir, pdir, queries, k=3, nprobe=4
+    )
+    want = cosine_knn_ivf_probe(
+        spark.read.parquet(cdir), spark.read.parquet(pdir), queries,
+        k=3, nprobe=4,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # the probe's read set: only the probed lists' subtrees
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    probed = {
+        r[0]
+        for r in _ivf_route_probes(spark.read.parquet(cdir), q, 4)
+        .select("_list")
+        .distinct()
+        .collect()
+    }
+    assert len(probed) < len(ldirs)
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        read_partition_subtrees,
+    )
+
+    e = read_partition_subtrees(spark, pdir, "_list", sorted(probed))
+    assert all(
+        any(f"/_list={k}/" in f for k in probed) for f in e.inputFiles()
+    )
+
+
+def test_knn_ivf_probe_dir_empty_lists(spark, tmp_path, sf_dir):
+    """A probe whose routed lists all lack a partition dir (possible
+    on a sparse streamed index) must return an empty result with the
+    probe schema, not fail the read."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_knn_ivf_probe_dir,
+        write_ivf_index,
+    )
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c, p = build_ivf_index(emb, n_lists=8, replication=1)
+    cdir, pdir = str(tmp_path / "cent"), str(tmp_path / "post")
+    write_ivf_index(c, p, cdir, pdir)
+    for d in os.listdir(pdir):
+        if d.startswith("_list="):
+            shutil.rmtree(os.path.join(pdir, d))
+    got = cosine_knn_ivf_probe_dir(
+        spark, cdir, pdir, emb.filter(F.col("vec_id") < 3), k=3, nprobe=2
+    )
+    assert got.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert got.count() == 0
