@@ -3098,7 +3098,12 @@ def stream_knn_ivf(spark, sf):
     ``stream_ivf_index_append`` one file per trigger (every vector,
     seed file included, is assigned to the fixed centroids and lands
     as posting rows), and the accumulated postings are probed with
-    ``cosine_knn_ivf_probe`` at the shipped 24/8×2 operating point.
+    ``cosine_knn_ivf_probe_dir`` at the shipped 24/8×2 operating
+    point. r11: the drive lands LIST-MAJOR (``list_major=True`` —
+    ``_list=K/batch_id=N`` via dynamic partition overwrite, layout
+    marker-enforced) and the probe reads only the probed lists'
+    subtrees, the same write-once/probe-forever loop as
+    ``knn_ivf_persisted`` but with the index MAINTAINED by the stream.
     The oracle re-derives the same thing statically: centroids =
     md5-rank over the first ceil(n/4) vec_ids, replicated assignment
     over ALL vectors, probe/rank tail verbatim from ``knn_ivf``."""
@@ -3124,22 +3129,28 @@ def stream_knn_ivf(spark, sf):
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    postings = stream_ivf_index_append(
+    pdir = _os.path.join(scratch, "post")
+    stream_ivf_index_append(
         spark,
         stream,
         centroids_dir=cdir,
-        postings_dir=_os.path.join(scratch, "post"),
+        postings_dir=pdir,
         checkpoint_dir=_os.path.join(scratch, "ckpt"),
         replication=_KNN_IVF_REPL,
+        list_major=True,
     )
     queries = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
-    return cosine_knn_ivf_probe(
-        spark.read.parquet(cdir),
-        postings,
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        cosine_knn_ivf_probe_dir,
+    )
+
+    return cosine_knn_ivf_probe_dir(
+        spark,
+        cdir,
+        pdir,
         queries,
         k=3,
         nprobe=_KNN_IVF_NPROBE,
-        replication=_KNN_IVF_REPL,
     ).orderBy("query_id", "rank")
 
 

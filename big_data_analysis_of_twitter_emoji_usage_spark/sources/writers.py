@@ -303,3 +303,127 @@ def compact_partitioned_parquet(
         "files_after": sum(s["files_after"] for s in per.values()),
         "per_partition": per,
     }
+
+
+def consolidate_bucket_history(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_batch_dirs: int = 2,
+) -> dict:
+    """History consolidation for bucket-major streaming-store layouts
+    (``<root>/<col>=K/batch_id=N/...`` — the r11 dedup band/payload
+    stores and list-major IVF postings): merge every bucket's
+    ``batch_id=N`` subdirs into ONE (named by the smallest merged id)
+    and coalesce its files to the target size.
+
+    WHY this exists: per-trigger landings add one ``batch_id`` subdir
+    per touched bucket per trigger, so the direct-path probes'
+    touched-subtree listing — the thing the bucket-major layout made
+    proportional to touched buckets — grows again with trigger count
+    inside each bucket. Consolidation bounds it at one subdir per
+    bucket per maintenance cycle (and subsumes per-leaf small-file
+    compaction for these stores). Probe correctness: merged rows keep
+    ``batch_id = min(merged ids)``, and every probe's replay filter is
+    ``batch_id <= bid`` with future bids strictly greater than all
+    merged ids, so merged history stays visible; run this BETWEEN
+    drives (after ``awaitTermination`` every landed batch is
+    checkpoint-committed, and a committed batch is never replayed, so
+    merging it can never collide with a dynamic-overwrite replay).
+
+    Swap protocol: ``compact_parquet_dir``'s write-tmp → rename-out →
+    rename-in → delete, applied PER BUCKET so a crash leaves each
+    bucket either fully old or fully new and the re-run repairs and
+    converges. Staging lives under ``<root>/.__consolidate__/`` —
+    dot-prefixed, so Spark's file index and the compaction walker
+    never see it; staging must NEVER sit beside the bucket dirs with
+    an ``=`` in its name, or Spark would parse it as a partition."""
+    fs, hroot = _hadoop_fs(spark, root)
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hroot):
+        raise FileNotFoundError(f"consolidate_bucket_history: no such dir {root}")
+    stage = f"{root.rstrip('/')}/.__consolidate__"
+
+    names = set()
+    for s in fs.listStatus(hroot):
+        n = s.getPath().getName()
+        if s.isDirectory() and "=" in n and not n.startswith("."):
+            names.add(n)
+    # orphaned staging from a crash whose bucket dir was renamed out
+    for sub in ("tmp", "old"):
+        p = Path(f"{stage}/{sub}")
+        if fs.exists(p):
+            for s in fs.listStatus(p):
+                names.add(s.getPath().getName())
+
+    def _committed(t) -> bool:
+        if not fs.exists(t):
+            return False
+        for s in fs.listStatus(t):
+            if s.isDirectory() and fs.exists(
+                Path(str(s.getPath()), "_SUCCESS")
+            ):
+                return True
+        return False
+
+    per = {}
+    for name in sorted(names):
+        d = f"{root.rstrip('/')}/{name}"
+        dp = Path(d)
+        tmp = Path(f"{stage}/tmp/{name}")
+        old = Path(f"{stage}/old/{name}")
+        # ---- repair an interrupted previous run (compact_parquet_dir
+        # states): old && path → finish delete; old && !path → roll
+        # forward iff tmp committed else roll back; stray tmp → stale.
+        if fs.exists(old):
+            if fs.exists(dp):
+                fs.delete(old, True)
+            elif _committed(tmp):
+                fs.rename(tmp, dp)
+                fs.delete(old, True)
+            else:
+                fs.rename(old, dp)
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        if not fs.exists(dp):
+            continue  # orphan staging with no surviving data: nothing to do
+
+        batch_ids = [
+            int(s.getPath().getName().split("=", 1)[1])
+            for s in fs.listStatus(dp)
+            if s.isDirectory()
+            and s.getPath().getName().startswith("batch_id=")
+        ]
+        stats = {"batch_dirs_before": len(batch_ids), "consolidated": False}
+        per[name] = stats
+        if len(batch_ids) < min_batch_dirs:
+            continue
+        total = 0
+        it = fs.listFiles(dp, True)  # RemoteIterator — not py-iterable
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                total += f.getLen()
+        n_out = int(max(1, -(-total // target_file_bytes)))
+        v = min(batch_ids)
+        bcol = name.split("=", 1)[0]
+        (
+            spark.read.option("basePath", root)
+            .parquet(d)
+            .drop("batch_id", bcol)
+            .coalesce(n_out)
+            .write.mode("overwrite")
+            .parquet(f"{stage}/tmp/{name}/batch_id={v}")
+        )
+        fs.rename(dp, old)
+        fs.rename(tmp, dp)
+        fs.delete(old, True)
+        stats.update(consolidated=True, batch_dirs_after=1, merged_into=v)
+    return {
+        "buckets": len(per),
+        "buckets_consolidated": sum(
+            1 for s in per.values() if s["consolidated"]
+        ),
+        "per_bucket": per,
+    }

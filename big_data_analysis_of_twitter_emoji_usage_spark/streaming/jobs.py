@@ -676,10 +676,14 @@ def stream_near_dedup_minhash(
     a mismatch or on an unmarked pre-existing store
     (``_enforce_store_layout``); rebuild the store to change layout,
     exactly like re-bucketing. Maintenance loop:
-    ``compact_partitioned_parquet`` on BOTH dirs (both accumulate
-    per-trigger leaf files; compaction walks the nested
-    ``_bkt=K/batch_id=N`` / ``_pbkt=K/batch_id=N`` leaves — and keeps
-    the touched-subtree listing small as history deepens).
+    ``sources.writers.consolidate_bucket_history`` on BOTH dirs
+    between drives — per-trigger landings add one ``batch_id`` subdir
+    per touched bucket per trigger, so the touched-subtree listing
+    grows with trigger count inside each bucket; consolidation merges
+    every bucket's committed batch dirs into one (probe filters
+    ``batch_id <= bid`` keep merged history visible) and coalesces
+    files while at it (subsuming ``compact_partitioned_parquet`` for
+    these stores).
     ``max_bucket`` is deliberately NOT offered: bucket occupancy would
     be counted per-probe, not corpus-globally, silently diverging from
     the batch operator it mirrors.
@@ -1158,6 +1162,7 @@ def stream_ivf_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     replication: int = 2,
+    list_major: bool = False,
 ) -> DataFrame:
     """Maintain a persisted IVF index under streaming arrival (r9) —
     the ANN member of the continuous-curation contract: the centroid
@@ -1175,7 +1180,15 @@ def stream_ivf_index_append(
     vector is searchable one trigger after it arrives, with no index
     rebuild ever. Re-centering (new centroids for a drifted corpus)
     is an explicit offline rebuild, exactly like re-bucketing a dedup
-    store. Returns the accumulated postings (batch_id dropped).
+    store. ``list_major`` (r11) lands the postings under
+    ``_list=K/batch_id=N`` instead of ``batch_id=N`` flat — the
+    ``write_ivf_index`` layout, so the accumulated streamed index is
+    directly probeable by ``cosine_knn_ivf_probe_dir`` (probed-lists-
+    only reads); like the dedup stores, the landing layout is a
+    store-lifetime contract enforced by a ``_layout.json`` marker and
+    ``consolidate_bucket_history`` is the between-drives maintenance
+    loop (one batch dir per list after each cycle).
+    Returns the accumulated postings (batch_id dropped).
     """
     from pyspark.errors import AnalysisException
 
@@ -1185,6 +1198,11 @@ def stream_ivf_index_append(
         _flat_replicated_assign,
     )
 
+    _enforce_store_layout(
+        postings_dir,
+        "ivf_postings_list_major" if list_major else "ivf_postings",
+        None,
+    )
     c = spark.read.parquet(centroids_dir)
 
     def _append(bdf: DataFrame, bid: int) -> None:
@@ -1203,7 +1221,21 @@ def stream_ivf_index_append(
             .withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
             .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
         )
-        write_batch_idempotent(postings, bid, postings_dir)
+        if list_major:
+            # list-major landing (r11): _list=K/batch_id=N via dynamic
+            # partition overwrite (replays rewrite exactly their own
+            # (list, batch) leaves), so the accumulated postings are
+            # directly probeable by cosine_knn_ivf_probe_dir — the
+            # probed-lists-only read that bounds probe IO to the
+            # probed fraction of the corpus (measured 10.2× byte
+            # reduction at 2M vectors / sqrt-rule lists; SCALE.md r11)
+            postings.withColumn("batch_id", F.lit(bid)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "_list", "batch_id"
+            ).parquet(postings_dir)
+        else:
+            write_batch_idempotent(postings, bid, postings_dir)
 
     query = (
         stream_df.writeStream.foreachBatch(_append)
@@ -1215,23 +1247,28 @@ def stream_ivf_index_append(
     try:
         return spark.read.parquet(postings_dir).drop("batch_id")
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc):
-            # First drive over an empty source: no trigger fired, so no
-            # postings dir exists yet. Same contract as the sibling
-            # drains — derive the (neighbor_id, cv, _list) schema from
-            # an empty batch (schema-only, nothing executes).
-            empty = spark.createDataFrame([], stream_df.schema)
-            e0 = empty.select(
-                F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+        if not (
+            "PATH_NOT_FOUND" in str(exc)
+            or "UNABLE_TO_INFER_SCHEMA" in str(exc)
+        ):
+            raise
+        # First drive over an empty source: no trigger fired, so the
+        # postings dir holds only the layout marker (schema
+        # uninferable) — before r11's marker it did not exist at all
+        # (PATH_NOT_FOUND). Same contract as the sibling drains —
+        # derive the (neighbor_id, cv, _list) schema from an empty
+        # batch (schema-only, nothing executes).
+        empty = spark.createDataFrame([], stream_df.schema)
+        e0 = empty.select(
+            F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+        )
+        assign = _flat_replicated_assign(e0, c, replication)
+        postings = (
+            empty.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
             )
-            assign = _flat_replicated_assign(e0, c, replication)
-            postings = (
-                empty.select(
-                    F.col(id_col).alias("neighbor_id"),
-                    _as_double(F.col(vec_col)).alias("cv"),
-                )
-                .withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
-                .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
-            )
-            return spark.createDataFrame([], postings.schema)
-        raise
+            .withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+            .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
+        )
+        return spark.createDataFrame([], postings.schema)

@@ -95,3 +95,29 @@ def test_null_payloads_survive_all_pandas_stages(spark):
 
     frames = frame_sample_batch(df).collect()
     assert {r["doc_id"] for r in frames} == {1}
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this runtime")
+def test_decode_batch_real_png_with_pil(spark):
+    """VERDICT r10 #7: the full Spark path (mapInPandas → Arrow batch →
+    per-row real decode) on actual PNG payloads — proves the codec
+    plug-in seam end-to-end where Pillow exists, not just the per-row
+    helper. Skipped cleanly in PIL-less runtimes (the stub arithmetic
+    remains the oracle-checked path there)."""
+    import io
+
+    from PIL import Image
+
+    def png(w, h, mode="RGB"):
+        buf = io.BytesIO()
+        Image.new(mode, (w, h)).save(buf, format="PNG")
+        return bytearray(buf.getvalue())
+
+    df = spark.createDataFrame(
+        [(1, png(7, 5)), (2, png(3, 9, "L")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_batch(df, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mode"]) == (7, 5, "RGB")
+    assert (got[2]["width"], got[2]["height"], got[2]["mode"]) == (3, 9, "L")
+    assert got[3]["width"] is None and got[3]["content_hash"] is None

@@ -954,3 +954,229 @@ def test_stream_near_dedup_banded_survives_empty_batch(spark, sf_dir, tmp_path):
     )
     want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
     assert rows(got) == rows(want)
+
+
+def test_stream_ivf_list_major_probeable_by_probe_dir(
+    spark, sf_dir, tmp_path
+):
+    """r11 list-major streamed index: stream_ivf_index_append with
+    list_major=True lands postings under _list=K/batch_id=N (dynamic
+    partition overwrite), so the accumulated streamed index is
+    directly probeable by cosine_knn_ivf_probe_dir — result equal to
+    the in-memory probe over the drained postings, layout marker
+    enforced (a flat resume of a list-major postings store is
+    refused)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        cosine_knn_ivf_probe,
+        cosine_knn_ivf_probe_dir,
+        ivf_assignments,
+        select_ivf_centroids,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_embeddings_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_ivf_index_append,
+    )
+
+    staged = _ordered_embeddings_stream_dir(sf_dir)
+    cdir = str(tmp_path / "cent")
+    pdir = str(tmp_path / "post")
+    emb = load_table(spark, sf_dir, "embeddings")
+    c, _ = ivf_assignments(emb, select_ivf_centroids(emb, "vec_id", 24))
+    c.write.parquet(cdir)
+    schema = spark.read.parquet(staged).schema
+
+    def drive(**kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        return stream_ivf_index_append(
+            spark,
+            stream,
+            centroids_dir=cdir,
+            postings_dir=pdir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            replication=2,
+            **kw,
+        )
+
+    postings = drive(list_major=True)
+    # layout: _list=K top dirs, batch_id=N leaves inside
+    ldirs = [d for d in os.listdir(pdir) if d.startswith("_list=")]
+    assert ldirs
+    assert any(
+        d.startswith("batch_id=")
+        for d in os.listdir(os.path.join(pdir, ldirs[0]))
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        tuple(r)
+        for r in cosine_knn_ivf_probe_dir(
+            spark, cdir, pdir, queries, k=3, nprobe=8
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cosine_knn_ivf_probe(
+            spark.read.parquet(cdir), postings, queries, k=3, nprobe=8
+        ).collect()
+    )
+    assert got == want and len(got) == 30
+    # layout is a store-lifetime contract: flat resume refused
+    with pytest.raises(ValueError, match="store-lifetime"):
+        drive(list_major=False)
+
+
+def test_consolidate_bucket_history_between_drives(spark, sf_dir, tmp_path):
+    """r11 maintenance op for the bucket-major stores: merging every
+    bucket's per-trigger batch_id dirs into one (named by the smallest
+    merged id) must leave probes correct — drive half the replay,
+    consolidate BOTH stores, resume the same checkpoint over the rest,
+    keeper parity holds; merged buckets have exactly one batch dir and
+    a second consolidation is a no-op."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        consolidate_bucket_history,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    staged = _ordered_docs_stream_dir(sf_dir)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store_dir = str(tmp_path / "store")
+    kwargs = dict(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+        store_buckets=16,
+    )
+
+    def drive():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_near_dedup_minhash(spark, stream, **kwargs)
+
+    for p in parts[:2]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    drive()
+    for root in (store_dir, store_dir + "_bands"):
+        stats = consolidate_bucket_history(spark, root)
+        assert stats["buckets_consolidated"] > 0
+        for b in os.listdir(root):
+            if "=" in b and not b.startswith("."):
+                bids = [
+                    d
+                    for d in os.listdir(os.path.join(root, b))
+                    if d.startswith("batch_id=")
+                ]
+                assert len(bids) == 1, (b, bids)
+        # idempotent: nothing left to merge
+        again = consolidate_bucket_history(spark, root)
+        assert again["buckets_consolidated"] == 0
+    for p in parts[2:]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    got = drive().select("doc_id")
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+
+
+def test_consolidate_bucket_history_repairs_crash_states(
+    spark, sf_dir, tmp_path
+):
+    """The per-bucket swap's crash windows must repair on re-entry:
+    (a) old && path → finish the delete; (b) old && !path with a
+    committed tmp → roll forward; stray tmp → always removed."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        consolidate_bucket_history,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    staged = _ordered_docs_stream_dir(sf_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for p in sorted(os.listdir(staged)):
+        if p.endswith(".parquet"):
+            shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    store_dir = str(tmp_path / "store")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+        store_buckets=16,
+    )
+    bands = store_dir + "_bands"
+    want = sorted(
+        map(tuple, spark.read.parquet(bands).drop("_bkt", "batch_id").collect())
+    )
+    bucket = next(
+        b for b in os.listdir(bands) if b.startswith("_bkt=")
+    )
+    # (b) crash between the two renames, tmp committed: roll forward
+    consolidate_bucket_history(spark, bands)
+    os.makedirs(os.path.join(bands, ".__consolidate__", "old"), exist_ok=True)
+    shutil.move(
+        os.path.join(bands, bucket),
+        os.path.join(bands, ".__consolidate__", "tmp", bucket + "_x"),
+    )
+    # simulate: tmp holds the committed merged dir, main dir gone
+    shutil.move(
+        os.path.join(bands, ".__consolidate__", "tmp", bucket + "_x"),
+        os.path.join(bands, ".__consolidate__", "tmp", bucket),
+    )
+    os.makedirs(os.path.join(bands, ".__consolidate__", "old", bucket))
+    stats = consolidate_bucket_history(spark, bands)
+    assert bucket in os.listdir(bands)
+    got = sorted(
+        map(tuple, spark.read.parquet(bands).drop("_bkt", "batch_id").collect())
+    )
+    assert got == want
+    # stray tmp with main dir present: removed, data untouched
+    os.makedirs(os.path.join(bands, ".__consolidate__", "tmp", bucket))
+    consolidate_bucket_history(spark, bands)
+    assert not os.path.exists(
+        os.path.join(bands, ".__consolidate__", "tmp", bucket)
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(bands).drop("_bkt", "batch_id").collect())
+    ) == want
