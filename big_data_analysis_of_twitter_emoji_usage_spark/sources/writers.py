@@ -308,122 +308,123 @@ def compact_partitioned_parquet(
 def consolidate_bucket_history(
     spark: SparkSession,
     root: str,
-    target_file_bytes: int = 128 * 1024 * 1024,
     min_batch_dirs: int = 2,
 ) -> dict:
     """History consolidation for bucket-major streaming-store layouts
     (``<root>/<col>=K/batch_id=N/...`` — the r11 dedup band/payload
-    stores and list-major IVF postings): merge every bucket's
-    ``batch_id=N`` subdirs into ONE (named by the smallest merged id)
-    and coalesce its files to the target size.
+    stores and list-major IVF postings): merge every bucket's batch
+    dirs into ONE (a fresh ``batch_id`` strictly below every existing
+    id, so probes' ``batch_id <= bid`` replay filters keep merged
+    history visible) with one file per bucket.
 
-    WHY this exists: per-trigger landings add one ``batch_id`` subdir
-    per touched bucket per trigger, so the direct-path probes'
-    touched-subtree listing — the thing the bucket-major layout made
-    proportional to touched buckets — grows again with trigger count
-    inside each bucket. Consolidation bounds it at one subdir per
-    bucket per maintenance cycle (and subsumes per-leaf small-file
-    compaction for these stores). Probe correctness: merged rows keep
-    ``batch_id = min(merged ids)``, and every probe's replay filter is
-    ``batch_id <= bid`` with future bids strictly greater than all
-    merged ids, so merged history stays visible; run this BETWEEN
-    drives (after ``awaitTermination`` every landed batch is
-    checkpoint-committed, and a committed batch is never replayed, so
-    merging it can never collide with a dynamic-overwrite replay).
+    WHY: per-trigger rolls accumulate ``batch_id`` subdirs inside each
+    bucket, so the direct-path probes' touched-subtree listing grows
+    with maintenance cycles; consolidation bounds it at one subdir per
+    bucket (and subsumes small-file compaction for these stores).
 
-    Swap protocol: ``compact_parquet_dir``'s write-tmp → rename-out →
-    rename-in → delete, applied PER BUCKET so a crash leaves each
-    bucket either fully old or fully new and the re-run repairs and
-    converges. Staging lives under ``<root>/.__consolidate__/`` —
-    dot-prefixed, so Spark's file index and the compaction walker
-    never see it; staging must NEVER sit beside the bucket dirs with
-    an ``=`` in its name, or Spark would parse it as a partition."""
+    ONE Spark job, not a per-bucket loop: a bucket-at-a-time rewrite
+    is O(store_buckets) driver-sequential jobs — pathological at the
+    production B=4096 — so the merge reads the whole store once and
+    lands every bucket's merged leaf via dynamic partition overwrite
+    (Spark permits self-overwrite under dynamic mode because only the
+    freshly-written ``batch_id`` leaves are replaced), then the old
+    batch dirs are deleted driver-side (O(dirs) cheap FS calls).
+    Crash-safe without a swap: a crash between write and deletes
+    leaves rows present twice (merged leaf + original dirs), which
+    probes tolerate (DISTINCT candidate/drop sets, pair-aggregated
+    verify) and the re-run REPAIRS exactly — store rows are unique by
+    construction (one row per id / per (id, band)), so the merge's
+    ``dropDuplicates()`` collapses crash-window copies and the
+    converged store is bit-equal to the no-crash result. Run between
+    drives (after ``awaitTermination`` all landed batches are
+    committed; a committed batch is never replayed, so merging cannot
+    collide with a landing)."""
     fs, hroot = _hadoop_fs(spark, root)
     jvm = spark.sparkContext._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(hroot):
-        raise FileNotFoundError(f"consolidate_bucket_history: no such dir {root}")
-    stage = f"{root.rstrip('/')}/.__consolidate__"
-
-    names = set()
+        raise FileNotFoundError(
+            f"consolidate_bucket_history: no such dir {root}"
+        )
+    per = {}
     for s in fs.listStatus(hroot):
         n = s.getPath().getName()
         if s.isDirectory() and "=" in n and not n.startswith("."):
-            names.add(n)
-    # orphaned staging from a crash whose bucket dir was renamed out
-    for sub in ("tmp", "old"):
-        p = Path(f"{stage}/{sub}")
-        if fs.exists(p):
-            for s in fs.listStatus(p):
-                names.add(s.getPath().getName())
-
-    def _committed(t) -> bool:
-        if not fs.exists(t):
-            return False
-        for s in fs.listStatus(t):
-            if s.isDirectory() and fs.exists(
-                Path(str(s.getPath()), "_SUCCESS")
-            ):
-                return True
-        return False
-
-    per = {}
-    for name in sorted(names):
-        d = f"{root.rstrip('/')}/{name}"
-        dp = Path(d)
-        tmp = Path(f"{stage}/tmp/{name}")
-        old = Path(f"{stage}/old/{name}")
-        # ---- repair an interrupted previous run (compact_parquet_dir
-        # states): old && path → finish delete; old && !path → roll
-        # forward iff tmp committed else roll back; stray tmp → stale.
-        if fs.exists(old):
-            if fs.exists(dp):
-                fs.delete(old, True)
-            elif _committed(tmp):
-                fs.rename(tmp, dp)
-                fs.delete(old, True)
-            else:
-                fs.rename(old, dp)
-        if fs.exists(tmp):
-            fs.delete(tmp, True)
-        if not fs.exists(dp):
-            continue  # orphan staging with no surviving data: nothing to do
-
-        batch_ids = [
-            int(s.getPath().getName().split("=", 1)[1])
-            for s in fs.listStatus(dp)
-            if s.isDirectory()
-            and s.getPath().getName().startswith("batch_id=")
-        ]
-        stats = {"batch_dirs_before": len(batch_ids), "consolidated": False}
-        per[name] = stats
-        if len(batch_ids) < min_batch_dirs:
-            continue
-        total = 0
-        it = fs.listFiles(dp, True)  # RemoteIterator — not py-iterable
-        while it.hasNext():
-            f = it.next()
-            if f.getPath().getName().endswith(".parquet"):
-                total += f.getLen()
-        n_out = int(max(1, -(-total // target_file_bytes)))
-        v = min(batch_ids)
-        bcol = name.split("=", 1)[0]
-        (
-            spark.read.option("basePath", root)
-            .parquet(d)
-            .drop("batch_id", bcol)
-            .coalesce(n_out)
-            .write.mode("overwrite")
-            .parquet(f"{stage}/tmp/{name}/batch_id={v}")
-        )
-        fs.rename(dp, old)
-        fs.rename(tmp, dp)
-        fs.delete(old, True)
-        stats.update(consolidated=True, batch_dirs_after=1, merged_into=v)
-    return {
+            per[n] = [
+                int(b.getPath().getName().split("=", 1)[1])
+                for b in fs.listStatus(s.getPath())
+                if b.isDirectory()
+                and b.getPath().getName().startswith("batch_id=")
+            ]
+    stats = {
         "buckets": len(per),
-        "buckets_consolidated": sum(
-            1 for s in per.values() if s["consolidated"]
-        ),
-        "per_bucket": per,
+        "batch_dirs_before": sum(len(v) for v in per.values()),
+        "consolidated": False,
     }
+    if not per or max(len(v) for v in per.values()) < min_batch_dirs:
+        return stats
+    bcol = next(iter(per)).split("=", 1)[0]
+    v = min(i for ids in per.values() for i in ids) - 1
+    (
+        spark.read.parquet(root)
+        .drop("batch_id")  # BEFORE dropDuplicates: crash-window copies
+        .dropDuplicates()  # differ only in their batch_id dir
+        .withColumn("batch_id", F.lit(v))
+        .repartition(bcol)  # one file per merged bucket leaf
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bcol, "batch_id")
+        .parquet(root.rstrip("/"))
+    )
+    for name, ids in per.items():
+        for i in ids:
+            fs.delete(Path(f"{root.rstrip('/')}/{name}/batch_id={i}"), True)
+    stats.update(consolidated=True, merged_into=v)
+    return stats
+
+
+def roll_recent_into_store(
+    spark: SparkSession, root: str, bucket_col: str
+) -> dict:
+    """Roll a two-tier streaming store's batch-major RECENT tail
+    (``<root>_recent/batch_id=N``, bucket col as a data column) into
+    its bucket-major history (``<root>/<bucket_col>=K/batch_id=N``) —
+    the maintenance half of the r11 two-tier landing: per-trigger
+    landings write ONE cheap batch dir (a dynamic-overwrite landing
+    straight into the bucket-major layout was measured at ~17 ms per
+    touched partition dir of pure commit cost — ~9 s/trigger at
+    B=4096; SCALE.md r11), and this roll pays that per-dir commit once
+    per maintenance cycle instead of once per trigger.
+
+    Crash-safe WITHOUT a swap protocol: the bucket-major write lands
+    first (dynamic partition overwrite — deterministic (bucket, batch)
+    leaves), the rolled batch dirs are deleted after. A crash in
+    between leaves rows present in BOTH tiers, which every probe
+    tolerates by construction (candidate sets and drop sets are
+    DISTINCT, and the Jaccard verify aggregates per pair with
+    first()); the re-run rewrites the same leaves and finishes the
+    delete, so the operation converges. Run between drives; follow
+    with ``consolidate_bucket_history`` to merge the rolled batch dirs."""
+    recent = root.rstrip("/") + "_recent"
+    fs, hrecent = _hadoop_fs(spark, recent)
+    if not fs.exists(hrecent):
+        return {"batches_rolled": 0}
+    batches = [
+        s.getPath()
+        for s in fs.listStatus(hrecent)
+        if s.isDirectory() and s.getPath().getName().startswith("batch_id=")
+    ]
+    if not batches:
+        return {"batches_rolled": 0}
+    df = spark.read.parquet(recent)
+    if df.count() > 0:
+        (
+            df.repartition(bucket_col)  # one file per (bucket, batch) leaf
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucket_col, "batch_id")
+            .parquet(root.rstrip("/"))
+        )
+    for b in batches:
+        fs.delete(b, True)
+    return {"batches_rolled": len(batches)}

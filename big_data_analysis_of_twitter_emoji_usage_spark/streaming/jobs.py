@@ -540,9 +540,14 @@ def _enforce_store_layout(
                 "store-lifetime contract — rebuild the store to change it."
             )
         return
-    if os.path.isdir(store_dir) and any(
-        e != _STORE_LAYOUT_FILE for e in os.listdir(store_dir)
-    ):
+    siblings = [
+        store_dir.rstrip("/") + sfx
+        for sfx in ("_recent", "_bands", "_bands_recent")
+    ]
+    if (
+        os.path.isdir(store_dir)
+        and any(e != _STORE_LAYOUT_FILE for e in os.listdir(store_dir))
+    ) or any(os.path.isdir(s) for s in siblings):
         raise ValueError(
             f"dedup store at {store_dir} has no _layout.json marker "
             "(pre-r11 store?): its layout cannot be verified against "
@@ -578,6 +583,21 @@ def _read_bucket_subtrees(
     )
 
     return read_partition_subtrees(spark, root, bucket_col, buckets)
+
+
+def _two_tier(
+    main: DataFrame | None, recent: DataFrame, bucket_col: str
+) -> DataFrame:
+    """Union the bucket-major history tier with the batch-major recent
+    tail (two-tier store, r11): the bucket column is partition-inferred
+    (int) on the main side and a computed long on the recent side, so
+    both are cast before the unionByName. ``main`` is None before the
+    first roll."""
+    recent = recent.withColumn(bucket_col, F.col(bucket_col).cast("long"))
+    if main is None:
+        return recent
+    main = main.withColumn(bucket_col, F.col(bucket_col).cast("long"))
+    return main.select(recent.columns).unionByName(recent)
 
 
 def stream_near_dedup_minhash(
@@ -675,15 +695,24 @@ def stream_near_dedup_minhash(
     ``<store_dir>/_layout.json`` on first use and REFUSES to start on
     a mismatch or on an unmarked pre-existing store
     (``_enforce_store_layout``); rebuild the store to change layout,
-    exactly like re-bucketing. Maintenance loop:
-    ``sources.writers.consolidate_bucket_history`` on BOTH dirs
-    between drives — per-trigger landings add one ``batch_id`` subdir
-    per touched bucket per trigger, so the touched-subtree listing
-    grows with trigger count inside each bucket; consolidation merges
-    every bucket's committed batch dirs into one (probe filters
-    ``batch_id <= bid`` keep merged history visible) and coalesces
-    files while at it (subsuming ``compact_partitioned_parquet`` for
-    these stores).
+    exactly like re-bucketing.
+
+    TWO-TIER LANDING (r11): a dynamic-overwrite landing straight into
+    the bucket-major layout costs ~17 ms of commit per touched
+    partition dir PER TRIGGER (measured ~9 s/trigger at B=4096 —
+    dominating the otherwise-constant banded trigger), so each batch
+    lands batch-major in ``<store_dir>_recent`` / ``<bands>_recent``
+    (one cheap dir per trigger) and probes read history ∪ recent
+    (``_two_tier``). Maintenance loop, between drives:
+    ``sources.writers.roll_recent_into_store`` on BOTH roots (pays the
+    per-dir commit once per cycle; its crash window only duplicates
+    rows across tiers, which the DISTINCT candidate/drop sets and the
+    pair-aggregating verify tolerate), then
+    ``consolidate_bucket_history`` to merge each bucket's accumulated
+    batch dirs (probe filters ``batch_id <= bid`` keep merged history
+    visible). Roll cadence bounds the recent tail's listing cost —
+    unrolled, the recent tier degrades toward the flat layout's
+    per-trigger scan.
     ``max_bucket`` is deliberately NOT offered: bucket occupancy would
     be counted per-probe, not corpus-globally, silently diverging from
     the batch operator it mirrors.
@@ -770,12 +799,14 @@ def stream_near_dedup_minhash(
         # ≤ store_buckets payload buckets, and ≤ store_buckets FS
         # existence checks per probe.
         state = state.persist()
-        state.withColumn(
-            "_pbkt",
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
-        ).withColumn("batch_id", F.lit(bid)).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_pbkt", "batch_id").parquet(store_dir)
+        write_batch_idempotent(
+            state.withColumn(
+                "_pbkt",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
+            ),
+            bid,
+            store_dir.rstrip("/") + "_recent",
+        )
         bc = (
             signature_bands(
                 state.select(id_col, *hcols), id_col, num_hashes, band_size
@@ -787,17 +818,19 @@ def stream_near_dedup_minhash(
         )
         cand = None
         try:
-            bc.withColumn("batch_id", F.lit(bid)).write.mode(
-                "overwrite"
-            ).option("partitionOverwriteMode", "dynamic").partitionBy(
-                "_bkt", "batch_id"
-            ).parquet(bands_dir)
+            write_batch_idempotent(bc, bid, bands_dir + "_recent")
             bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
-            bands_seen = _read_bucket_subtrees(spark, bands_dir, "_bkt", bkts)
-            if bands_seen is None:
+            if not bkts:
                 # zero-row micro-batch: nothing landed, nothing to dedup
                 write_batch_idempotent(bdf, bid, out_dir)
                 return
+            bands_seen = _two_tier(
+                _read_bucket_subtrees(spark, bands_dir, "_bkt", bkts),
+                spark.read.parquet(bands_dir + "_recent").filter(
+                    F.col("_bkt").isin(bkts)
+                ),
+                "_bkt",
+            )
             cand = (
                 bands_seen.filter(F.col("batch_id") <= F.lit(bid))
                 .alias("a")
@@ -835,17 +868,18 @@ def stream_near_dedup_minhash(
                 .distinct()
                 .collect()
             ]
-            payload = (
-                _read_bucket_subtrees(spark, store_dir, "_pbkt", pbkts)
-                if pbkts
-                else None
-            )
-            if payload is None:
+            if not pbkts:
                 keep = bdf
             else:
-                payload = payload.filter(
-                    F.col("batch_id") <= F.lit(bid)
-                ).select(id_col, "shingles")
+                payload = _two_tier(
+                    _read_bucket_subtrees(spark, store_dir, "_pbkt", pbkts),
+                    spark.read.parquet(
+                        store_dir.rstrip("/") + "_recent"
+                    ).filter(F.col("_pbkt").isin(pbkts)),
+                    "_pbkt",
+                ).filter(F.col("batch_id") <= F.lit(bid)).select(
+                    id_col, "shingles"
+                )
                 pairs = verify_pairs_jaccard(
                     cand, payload, id_col, threshold
                 )
@@ -920,28 +954,24 @@ def stream_near_dedup_embedding(
     the probe, vector column for the handful of candidates) joined
     against the BROADCAST batch — O(total × history/batch) total scan
     work with the flat layout. ``store_buckets`` (r10) is the same
-    band-partitioned lever as the MinHash twin's: (table, bucket) rows
-    land pre-banded at ``<store_dir>_bands/_bkt=K/batch_id=N``
-    (``_bkt = pmod(xxhash64(_t, _b), store_buckets)``, dynamic
-    partition overwrite for replay idempotence) and the probe reads
-    ONLY the touched bucket subtrees by direct path — never listing,
-    let alone reading, the untouched dirs (bucket-major since r11; the
-    batch-major r10 layout's literal-IN pruning still paid a full
-    ~store_buckets-dir discovery per read — see the MinHash twin for
-    the measurements and why DPP was rejected). The banded layout also
-    id-buckets the payload (r11): store rows land under
-    ``_pbkt=K/batch_id=N`` with ``_pbkt = pmod(xxhash64(id),
-    store_buckets)`` and the cosine verify reads only the candidate
-    ids' bucket subtrees (plus the stored per-vector self-norm ``_n``,
-    so no per-trigger whole-history norm recompute). The win is real
+    band-partitioned lever as the MinHash twin's, with the SAME
+    two-tier bucket-major shape (see that docstring for the layout
+    measurements): (table, bucket) rows — ``_bkt =
+    pmod(xxhash64(_t, _b), store_buckets)`` — and ``_pbkt``-keyed
+    payload rows land batch-major in ``<dir>_recent`` per trigger (one
+    cheap dir; the straight bucket-major landing's per-dir commit was
+    the dominant trigger cost), probes read the bucket-major history
+    tier ∪ recent by direct path over the TOUCHED buckets only, and
+    the cosine verify reads only the candidate ids' payload buckets
+    plus the stored per-vector self-norm ``_n`` — no per-trigger
+    whole-history scan, listing, or norm recompute. The win is real
     in the trickle regime (per-trigger band rows ≪ ``store_buckets``),
     and the layout is a store-lifetime contract like ``bits``,
     enforced by the ``<store_dir>/_layout.json`` marker (the drive
     refuses a mismatched or unmarked resume; never flip layout or
-    bucket count mid-store). Maintenance loop:
-    ``sources.writers.compact_partitioned_parquet`` on both dirs
-    between triggers (the stores are partition-nested, so the flat
-    ``compact_parquet_dir`` would find no top-level files and no-op).
+    bucket count mid-store). Maintenance loop, between drives:
+    ``roll_recent_into_store`` on both roots, then
+    ``consolidate_bucket_history`` (see the MinHash twin).
 
     Returns the drained keeper rows (original stream columns) over
     ``out_dir``.
@@ -1023,12 +1053,14 @@ def stream_near_dedup_embedding(
         # bucket subtrees only (_read_bucket_subtrees; the batch-major
         # r10 layout paid a full ~store_buckets-dir discovery per read).
         state = state.persist()
-        state.withColumn(
-            "_pbkt",
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
-        ).withColumn("batch_id", F.lit(bid)).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_pbkt", "batch_id").parquet(store_dir)
+        write_batch_idempotent(
+            state.withColumn(
+                "_pbkt",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
+            ),
+            bid,
+            store_dir.rstrip("/") + "_recent",
+        )
         bc = (
             _bands(state.select(id_col, *bcols))
             .withColumn(
@@ -1038,17 +1070,19 @@ def stream_near_dedup_embedding(
         )
         cand = None
         try:
-            bc.withColumn("batch_id", F.lit(bid)).write.mode(
-                "overwrite"
-            ).option("partitionOverwriteMode", "dynamic").partitionBy(
-                "_bkt", "batch_id"
-            ).parquet(bands_dir)
+            write_batch_idempotent(bc, bid, bands_dir + "_recent")
             bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
-            bands_seen = _read_bucket_subtrees(spark, bands_dir, "_bkt", bkts)
-            if bands_seen is None:
+            if not bkts:
                 # zero-row micro-batch: nothing landed, nothing to dedup
                 write_batch_idempotent(bdf, bid, out_dir)
                 return
+            bands_seen = _two_tier(
+                _read_bucket_subtrees(spark, bands_dir, "_bkt", bkts),
+                spark.read.parquet(bands_dir + "_recent").filter(
+                    F.col("_bkt").isin(bkts)
+                ),
+                "_bkt",
+            )
             cand = (
                 bands_seen.filter(F.col("batch_id") <= F.lit(bid))
                 .alias("a")
@@ -1082,15 +1116,17 @@ def stream_near_dedup_embedding(
                 .distinct()
                 .collect()
             ]
-            payload = (
-                _read_bucket_subtrees(spark, store_dir, "_pbkt", pbkts)
-                if pbkts
-                else None
-            )
-            if payload is None:
+            if not pbkts:
+                payload = None
                 keep = bdf
             else:
-                payload = payload.filter(F.col("batch_id") <= F.lit(bid))
+                payload = _two_tier(
+                    _read_bucket_subtrees(spark, store_dir, "_pbkt", pbkts),
+                    spark.read.parquet(
+                        store_dir.rstrip("/") + "_recent"
+                    ).filter(F.col("_pbkt").isin(pbkts)),
+                    "_pbkt",
+                ).filter(F.col("batch_id") <= F.lit(bid))
                 _nexpr = (
                     F.col("_n")
                     if "_n" in payload.columns

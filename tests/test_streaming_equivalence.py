@@ -596,10 +596,21 @@ def test_stream_near_dedup_banded_store_matches_batch_keepers(
     want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
     assert rows(got) == rows(want)
     assert 0 < dropped.count()
-    # bucket-major layout (r11): _bkt=K top-level dirs, per-trigger
-    # batch_id=N leaves inside (dynamic partition overwrite) — every
-    # one of the 4 triggers landed band rows
+    # two-tier layout (r11): per-trigger batches land batch-major in
+    # the _recent tails (one cheap dir per trigger); rolling moves
+    # them into bucket-major history (_bkt=K top dirs, batch_id=N
+    # leaves) and empties the tails
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        roll_recent_into_store,
+    )
+
     bands_dir = store_dir + "_bands"
+    recents = sorted(os.listdir(bands_dir + "_recent"))
+    assert [d for d in recents if d.startswith("batch_id=")] == [
+        f"batch_id={i}" for i in range(4)
+    ]
+    rolled = roll_recent_into_store(spark, bands_dir, "_bkt")
+    assert rolled["batches_rolled"] == 4
     buckets = [d for d in os.listdir(bands_dir) if d.startswith("_bkt=")]
     assert buckets
     bids = set()
@@ -610,6 +621,11 @@ def test_stream_near_dedup_banded_store_matches_batch_keepers(
             if d.startswith("batch_id=")
         }
     assert bids == {f"batch_id={i}" for i in range(4)}
+    assert not [
+        d
+        for d in os.listdir(bands_dir + "_recent")
+        if d.startswith("batch_id=")
+    ]
 
 
 def test_stream_near_dedup_banded_probe_reads_touched_subtrees_only(
@@ -647,7 +663,12 @@ def test_stream_near_dedup_banded_probe_reads_touched_subtrees_only(
         threshold=0.2,
         store_buckets=16,
     )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        roll_recent_into_store,
+    )
+
     bands_dir = store_dir + "_bands"
+    roll_recent_into_store(spark, bands_dir, "_bkt")
     existing = sorted(
         int(d.split("=")[1])
         for d in os.listdir(bands_dir)
@@ -714,8 +735,12 @@ def test_stream_near_dedup_embedding_banded_matches_batch_keepers(
     want = emb.join(dropped, "vec_id", "left_anti").select("vec_id")
     assert rows(got) == rows(want)
     assert 0 < dropped.count()
-    bands_dir = store_dir + "_bands"
-    assert len(os.listdir(bands_dir)) >= 4
+    # two-tier: triggers land in the recent tail until rolled
+    recent = store_dir + "_bands_recent"
+    assert (
+        len([d for d in os.listdir(recent) if d.startswith("batch_id=")])
+        >= 4
+    )
 
 
 def test_stream_near_dedup_banded_store_survives_compaction_between_drives(
@@ -762,9 +787,15 @@ def test_stream_near_dedup_banded_store_survives_compaction_between_drives(
         )
         return stream_near_dedup_minhash(spark, stream, **kwargs)
 
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        roll_recent_into_store,
+    )
+
     for p in parts[:2]:
         shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
     drive()
+    roll_recent_into_store(spark, store_dir, "_pbkt")
+    roll_recent_into_store(spark, store_dir + "_bands", "_bkt")
     stats = compact_partitioned_parquet(spark, store_dir, target_file_bytes=1 << 30)
     # r11: the banded payload store nests batch_id=N/_pbkt=K leaves,
     # so 2 driven batches yield >= 2 leaf partitions (one per touched
@@ -873,7 +904,13 @@ def test_stream_near_dedup_payload_scan_prunes_to_candidate_buckets(
         threshold=0.2,
         store_buckets=16,
     )
-    # the store landed id-bucketed, bucket-major
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        roll_recent_into_store,
+    )
+
+    # batches land in the recent tail; the roll moves them into the
+    # id-bucketed bucket-major history
+    roll_recent_into_store(spark, store_dir, "_pbkt")
     pdirs = [d for d in os.listdir(store_dir) if d.startswith("_pbkt=")]
     assert pdirs
     assert any(
@@ -1074,12 +1111,17 @@ def test_consolidate_bucket_history_between_drives(spark, sf_dir, tmp_path):
         )
         return stream_near_dedup_minhash(spark, stream, **kwargs)
 
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        roll_recent_into_store,
+    )
+
     for p in parts[:2]:
         shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
     drive()
-    for root in (store_dir, store_dir + "_bands"):
+    for root, col in ((store_dir, "_pbkt"), (store_dir + "_bands", "_bkt")):
+        assert roll_recent_into_store(spark, root, col)["batches_rolled"] == 2
         stats = consolidate_bucket_history(spark, root)
-        assert stats["buckets_consolidated"] > 0
+        assert stats["consolidated"] is True
         for b in os.listdir(root):
             if "=" in b and not b.startswith("."):
                 bids = [
@@ -1090,7 +1132,7 @@ def test_consolidate_bucket_history_between_drives(spark, sf_dir, tmp_path):
                 assert len(bids) == 1, (b, bids)
         # idempotent: nothing left to merge
         again = consolidate_bucket_history(spark, root)
-        assert again["buckets_consolidated"] == 0
+        assert again["consolidated"] is False
     for p in parts[2:]:
         shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
     got = drive().select("doc_id")
@@ -1105,12 +1147,14 @@ def test_consolidate_bucket_history_between_drives(spark, sf_dir, tmp_path):
     assert rows(got) == rows(want)
 
 
-def test_consolidate_bucket_history_repairs_crash_states(
+def test_consolidate_bucket_history_crash_window_converges(
     spark, sf_dir, tmp_path
 ):
-    """The per-bucket swap's crash windows must repair on re-entry:
-    (a) old && path → finish the delete; (b) old && !path with a
-    committed tmp → roll forward; stray tmp → always removed."""
+    """The one-job merge's crash window (merged leaf written, old
+    batch dirs not yet deleted) leaves every row present twice; the
+    re-run must converge to the exact no-crash store — store rows are
+    unique by construction, so the merge's dropDuplicates collapses
+    the copies."""
     import shutil
 
     from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
@@ -1118,6 +1162,7 @@ def test_consolidate_bucket_history_repairs_crash_states(
     )
     from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
         consolidate_bucket_history,
+        roll_recent_into_store,
     )
     from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
         stream_near_dedup_minhash,
@@ -1146,37 +1191,30 @@ def test_consolidate_bucket_history_repairs_crash_states(
         store_buckets=16,
     )
     bands = store_dir + "_bands"
+    roll_recent_into_store(spark, bands, "_bkt")
     want = sorted(
         map(tuple, spark.read.parquet(bands).drop("_bkt", "batch_id").collect())
     )
-    bucket = next(
-        b for b in os.listdir(bands) if b.startswith("_bkt=")
-    )
-    # (b) crash between the two renames, tmp committed: roll forward
     consolidate_bucket_history(spark, bands)
-    os.makedirs(os.path.join(bands, ".__consolidate__", "old"), exist_ok=True)
-    shutil.move(
-        os.path.join(bands, bucket),
-        os.path.join(bands, ".__consolidate__", "tmp", bucket + "_x"),
+    # simulate the crash window: the merged leaf AND a stale copy of it
+    # under the old batch id coexist (every merged row present twice)
+    bucket = next(b for b in os.listdir(bands) if b.startswith("_bkt="))
+    merged = next(
+        d
+        for d in os.listdir(os.path.join(bands, bucket))
+        if d.startswith("batch_id=")
     )
-    # simulate: tmp holds the committed merged dir, main dir gone
-    shutil.move(
-        os.path.join(bands, ".__consolidate__", "tmp", bucket + "_x"),
-        os.path.join(bands, ".__consolidate__", "tmp", bucket),
+    shutil.copytree(
+        os.path.join(bands, bucket, merged),
+        os.path.join(bands, bucket, "batch_id=3"),
     )
-    os.makedirs(os.path.join(bands, ".__consolidate__", "old", bucket))
+    dup = sorted(
+        map(tuple, spark.read.parquet(bands).drop("_bkt", "batch_id").collect())
+    )
+    assert len(dup) > len(want)  # the window is visible...
     stats = consolidate_bucket_history(spark, bands)
-    assert bucket in os.listdir(bands)
+    assert stats["consolidated"] is True
     got = sorted(
         map(tuple, spark.read.parquet(bands).drop("_bkt", "batch_id").collect())
     )
-    assert got == want
-    # stray tmp with main dir present: removed, data untouched
-    os.makedirs(os.path.join(bands, ".__consolidate__", "tmp", bucket))
-    consolidate_bucket_history(spark, bands)
-    assert not os.path.exists(
-        os.path.join(bands, ".__consolidate__", "tmp", bucket)
-    )
-    assert sorted(
-        map(tuple, spark.read.parquet(bands).drop("_bkt", "batch_id").collect())
-    ) == want
+    assert got == want  # ...and the re-run converges exactly
