@@ -1270,14 +1270,23 @@ def cosine_knn_ivf_probe_dir(
     broadcast centroid relation; the routed list ids are collected
     driver-side (bounded ≤ n_lists ints — same idiom as the banded
     dedup stores) and only those ``_list=K`` subtrees enter the file
-    index (``sources.readers.read_partition_subtrees``). Results are
-    identical to the in-memory probe at the same parameters (pinned by
+    index (``sources.readers.read_partition_subtrees``). When a
+    two-tier streamed index is being maintained
+    (``stream_ivf_index_append(list_major=True)`` lands each batch
+    batch-major in ``<postings_dir>_recent`` until
+    ``roll_recent_into_store`` moves it), the probe also reads the
+    recent tail filtered to the probed lists — vectors stay searchable
+    one trigger after arrival without paying the per-list landing
+    commit per trigger. Results are identical to the in-memory probe
+    at the same parameters (pinned by
     ``test_knn_ivf_probe_dir_equals_probe``); a query whose probed
     lists are all empty contributes no rows, exactly like the
     in-memory probe."""
     from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
         read_partition_subtrees,
+        union_partition_tiers,
     )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
 
     c = spark.read.parquet(centroids_dir)
     q = queries.select(
@@ -1287,6 +1296,13 @@ def cosine_knn_ivf_probe_dir(
     try:
         lists = [r[0] for r in probes.select("_list").distinct().collect()]
         e = read_partition_subtrees(spark, postings_dir, "_list", lists)
+        recent_dir = postings_dir.rstrip("/") + "_recent"
+        fs, hrecent = _hadoop_fs(spark, recent_dir)
+        if fs.exists(hrecent) and fs.listStatus(hrecent):
+            recent = spark.read.parquet(recent_dir).filter(
+                F.col("_list").isin(lists)
+            )
+            e = union_partition_tiers(e, recent, "_list")
         if e is None:
             empty = _ivf_score_probes(
                 spark.createDataFrame(

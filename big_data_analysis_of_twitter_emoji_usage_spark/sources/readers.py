@@ -104,3 +104,20 @@ def read_partition_subtrees(
     if not paths:
         return None
     return spark.read.option("basePath", root).parquet(*paths)
+
+
+def union_partition_tiers(
+    main: DataFrame | None, recent: DataFrame, key_col: str
+) -> DataFrame:
+    """Union a partition-major history tier with a batch-major recent
+    tail (the r11 two-tier store shape): the key column is
+    partition-inferred (int) on the main side and a computed long on
+    the recent side, so both are cast before the unionByName. ``main``
+    is None before the first roll."""
+    from pyspark.sql import functions as F
+
+    recent = recent.withColumn(key_col, F.col(key_col).cast("long"))
+    if main is None:
+        return recent
+    main = main.withColumn(key_col, F.col(key_col).cast("long"))
+    return main.select(recent.columns).unionByName(recent)

@@ -588,16 +588,13 @@ def _read_bucket_subtrees(
 def _two_tier(
     main: DataFrame | None, recent: DataFrame, bucket_col: str
 ) -> DataFrame:
-    """Union the bucket-major history tier with the batch-major recent
-    tail (two-tier store, r11): the bucket column is partition-inferred
-    (int) on the main side and a computed long on the recent side, so
-    both are cast before the unionByName. ``main`` is None before the
-    first roll."""
-    recent = recent.withColumn(bucket_col, F.col(bucket_col).cast("long"))
-    if main is None:
-        return recent
-    main = main.withColumn(bucket_col, F.col(bucket_col).cast("long"))
-    return main.select(recent.columns).unionByName(recent)
+    """Thin alias over ``sources.readers.union_partition_tiers``
+    (shared with the two-tier streamed IVF postings probe)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        union_partition_tiers,
+    )
+
+    return union_partition_tiers(main, recent, bucket_col)
 
 
 def stream_near_dedup_minhash(
@@ -1216,14 +1213,17 @@ def stream_ivf_index_append(
     vector is searchable one trigger after it arrives, with no index
     rebuild ever. Re-centering (new centroids for a drifted corpus)
     is an explicit offline rebuild, exactly like re-bucketing a dedup
-    store. ``list_major`` (r11) lands the postings under
-    ``_list=K/batch_id=N`` instead of ``batch_id=N`` flat — the
-    ``write_ivf_index`` layout, so the accumulated streamed index is
-    directly probeable by ``cosine_knn_ivf_probe_dir`` (probed-lists-
-    only reads); like the dedup stores, the landing layout is a
-    store-lifetime contract enforced by a ``_layout.json`` marker and
-    ``consolidate_bucket_history`` is the between-drives maintenance
-    loop (one batch dir per list after each cycle).
+    store. ``list_major`` (r11) maintains the TWO-TIER
+    ``write_ivf_index`` layout: each batch lands batch-major in
+    ``<postings_dir>_recent`` (one cheap dir per trigger — landing
+    straight into per-list dirs pays the dynamic-overwrite commit per
+    touched list per trigger), ``cosine_knn_ivf_probe_dir`` probes
+    history ∪ recent so vectors stay searchable one trigger after
+    arrival, and the between-drives maintenance loop is
+    ``roll_recent_into_store(postings_dir, "_list")`` +
+    ``consolidate_bucket_history`` (one batch dir per list after each
+    cycle). Like the dedup stores, the landing layout is a
+    store-lifetime contract enforced by a ``_layout.json`` marker.
     Returns the accumulated postings (batch_id dropped).
     """
     from pyspark.errors import AnalysisException
@@ -1258,18 +1258,21 @@ def stream_ivf_index_append(
             .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
         )
         if list_major:
-            # list-major landing (r11): _list=K/batch_id=N via dynamic
-            # partition overwrite (replays rewrite exactly their own
-            # (list, batch) leaves), so the accumulated postings are
-            # directly probeable by cosine_knn_ivf_probe_dir — the
-            # probed-lists-only read that bounds probe IO to the
-            # probed fraction of the corpus (measured 10.2× byte
-            # reduction at 2M vectors / sqrt-rule lists; SCALE.md r11)
-            postings.withColumn("batch_id", F.lit(bid)).write.mode(
-                "overwrite"
-            ).option("partitionOverwriteMode", "dynamic").partitionBy(
-                "_list", "batch_id"
-            ).parquet(postings_dir)
+            # two-tier list-major maintenance (r11): the batch lands
+            # batch-major in <postings_dir>_recent (ONE cheap dir —
+            # a dynamic-overwrite landing straight into _list=K dirs
+            # pays ~17 ms of commit per touched list PER TRIGGER, the
+            # same disease the dedup stores' two-tier landing cures);
+            # cosine_knn_ivf_probe_dir unions the recent tail with the
+            # list-major history, and roll_recent_into_store +
+            # consolidate_bucket_history (between drives) move it into
+            # _list=K/batch_id=N — the probed-lists-only layout that
+            # bounds probe IO to the probed fraction of the corpus
+            # (measured 10.2× byte reduction at 2M vectors /
+            # sqrt-rule lists; SCALE.md r11)
+            write_batch_idempotent(
+                postings, bid, postings_dir.rstrip("/") + "_recent"
+            )
         else:
             write_batch_idempotent(postings, bid, postings_dir)
 
@@ -1281,6 +1284,28 @@ def stream_ivf_index_append(
     )
     query.awaitTermination()
     try:
+        if list_major:
+            from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+                union_partition_tiers,
+            )
+            from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
+
+            fs, hroot = _hadoop_fs(spark, postings_dir)
+            main = (
+                spark.read.parquet(postings_dir)
+                if any(
+                    s.isDirectory()
+                    and s.getPath().getName().startswith("_list=")
+                    for s in fs.listStatus(hroot)
+                )
+                else None
+            )
+            recent = spark.read.parquet(
+                postings_dir.rstrip("/") + "_recent"
+            )
+            return union_partition_tiers(main, recent, "_list").drop(
+                "batch_id"
+            )
         return spark.read.parquet(postings_dir).drop("batch_id")
     except AnalysisException as exc:
         if not (

@@ -1042,27 +1042,51 @@ def test_stream_ivf_list_major_probeable_by_probe_dir(
         )
 
     postings = drive(list_major=True)
-    # layout: _list=K top dirs, batch_id=N leaves inside
-    ldirs = [d for d in os.listdir(pdir) if d.startswith("_list=")]
-    assert ldirs
-    assert any(
-        d.startswith("batch_id=")
-        for d in os.listdir(os.path.join(pdir, ldirs[0]))
-    )
+    # two-tier layout: triggers land batch-major in the recent tail
+    recents = [
+        d
+        for d in os.listdir(pdir + "_recent")
+        if d.startswith("batch_id=")
+    ]
+    assert len(recents) == 4
     queries = emb.filter(F.col("vec_id") < 10)
-    got = sorted(
-        tuple(r)
-        for r in cosine_knn_ivf_probe_dir(
-            spark, cdir, pdir, queries, k=3, nprobe=8
-        ).collect()
-    )
     want = sorted(
         tuple(r)
         for r in cosine_knn_ivf_probe(
             spark.read.parquet(cdir), postings, queries, k=3, nprobe=8
         ).collect()
     )
+    # probe_dir PRE-roll: history tier empty, recent tail carries all
+    got = sorted(
+        tuple(r)
+        for r in cosine_knn_ivf_probe_dir(
+            spark, cdir, pdir, queries, k=3, nprobe=8
+        ).collect()
+    )
     assert got == want and len(got) == 30
+    # maintenance: roll + consolidate -> _list=K/batch_id=N history,
+    # empty recent tail; probe_dir result unchanged
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        consolidate_bucket_history,
+        roll_recent_into_store,
+    )
+
+    assert roll_recent_into_store(spark, pdir, "_list")["batches_rolled"] == 4
+    consolidate_bucket_history(spark, pdir)
+    ldirs = [d for d in os.listdir(pdir) if d.startswith("_list=")]
+    assert ldirs
+    assert not [
+        d
+        for d in os.listdir(pdir + "_recent")
+        if d.startswith("batch_id=")
+    ]
+    got2 = sorted(
+        tuple(r)
+        for r in cosine_knn_ivf_probe_dir(
+            spark, cdir, pdir, queries, k=3, nprobe=8
+        ).collect()
+    )
+    assert got2 == want
     # layout is a store-lifetime contract: flat resume refused
     with pytest.raises(ValueError, match="store-lifetime"):
         drive(list_major=False)
