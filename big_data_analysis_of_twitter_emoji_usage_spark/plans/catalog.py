@@ -4717,6 +4717,10 @@ _GATE_FRONT = {
     "dedup_embedding_cross": dedup_embedding_cross_q,
     "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
     "knn_join_emb": knn_join_emb_q,
+    # knn_join_emb_ivf's probe plan changed this round too (the query
+    # self-norm moved below the centroid fan-out) — the rotation rule
+    # pulls it back into the gate the round the change lands
+    "knn_join_emb_ivf": knn_join_emb_ivf_q,
     # ---- r8 drain head (pre-declared at the r10 window boundary):
     # the 16 r8-attested leftovers — after this round no ledger row is
     # older than r9. ----
@@ -4736,9 +4740,9 @@ _GATE_FRONT = {
     "q1_top_emojis": q1_top_emojis,
     "q7_events_early": q7_events_early,
     "q2_stream_top_words": q2_stream_top_words,
-    # ---- r9 drain (oldest-first): the 23 oldest remaining
+    # ---- r9 drain (oldest-first): the 22 oldest remaining
     # r9-attested rows fill the window to exactly 50; the
-    # 18 youngest r9 rows (listed at the top of
+    # 19 youngest r9 rows (listed at the top of
     # _PROVEN) plus the oldest r10 rows are the r12 drain head. ----
     "stream_decontam_join": stream_decontam_join,
     "dedup_cross_pairs": dedup_cross_pairs_q,
@@ -4762,12 +4766,11 @@ _GATE_FRONT = {
     "event_value_percentiles_sketch": event_value_percentiles_sketch,
     "bucketed_join_events": bucketed_join_events,
     "event_distinct_users_sketch": event_distinct_users_sketch,
-    "event_top_users_sketch": event_top_users_sketch,
 }
 
 # r11 keeps the standing sentinel-block suspension: 2 new + 2 reshaped
 # + 7 plan-changed + the full 16-row r8 drain head + 24 r9 rows
-# fill the window exactly (2 + 2 + 7 + 16 + 23 = 50), and every
+# fill the window exactly (2 + 2 + 8 + 16 + 22 = 50), and every
 # operator class a sentinel would re-attest is represented (emoji
 # kernel by q1_emoji_kernel_synth/q1_top_emojis, events by the
 # partitioned/sketch/percentile rows, streaming by
@@ -4779,7 +4782,7 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r11. ----
-    # The r12 drain head, pre-declared, is the 18
+    # The r12 drain head, pre-declared, is the 19
     # youngest r9-attested rows below (oldest-first), then the oldest
     # r10 rows. RULE (rotation invariant): any entry whose PLAN
     # changes behind the window — an operator edit that alters the
@@ -4788,6 +4791,7 @@ _PROVEN = {
     # drain; with 115 queries in a 50-slot window the steady-state
     # staleness floor is 2 rounds, and it holds iff each round drains
     # its pre-declared head. ----
+    "event_top_users_sketch": event_top_users_sketch,
     "stream_sessionize_native": stream_sessionize_native,
     "dedup_simhash": dedup_simhash_q,
     "dedup_simhash_pairs": dedup_simhash_pairs_q,
@@ -4808,7 +4812,6 @@ _PROVEN = {
     "text_fingerprint": text_fingerprint_q,
     # ---- driver-attested green in r10 (CORRECTNESS_r10 window),
     # oldest-first for the r12+ rotation ----
-    "knn_join_emb_ivf": knn_join_emb_ivf_q,
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
     "vocab_top_tokens": vocab_top_tokens_q,
