@@ -309,13 +309,14 @@ def consolidate_bucket_history(
     spark: SparkSession,
     root: str,
     min_batch_dirs: int = 2,
+    shuffle: bool = True,
 ) -> dict:
     """History consolidation for bucket-major streaming-store layouts
     (``<root>/<col>=K/batch_id=N/...`` — the r11 dedup band/payload
     stores and list-major IVF postings): merge every bucket's batch
     dirs into ONE (a fresh ``batch_id`` strictly below every existing
     id, so probes' ``batch_id <= bid`` replay filters keep merged
-    history visible) with one file per bucket.
+    history visible).
 
     WHY: per-trigger rolls accumulate ``batch_id`` subdirs inside each
     bucket, so the direct-path probes' touched-subtree listing grows
@@ -329,16 +330,28 @@ def consolidate_bucket_history(
     (Spark permits self-overwrite under dynamic mode because only the
     freshly-written ``batch_id`` leaves are replaced), then the old
     batch dirs are deleted driver-side (O(dirs) cheap FS calls).
-    Crash-safe without a swap: a crash between write and deletes
-    leaves rows present twice (merged leaf + original dirs), which
-    probes tolerate (DISTINCT candidate/drop sets, pair-aggregated
-    verify) and the re-run REPAIRS exactly — store rows are unique by
-    construction (one row per id / per (id, band)), so the merge's
-    ``dropDuplicates()`` collapses crash-window copies and the
-    converged store is bit-equal to the no-crash result. Run between
-    drives (after ``awaitTermination`` all landed batches are
-    committed; a committed batch is never replayed, so merging cannot
-    collide with a landing)."""
+    ``shuffle=True`` repartitions on the bucket column for exactly one
+    file per merged leaf; ``shuffle=False`` skips that exchange — the
+    input files are already bucket-aligned, so each leaf gets one file
+    per scan task that held the bucket's rows (a few, not one) and a
+    10 GB-of-arrays store consolidates without spilling a
+    wide-row shuffle (measured: the payload store's shingle-array
+    shuffle exceeded local scratch at the 20M-doc decade).
+
+    Crash-safe via a PENDING marker, not a swap:
+    ``<root>/.__consolidate_pending__`` is created before the merge
+    write and removed after the old-dir deletes, so a crash anywhere
+    between leaves the marker behind; rows may then exist twice
+    (merged leaf + original dirs), which probes tolerate (DISTINCT
+    candidate/drop sets, pair-aggregated verify), and the NEXT run
+    sees the marker and adds a ``dropDuplicates()`` pass (after
+    dropping the ``batch_id`` dir column — the copies differ only
+    there) that restores the store bit-exactly: store rows are unique
+    by construction (one row per id / per (id, band)), so the dedup
+    pass is sound and is paid ONLY on recovery runs, never on the
+    routine path. Run between drives (after ``awaitTermination`` all
+    landed batches are committed; a committed batch is never replayed,
+    so merging cannot collide with a landing)."""
     fs, hroot = _hadoop_fs(spark, root)
     jvm = spark.sparkContext._jvm
     Path = jvm.org.apache.hadoop.fs.Path
@@ -346,6 +359,8 @@ def consolidate_bucket_history(
         raise FileNotFoundError(
             f"consolidate_bucket_history: no such dir {root}"
         )
+    pending = Path(f"{root.rstrip('/')}/.__consolidate_pending__")
+    recovering = fs.exists(pending)
     per = {}
     for s in fs.listStatus(hroot):
         n = s.getPath().getName()
@@ -360,17 +375,27 @@ def consolidate_bucket_history(
         "buckets": len(per),
         "batch_dirs_before": sum(len(v) for v in per.values()),
         "consolidated": False,
+        "recovering": recovering,
     }
     if not per or max(len(v) for v in per.values()) < min_batch_dirs:
+        if recovering and per:
+            # a crash after the deletes had finished all merging work;
+            # nothing left to merge — just clear the marker
+            fs.delete(pending, False)
+            stats["recovering"] = False
         return stats
     bcol = next(iter(per)).split("=", 1)[0]
     v = min(i for ids in per.values() for i in ids) - 1
+    fs.create(pending, True).close()
+    df = spark.read.parquet(root).drop("batch_id")
+    if recovering:
+        # copies from a crashed merge differ only in their (dropped)
+        # batch_id dir — collapse them; paid only on recovery runs
+        df = df.dropDuplicates()
+    if shuffle:
+        df = df.repartition(bcol)  # one file per merged bucket leaf
     (
-        spark.read.parquet(root)
-        .drop("batch_id")  # BEFORE dropDuplicates: crash-window copies
-        .dropDuplicates()  # differ only in their batch_id dir
-        .withColumn("batch_id", F.lit(v))
-        .repartition(bcol)  # one file per merged bucket leaf
+        df.withColumn("batch_id", F.lit(v))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(bcol, "batch_id")
@@ -379,6 +404,7 @@ def consolidate_bucket_history(
     for name, ids in per.items():
         for i in ids:
             fs.delete(Path(f"{root.rstrip('/')}/{name}/batch_id={i}"), True)
+    fs.delete(pending, False)
     stats.update(consolidated=True, merged_into=v)
     return stats
 

@@ -1221,7 +1221,9 @@ def test_consolidate_bucket_history_crash_window_converges(
     )
     consolidate_bucket_history(spark, bands)
     # simulate the crash window: the merged leaf AND a stale copy of it
-    # under the old batch id coexist (every merged row present twice)
+    # under the old batch id coexist (every merged row present twice),
+    # and the pending marker — created BEFORE any merge write, removed
+    # only after the old-dir deletes — is still on disk
     bucket = next(b for b in os.listdir(bands) if b.startswith("_bkt="))
     merged = next(
         d
@@ -1232,13 +1234,18 @@ def test_consolidate_bucket_history_crash_window_converges(
         os.path.join(bands, bucket, merged),
         os.path.join(bands, bucket, "batch_id=3"),
     )
+    open(os.path.join(bands, ".__consolidate_pending__"), "w").close()
     dup = sorted(
         map(tuple, spark.read.parquet(bands).drop("_bkt", "batch_id").collect())
     )
     assert len(dup) > len(want)  # the window is visible...
     stats = consolidate_bucket_history(spark, bands)
-    assert stats["consolidated"] is True
+    assert stats["consolidated"] is True and stats["recovering"] is True
     got = sorted(
         map(tuple, spark.read.parquet(bands).drop("_bkt", "batch_id").collect())
     )
     assert got == want  # ...and the re-run converges exactly
+    assert not os.path.exists(os.path.join(bands, ".__consolidate_pending__"))
+    # routine (non-recovery) runs never pay the dedup pass
+    again = consolidate_bucket_history(spark, bands)
+    assert again["recovering"] is False
