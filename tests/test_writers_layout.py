@@ -272,3 +272,49 @@ def test_compact_partitioned_sweeps_leaves_independently(spark, tmp_path):
     assert stats["files_after"] == 3  # one per partition at a huge target
     after = sorted(tuple(r) for r in spark.read.parquet(root).collect())
     assert after == before
+
+
+def test_compact_partitioned_hidden_path_conventions(spark, tmp_path):
+    """ADVICE r10: the '=' exemption in the compaction walker applies
+    ONLY to underscore-prefixed names (Spark's own file-index rule for
+    partition dirs of underscore-named columns like _bkt=K); a
+    DOT-prefixed dir containing '=' is always hidden to Spark, so a
+    dot-named staging dir that happens to contain '=' must never be
+    compacted as data — and underscore partition dirs must still be
+    walked."""
+    import os
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        compact_partitioned_parquet,
+    )
+
+    root = str(tmp_path / "parted")
+    df = spark.range(300).select(
+        (F.col("id") % 2).alias("_bkt"), F.col("id").alias("k")
+    )
+    df.repartition(4).write.mode("overwrite").partitionBy("_bkt").parquet(root)
+    # a dot-prefixed staging dir containing '=' beside the data, with a
+    # stray parquet file inside — hidden to Spark, must stay untouched
+    trap = os.path.join(root, ".staging_run=1")
+    os.makedirs(trap)
+    part = next(
+        f
+        for f in os.listdir(os.path.join(root, "_bkt=0"))
+        if f.endswith(".parquet")
+    )
+    import shutil
+
+    shutil.copy2(
+        os.path.join(root, "_bkt=0", part), os.path.join(trap, part)
+    )
+    trap_before = sorted(os.listdir(trap))
+
+    stats = compact_partitioned_parquet(spark, root, target_file_bytes=1 << 30)
+    # underscore partition dirs walked and compacted...
+    assert stats["partitions"] == 2 and stats["partitions_compacted"] == 2
+    # ...the dot-prefixed '='-named staging dir untouched
+    assert sorted(os.listdir(trap)) == trap_before
+    assert sorted(
+        tuple(r)
+        for r in spark.read.parquet(root).select("_bkt", "k").collect()
+    ) == sorted(tuple(r) for r in df.select("_bkt", "k").collect())
