@@ -1304,13 +1304,35 @@ def cosine_knn_ivf_probe_dir(
             )
             e = union_partition_tiers(e, recent, "_list")
         if e is None:
-            empty = _ivf_score_probes(
-                spark.createDataFrame(
-                    [], "neighbor_id long, cv array<double>, _cn double, _list long"
+            # derive the posting schema from ANY existing list dir so
+            # the empty result's neighbor_id type matches non-empty
+            # batches even for non-long id columns; a fully empty
+            # store falls back to the long-id default
+            _, hroot = _hadoop_fs(spark, postings_dir)
+            first = next(
+                (
+                    s.getPath()
+                    for s in (
+                        fs.listStatus(hroot) if fs.exists(hroot) else []
+                    )
+                    if s.isDirectory()
+                    and s.getPath().getName().startswith("_list=")
                 ),
-                probes,
-                k,
+                None,
             )
+            if first is not None:
+                e = (
+                    spark.read.option("basePath", postings_dir)
+                    .parquet(str(first.toUri().getPath()))
+                    .limit(0)
+                )
+            else:
+                e = spark.createDataFrame(
+                    [],
+                    "neighbor_id long, cv array<double>, _cn double, "
+                    "_list long",
+                )
+            empty = _ivf_score_probes(e, probes, k)
             return spark.createDataFrame([], empty.schema)
         out = _ivf_score_probes(e, probes, k)
         # materialize before unpersisting the routed probes (they feed

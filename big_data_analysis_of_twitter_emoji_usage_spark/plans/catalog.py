@@ -4768,9 +4768,9 @@ _GATE_FRONT = {
     "event_distinct_users_sketch": event_distinct_users_sketch,
 }
 
-# r11 keeps the standing sentinel-block suspension: 2 new + 2 reshaped
+# r11 keeps the standing sentinel-block suspension: 2 new + 3 reshaped
 # + 7 plan-changed + the full 16-row r8 drain head + 24 r9 rows
-# fill the window exactly (2 + 2 + 8 + 16 + 22 = 50), and every
+# fill the window exactly (2 + 3 + 7 + 16 + 22 = 50), and every
 # operator class a sentinel would re-attest is represented (emoji
 # kernel by q1_emoji_kernel_synth/q1_top_emojis, events by the
 # partitioned/sketch/percentile rows, streaming by
@@ -4788,7 +4788,7 @@ _PROVEN = {
     # changes behind the window — an operator edit that alters the
     # physical plan even with bit-identical results — must re-enter
     # _GATE_FRONT the round the change lands, ahead of the staleness
-    # drain; with 115 queries in a 50-slot window the steady-state
+    # drain; with 116 queries in a 50-slot window the steady-state
     # staleness floor is 2 rounds, and it holds iff each round drains
     # its pre-declared head. ----
     "event_top_users_sketch": event_top_users_sketch,

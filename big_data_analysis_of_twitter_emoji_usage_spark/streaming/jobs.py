@@ -486,10 +486,23 @@ _STORE_LAYOUT_FILE = "_layout.json"
 _STORE_LAYOUT_VERSION = 2
 
 
+def _marker_io(spark: SparkSession, store_dir: str):
+    """(fs, marker Path, Path ctor) for the store's layout marker —
+    through the Hadoop FileSystem, NOT driver-local os/open: a
+    local-only check silently never engages on HDFS/object stores,
+    turning the fail-fast layout gate into a no-op exactly where
+    stores are big enough for a silent mis-probe to matter."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, store_dir)
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    return fs, jpath(f"{store_dir.rstrip('/')}/{_STORE_LAYOUT_FILE}"), jpath
+
+
 def write_store_layout_marker(
-    store_dir: str, kind: str, store_buckets: int | None
+    spark: SparkSession, store_dir: str, kind: str, store_buckets: int | None
 ) -> None:
-    """Persist the accumulating dedup store's layout contract as
+    """Persist the accumulating dedup/index store's layout contract as
     ``<store_dir>/_layout.json`` (underscore-prefixed, so Spark's file
     index never reads it as data). The banded layout (``store_buckets``)
     is a STORE-LIFETIME choice: resuming a flat-written store with
@@ -499,23 +512,39 @@ def write_store_layout_marker(
     relying on a docstring (same fail-fast posture as ``get_spark``
     rejecting a typo'd ``state_store``). Call this yourself when
     seeding a store from batch-built ``build_minhash_store`` /
-    ``build_signbucket_store`` output. Marker IO is plain local-file
-    (the drives own their store dirs on the checkpoint filesystem); a
-    port to an object store swaps these few lines for its client."""
-    os.makedirs(store_dir, exist_ok=True)
-    with open(os.path.join(store_dir, _STORE_LAYOUT_FILE), "w") as fh:
-        json.dump(
+    ``build_signbucket_store`` output. Marker IO goes through the
+    Hadoop FileSystem, so the gate engages on any store FS Spark can
+    reach."""
+    fs, marker, _ = _marker_io(spark, store_dir)
+    fs.mkdirs(marker.getParent())
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(json.dumps(
             {
                 "layout_version": _STORE_LAYOUT_VERSION,
                 "kind": kind,
                 "store_buckets": store_buckets,
-            },
-            fh,
-        )
+            }
+        ).encode()))
+    finally:
+        out.close()
+
+
+def _read_store_layout_marker(spark: SparkSession, store_dir: str) -> dict:
+    fs, marker, _ = _marker_io(spark, store_dir)
+    st = fs.open(marker)
+    try:
+        buf, b = [], st.read()
+        while b != -1:  # marker is ~80 bytes; byte-wise py4j read is fine
+            buf.append(b)
+            b = st.read()
+    finally:
+        st.close()
+    return json.loads(bytes(buf).decode())
 
 
 def _enforce_store_layout(
-    store_dir: str, kind: str, store_buckets: int | None
+    spark: SparkSession, store_dir: str, kind: str, store_buckets: int | None
 ) -> None:
     """Drive-start layout gate: first use writes the marker; every
     later drive (or resume) must present the SAME kind and bucket
@@ -523,15 +552,14 @@ def _enforce_store_layout(
     be either layout — rebuild it, or ``write_store_layout_marker`` if
     you know which; pre-v2 stores also predate the stored verify
     columns, so a rebuild is the correct migration)."""
-    marker = os.path.join(store_dir, _STORE_LAYOUT_FILE)
+    fs, marker, jpath = _marker_io(spark, store_dir)
     expected = {
         "layout_version": _STORE_LAYOUT_VERSION,
         "kind": kind,
         "store_buckets": store_buckets,
     }
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            got = json.load(fh)
+    if fs.exists(marker):
+        got = _read_store_layout_marker(spark, store_dir)
         if got != expected:
             raise ValueError(
                 f"dedup store layout mismatch at {store_dir}: the store "
@@ -540,14 +568,21 @@ def _enforce_store_layout(
                 "store-lifetime contract — rebuild the store to change it."
             )
         return
+
+    def _nonempty(path: str) -> bool:
+        p = jpath(path)
+        if not fs.exists(p):
+            return False
+        return any(
+            s.getPath().getName() != _STORE_LAYOUT_FILE
+            for s in fs.listStatus(p)
+        )
+
     siblings = [
         store_dir.rstrip("/") + sfx
         for sfx in ("_recent", "_bands", "_bands_recent")
     ]
-    if (
-        os.path.isdir(store_dir)
-        and any(e != _STORE_LAYOUT_FILE for e in os.listdir(store_dir))
-    ) or any(os.path.isdir(s) for s in siblings):
+    if _nonempty(store_dir) or any(_nonempty(s) for s in siblings):
         raise ValueError(
             f"dedup store at {store_dir} has no _layout.json marker "
             "(pre-r11 store?): its layout cannot be verified against "
@@ -556,7 +591,7 @@ def _enforce_store_layout(
             "know its layout matches (pre-v2 stores lack the stored "
             "verify columns and should be rebuilt)."
         )
-    write_store_layout_marker(store_dir, kind, store_buckets)
+    write_store_layout_marker(spark, store_dir, kind, store_buckets)
 
 
 def _read_bucket_subtrees(
@@ -727,7 +762,7 @@ def stream_near_dedup_minhash(
 
     hcols = [f"h{i}" for i in range(num_hashes)]
     bands_dir = store_dir.rstrip("/") + "_bands"
-    _enforce_store_layout(store_dir, "minhash", store_buckets)
+    _enforce_store_layout(spark, store_dir, "minhash", store_buckets)
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
         # the per-batch state IS one build_minhash_store increment —
@@ -780,21 +815,23 @@ def stream_near_dedup_minhash(
                 bdf.join(dropped, id_col, "left_anti"), bid, out_dir
             )
             return
-        # Banded (bucket-major) layout: state and band rows land under
-        # <bucket>=K/batch_id=N via DYNAMIC partition overwrite — a
-        # checkpoint replay rewrites exactly its own (bucket, batch)
-        # leaves (the bucket of a row is deterministic), so landings
-        # stay exactly-once at the file level without a batch-major
-        # dir. Probes then read ONLY the touched bucket subtrees by
-        # direct path (_read_bucket_subtrees) — the r10 batch-major
-        # layout pruned the SCAN with a literal IN on _bkt but still
-        # paid a full partition discovery of all ~store_buckets dirs
-        # per read (measured ~7 s at B=4096, dominating the probe;
-        # SCALE.md r11), which bucket-major listing removes. The
-        # per-trigger driver work stays bounded: one collect of the
-        # batch's ≤ store_buckets band buckets, one of the candidates'
-        # ≤ store_buckets payload buckets, and ≤ store_buckets FS
-        # existence checks per probe.
+        # Banded (two-tier bucket-major) layout: each batch lands
+        # BATCH-MAJOR in the _recent tails (one per-batch overwrite
+        # dir — write_batch_idempotent, so a checkpoint replay
+        # rewrites its own dir and landings stay exactly-once at the
+        # file level) and the maintenance roll moves committed tails
+        # into <bucket>=K/batch_id=N history (landing there directly
+        # would pay the dynamic-overwrite commit per touched dir per
+        # trigger; SCALE.md r11). Probes read ONLY the touched bucket
+        # subtrees of the history tier by direct path
+        # (_read_bucket_subtrees) plus the small recent tail — the r10
+        # batch-major layout pruned the SCAN with a literal IN on _bkt
+        # but still paid a full partition discovery of all
+        # ~store_buckets dirs per read (measured ~7 s at B=4096,
+        # dominating the probe). The per-trigger driver work stays
+        # bounded: one collect of the batch's ≤ store_buckets band
+        # buckets, one of the candidates' ≤ store_buckets payload
+        # buckets, and ≤ store_buckets FS existence checks per probe.
         state = state.persist()
         write_batch_idempotent(
             state.withColumn(
@@ -996,7 +1033,7 @@ def stream_near_dedup_embedding(
     from pyspark.errors import AnalysisException
 
     bands_dir = store_dir.rstrip("/") + "_bands"
-    _enforce_store_layout(store_dir, "signbucket", store_buckets)
+    _enforce_store_layout(spark, store_dir, "signbucket", store_buckets)
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
         # one build_signbucket_store increment — batch-built reference
@@ -1044,11 +1081,12 @@ def stream_near_dedup_embedding(
                 bdf.join(dropped, id_col, "left_anti"), bid, out_dir
             )
             return
-        # Banded (bucket-major) layout — same shape as the MinHash
-        # twin: dynamic-partition-overwrite landings under
-        # <bucket>=K/batch_id=N, probes by direct path over the touched
-        # bucket subtrees only (_read_bucket_subtrees; the batch-major
-        # r10 layout paid a full ~store_buckets-dir discovery per read).
+        # Banded (two-tier bucket-major) layout — same shape as the
+        # MinHash twin: batch-major _recent landings per trigger,
+        # rolled into <bucket>=K/batch_id=N history by maintenance,
+        # probes by direct path over the touched bucket subtrees of
+        # history plus the recent tail (see the MinHash twin's branch
+        # comment for the measured whys).
         state = state.persist()
         write_batch_idempotent(
             state.withColumn(
@@ -1235,6 +1273,7 @@ def stream_ivf_index_append(
     )
 
     _enforce_store_layout(
+        spark,
         postings_dir,
         "ivf_postings_list_major" if list_major else "ivf_postings",
         None,
@@ -1293,16 +1332,40 @@ def stream_ivf_index_append(
             fs, hroot = _hadoop_fs(spark, postings_dir)
             main = (
                 spark.read.parquet(postings_dir)
-                if any(
+                if fs.exists(hroot)
+                and any(
                     s.isDirectory()
                     and s.getPath().getName().startswith("_list=")
                     for s in fs.listStatus(hroot)
                 )
                 else None
             )
-            recent = spark.read.parquet(
-                postings_dir.rstrip("/") + "_recent"
+            recent_dir = postings_dir.rstrip("/") + "_recent"
+            rfs, hrecent = _hadoop_fs(spark, recent_dir)
+            # a rolled tail is an EMPTY dir (roll deletes the batch
+            # dirs): reading it would raise UNABLE_TO_INFER_SCHEMA and
+            # the empty-source fallback below would silently discard
+            # the _list=K history — guard it and return main alone
+            recent = (
+                spark.read.parquet(recent_dir)
+                if rfs.exists(hrecent)
+                and any(
+                    s.isDirectory()
+                    and s.getPath().getName().startswith("batch_id=")
+                    for s in rfs.listStatus(hrecent)
+                )
+                else None
             )
+            if recent is None:
+                if main is None:
+                    # neither tier has data yet: funnel into the
+                    # empty-source fallback below (same contract)
+                    raise AnalysisException(
+                        f"PATH_NOT_FOUND: no postings under {postings_dir}"
+                    )
+                return main.withColumn(
+                    "_list", F.col("_list").cast("long")
+                ).drop("batch_id")
             return union_partition_tiers(main, recent, "_list").drop(
                 "batch_id"
             )

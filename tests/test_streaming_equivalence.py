@@ -932,12 +932,12 @@ def test_stream_near_dedup_payload_scan_prunes_to_candidate_buckets(
 
 
 def test_stream_near_dedup_banded_survives_empty_batch(spark, sf_dir, tmp_path):
-    """A zero-row micro-batch under the banded layout lands an EMPTY
-    partitioned bands dir (partitionBy writes no part files for no
-    rows), which the per-batch re-read cannot infer a schema from —
-    the guard must land the empty keeper set and keep the drive alive,
-    and a later real batch must still dedup correctly against the
-    store (the empty batch_id dir is ignored by partition listing)."""
+    """A zero-row micro-batch under the banded two-tier layout lands a
+    schema-carrying empty file in the _recent tails and its band
+    collect comes back empty — the `if not bkts` guard must land the
+    empty keeper set and keep the drive alive, and a later real batch
+    must still dedup correctly against the store (the empty recent
+    batch contributes no band or payload rows)."""
     import shutil
 
     from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
@@ -1249,3 +1249,56 @@ def test_consolidate_bucket_history_crash_window_converges(
     # routine (non-recovery) runs never pay the dedup pass
     again = consolidate_bucket_history(spark, bands)
     assert again["recovering"] is False
+
+
+def test_stream_ivf_list_major_post_roll_resume_keeps_history(
+    spark, sf_dir, tmp_path
+):
+    """Review find (r11): after the maintenance roll empties the
+    recent tail, a resume over an already-drained source (zero new
+    triggers) must return the _list=K history — the empty recent dir
+    must not funnel into the empty-source fallback and silently
+    discard the index."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        ivf_assignments,
+        select_ivf_centroids,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_embeddings_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        roll_recent_into_store,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_ivf_index_append,
+    )
+
+    staged = _ordered_embeddings_stream_dir(sf_dir)
+    cdir = str(tmp_path / "cent")
+    pdir = str(tmp_path / "post")
+    emb = load_table(spark, sf_dir, "embeddings")
+    c, _ = ivf_assignments(emb, select_ivf_centroids(emb, "vec_id", 8))
+    c.write.parquet(cdir)
+    schema = spark.read.parquet(staged).schema
+
+    def drive():
+        stream = spark.readStream.schema(schema).parquet(staged)
+        return stream_ivf_index_append(
+            spark,
+            stream,
+            centroids_dir=cdir,
+            postings_dir=pdir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            replication=2,
+            list_major=True,
+        )
+
+    n = drive().count()
+    assert n > 0
+    roll_recent_into_store(spark, pdir, "_list")
+    # resume with nothing new to process: the drained postings must be
+    # the full rolled history, not an empty frame
+    again = drive()
+    assert again.count() == n
+    assert set(again.columns) == {"neighbor_id", "cv", "_cn", "_list"}
