@@ -1251,6 +1251,124 @@ def write_ivf_index(
     ).parquet(postings_dir)
 
 
+def ivf_index_drift_stats(
+    spark, centroids_dir: str, postings_dir: str
+) -> DataFrame:
+    """Re-centering drift signal for a persisted IVF index (r12): per
+    posting list, its occupancy and the mean cosine between its
+    vectors and its centroid — ``(list_id, n_vectors, mean_cos)``.
+
+    The quantizer contract is FIXED centroids (re-centering is an
+    explicit offline rebuild, like re-bucketing a dedup store); this
+    metric tells an operator WHEN that rebuild is worth scheduling.
+    Corpus drift shows up as (a) occupancy skew — new mass landing in
+    few lists inflates probe cost for queries routed there (probe IO
+    is proportional to the probed lists' sizes) — and (b) a falling
+    mean assignment cosine — vectors sitting farther from their
+    assigned centroid degrade recall-at-nprobe (the boundary-
+    replication margin assumes assignment quality near the seed
+    corpus's). Run it beside each maintenance cycle
+    (roll/consolidate); the cost is ONE broadcast-join + aggregate
+    pass over the postings (centroids are broadcast-sized, no per-pair
+    work, no shuffle beyond the final ≤ n_lists-row aggregate), so at
+    100 TB it prices like a single columnar scan of (cv, _cn, _list).
+
+    Reads the two-tier streamed layout (history ``_list=K`` dirs ∪
+    ``<postings_dir>_recent``) or a plain ``write_ivf_index`` /
+    flat-appended store — whatever exists. Stored self-norms (``_cn``)
+    are used when present; recomputed otherwise (pre-r10 stores)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
+        union_partition_tiers,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
+
+    fs, hroot = _hadoop_fs(spark, postings_dir)
+    main = (
+        spark.read.parquet(postings_dir)
+        if fs.exists(hroot)
+        and any(
+            (s.isDirectory() and "=" in s.getPath().getName())
+            or (
+                s.isFile()
+                and s.getPath().getName().endswith(".parquet")
+            )
+            for s in fs.listStatus(hroot)
+        )
+        else None
+    )
+    recent_dir = postings_dir.rstrip("/") + "_recent"
+    rfs, hrecent = _hadoop_fs(spark, recent_dir)
+    recent = (
+        spark.read.parquet(recent_dir)
+        if rfs.exists(hrecent)
+        and any(
+            s.isDirectory() and s.getPath().getName().startswith("batch_id=")
+            for s in rfs.listStatus(hrecent)
+        )
+        else None
+    )
+    if main is None and recent is None:
+        raise FileNotFoundError(
+            f"ivf_index_drift_stats: no postings under {postings_dir}"
+        )
+    if recent is None:
+        p = main.withColumn("_list", F.col("_list").cast("long"))
+    else:
+        p = union_partition_tiers(main, recent, "_list")
+    ncol = F.col("_cn") if "_cn" in p.columns else _dot(F.col("cv"), F.col("cv"))
+    c = spark.read.parquet(centroids_dir).select(
+        F.col("_cid").cast("long").alias("_list"),
+        F.col("_cv"),
+        _dot(F.col("_cv"), F.col("_cv")).alias("_ccn"),
+    )
+    return (
+        p.select(F.col("_list").cast("long").alias("_list"), "cv", ncol.alias("_n"))
+        .join(F.broadcast(c), "_list")
+        .select(
+            "_list",
+            cosine_with_norms(
+                F.col("cv"), F.col("_cv"), F.col("_n"), F.col("_ccn")
+            ).alias("_cos"),
+        )
+        .groupBy("_list")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("_cos"), 6).alias("mean_cos"),
+        )
+        .select(F.col("_list").alias("list_id"), "n_vectors", "mean_cos")
+    )
+
+
+def ivf_drift_summary(stats: DataFrame, n_lists: int) -> dict:
+    """Driver-side rollup of ``ivf_index_drift_stats`` — the scalar
+    signal a maintenance job logs/alerts on: occupancy skew
+    (max/mean posting-list size over NON-EMPTY lists), the share of
+    empty lists, and the occupancy-weighted mean assignment cosine.
+    Rebuild guidance (SCALE.md r12 carries the measured basis): treat
+    ``occupancy_skew`` ≳ 4 or a ``mean_assign_cos`` drop of ≳ 0.05
+    from the post-build baseline as "schedule a rebuild" — both
+    regimes measurably cost probe IO or recall before they cost
+    correctness (the index stays exact-on-probed-lists regardless)."""
+    row = stats.agg(
+        F.max("n_vectors"),
+        F.avg("n_vectors"),
+        F.sum(F.col("n_vectors") * F.col("mean_cos")),
+        F.sum("n_vectors"),
+        F.count(F.lit(1)),
+        F.min("mean_cos"),
+    ).first()
+    mx, mean_n, wcos, total, nonempty, mn_cos = row
+    return {
+        "n_lists": n_lists,
+        "nonempty_lists": int(nonempty),
+        "empty_lists": n_lists - int(nonempty),
+        "occupancy_skew": float(mx) / float(mean_n),
+        "mean_assign_cos": float(wcos) / float(total),
+        "min_list_mean_cos": float(mn_cos),
+        "postings": int(total),
+    }
+
+
 def cosine_knn_ivf_probe_dir(
     spark,
     centroids_dir: str,
@@ -1321,9 +1439,14 @@ def cosine_knn_ivf_probe_dir(
                 None,
             )
             if first is not None:
+                # str(Path) preserves the filesystem scheme/authority
+                # (toUri().getPath() would strip hdfs://host, pointing
+                # the read at a wrong local-looking path) — same
+                # FS-agnostic posture as _marker_io and
+                # read_partition_subtrees
                 e = (
                     spark.read.option("basePath", postings_dir)
-                    .parquet(str(first.toUri().getPath()))
+                    .parquet(str(first))
                     .limit(0)
                 )
             else:

@@ -482,7 +482,9 @@ def _sign_lsh_keeper_sql(bits: int, tables: int, threshold: float) -> str:
     (streaming.jobs.stream_near_dedup_embedding under ordered arrival):
     keep every vector with NO smaller-id bucket-sharing partner at
     cosine >= threshold. The pair CTE is the self-join sign-LSH chain
-    with no bucket guard (the streaming twin doesn't offer one)."""
+    with no bucket guard — the streaming query runs its r12
+    ``max_bucket`` backstop NON-ENGAGING (cap 64 ≫ the fixture's max
+    occupancy), so the guardless mirror stays exact."""
     tbl_selects = " UNION ALL ".join(
         "SELECT vec_id, {t} AS t, concat({chars}) AS bk FROM embeddings".format(
             t=t,
@@ -2564,6 +2566,40 @@ def knn_ivf_persisted_q(spark, sf):
     )
 
 
+def knn_ivf_drift_q(spark, sf):
+    """The r12 re-centering drift signal over a persisted IVF index:
+    ``similarity.ivf_index_drift_stats`` — per posting list, occupancy
+    and mean assignment cosine, one broadcast-join + aggregate pass
+    over the list-major store ``write_ivf_index`` landed. This is the
+    metric a maintenance cycle logs beside roll/consolidate to decide
+    WHEN the fixed-quantizer contract warrants an offline rebuild
+    (occupancy skew inflates probe IO; falling assignment cosine
+    degrades recall-at-nprobe — thresholds in ``ivf_drift_summary``
+    and SCALE.md r12). The oracle re-derives the same relation
+    statically: md5-rank centroids, 2-way replicated assignment
+    (``knn_ivf``'s CTEs verbatim), then GROUP BY assigned list."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_drift_stats,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    scratch = tempfile.mkdtemp(prefix="spark_graft_ivf_drift_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    cdir = _os.path.join(scratch, "cent")
+    pdir = _os.path.join(scratch, "post")
+    c, p = build_ivf_index(
+        emb, n_lists=_KNN_IVF_LISTS, replication=_KNN_IVF_REPL
+    )
+    write_ivf_index(c, p, cdir, pdir)
+    return ivf_index_drift_stats(spark, cdir, pdir).orderBy("list_id")
+
+
 def knn_ivf_tree_q(spark, sf):
     """IVF ANN with the TWO-LEVEL (tree) coarse quantizer: corpus
     vectors route through isqrt(n_lists) super-centroids and score only
@@ -2952,7 +2988,12 @@ def _ordered_embeddings_stream_dir(sf: str, n_files: int = 4) -> str:
 
 
 def _ordered_table_stream_dir(
-    sf: str, table: str, id_sort_col: str, n_files: int = 4
+    sf: str,
+    table: str,
+    id_sort_col: str,
+    n_files: int = 4,
+    transform=None,
+    variant: str = "",
 ) -> str:
     """Stage a fixture table as ``n_files`` parquet files in ascending-id
     ranges with sequenced mtimes — the ordered-replay contract the
@@ -2960,7 +3001,11 @@ def _ordered_table_stream_dir(
     (the FileStreamSource admits files oldest-mtime-first under
     maxFilesPerTrigger, so id order == arrival order). Cached across
     calls with the O(1) staleness stamp idiom (``_synth_tweet_dir``):
-    size + mtime_ns + parquet-footer tail."""
+    size + mtime_ns + parquet-footer tail. ``transform`` (r12) is an
+    optional pyarrow Table→Table hook applied after the sort —
+    synthetic-variant stagings (``stream_dedup_hot_band``'s template
+    injection) pass it with a distinguishing ``variant`` name so the
+    cache dirs never collide."""
     import hashlib
     import shutil
     import tempfile
@@ -2970,7 +3015,7 @@ def _ordered_table_stream_dir(
     src = table_path(sf, table)
     dirname = _os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_{table}_ordered_{n_files}_"
+        f"spark_graft_{table}_ordered{variant}_{n_files}_"
         + hashlib.md5(_os.path.abspath(src).encode()).hexdigest()[:10],
     )
     marker = _os.path.join(dirname, "_STAGE_DONE")
@@ -2987,6 +3032,8 @@ def _ordered_table_stream_dir(
             shutil.rmtree(dirname)
         _os.makedirs(dirname)
         t = pq.read_table(src).sort_by(id_sort_col)
+        if transform is not None:
+            t = transform(t)
         chunk = (t.num_rows + n_files - 1) // n_files
         base_mtime = 1_700_000_000
         for i in range(n_files):
@@ -3023,7 +3070,17 @@ def stream_dedup_near_docs(spark, sf):
     dynamic partition overwrite, direct-path touched-subtree probes),
     the payload is id-bucketed (``_pbkt``) so the Jaccard verify reads
     only the candidates' buckets, and the store layout is
-    marker-enforced (``_layout.json``) — still a pure layout change."""
+    marker-enforced (``_layout.json``) — still a pure layout change.
+
+    r12: the maintenance loop is SELF-DRIVING (``maintain_every=2`` —
+    roll + threshold-gated consolidation fire in-drive from
+    foreachBatch after batches 1 and 3, so the drained result attests
+    keeper parity ACROSS a mid-drive roll/consolidate) and the
+    corpus-global hot-band backstop is in the plan
+    (``max_bucket=64`` — non-engaging here: the fixture's max
+    (band, sig) occupancy is 4 at sf0.01 / 9 at sf0.1, so the oracle
+    is unchanged; ``stream_dedup_hot_band`` attests the ENGAGED
+    guard against a guard-mirrored oracle)."""
     import atexit
     import shutil
     import tempfile
@@ -3045,6 +3102,90 @@ def stream_dedup_near_docs(spark, sf):
         store_dir=_os.path.join(scratch, "store"),
         threshold=0.2,
         store_buckets=32,
+        max_bucket=64,
+        maintain_every=2,
+        consolidate_min_batch_dirs=2,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+# The hot-band fixture: the first _HOT_BAND_N docs' text is replaced by
+# ONE fixed boilerplate string (the template-heavy-corpus shape — site
+# headers, license blocks, mirrored pages — that makes a single
+# (band, sig) group degenerate), and the drive runs max_bucket BELOW
+# the group size so the corpus-global backstop must engage. ONE
+# definition feeding the pyarrow staging AND the DuckDB oracle's CASE
+# rewrite, so the two corpora cannot drift.
+_HOT_BAND_TEMPLATE = (
+    "standard site header navigation home about contact copyright"
+    " notice all rights reserved terms of service privacy policy"
+)
+_HOT_BAND_N = 24
+_HOT_BAND_CAP = 12
+
+
+def _hot_band_docs_stream_dir(sf: str) -> str:
+    def _inject(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        text = pc.if_else(
+            pc.less(t["doc_id"], _HOT_BAND_N),
+            pa.scalar(_HOT_BAND_TEMPLATE),
+            t["text"],
+        )
+        return t.set_column(
+            t.schema.get_field_index("text"), "text", text
+        )
+
+    return _ordered_table_stream_dir(
+        sf, "documents", "doc_id", 4, transform=_inject, variant="_hotband"
+    )
+
+
+def stream_dedup_hot_band(spark, sf):
+    """The r12 hot-band backstop, ENGAGED and oracle-checked: a
+    template-heavy corpus (the first 24 docs share one boilerplate
+    text, so their 4 (band, sig) groups hold 24 members each) streams
+    through ``stream_near_dedup_minhash`` with ``max_bucket=12`` — the
+    corpus-global guard the batch operator has
+    (``dedup.near_dup_pairs(max_bucket=...)``), computed by the probe
+    from the touched bucket subtrees it already reads (every row of a
+    (band, sig) group hashes to the same ``_bkt``). The template
+    groups exceed the cap from the FIRST batch (all 24 land in file 1
+    of 4 at every sf), so the as-of-each-trigger guard and the batch
+    corpus-global guard agree exactly and the drained keeper set
+    equals the batch rule with the same cap — which is the oracle
+    (the minhash keeper SQL over the CASE-rewritten corpus with the
+    mirrored ``bc <= 12`` window guard). Without the guard the 23
+    non-first template docs would be dropped (Jaccard 1); with it
+    they are all kept and the probe join never fans out over the
+    degenerate group. Also runs in-drive maintenance
+    (``maintain_every=2``) — skew and maintenance composed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    src_dir = _hot_band_docs_stream_dir(sf)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_stream_hot_band_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    out = stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=_os.path.join(scratch, "out"),
+        checkpoint_dir=_os.path.join(scratch, "ckpt"),
+        store_dir=_os.path.join(scratch, "store"),
+        threshold=0.2,
+        store_buckets=32,
+        max_bucket=_HOT_BAND_CAP,
+        maintain_every=2,
+        consolidate_min_batch_dirs=2,
     )
     return out.select("doc_id", "source").orderBy("doc_id")
 
@@ -3056,14 +3197,18 @@ def stream_dedup_near_emb(spark, sf):
     the accumulating bucket store —
     ``streaming.jobs.stream_near_dedup_embedding``, the ingestion-time
     twin of ``similarity.embedding_near_dup_pairs`` at 8 bits × 2
-    tables, cosine ≥ 0.3 (``dedup_embedding``'s operating point minus
-    the guard, which the streaming twin deliberately doesn't offer).
+    tables, cosine ≥ 0.3 (``dedup_embedding``'s operating point; the
+    guard is carried non-engaging since r12 — see below).
     Under ordered arrival the drained keeper set equals the batch rule
     "drop every vector with a smaller-id bucket-sharing partner at
     cosine ≥ threshold", which is the oracle (the sign-LSH pair CTE
     with a NOT-EXISTS keeper wrapper). Scratch dirs fresh per call,
     reaped at process exit. r10: ``store_buckets=32`` — the banded
-    store layout, same contract as stream_dedup_near_docs."""
+    store layout, same contract as stream_dedup_near_docs. r12:
+    in-drive maintenance (``maintain_every=2``) and the hot-bucket
+    backstop in the plan (``max_bucket=64``, non-engaging — max
+    (table, bucket) occupancy is 7 at sf0.01 / 16 at sf0.1, so the
+    guardless oracle still holds)."""
     import atexit
     import shutil
     import tempfile
@@ -3087,6 +3232,9 @@ def stream_dedup_near_emb(spark, sf):
         tables=2,
         threshold=0.3,
         store_buckets=32,
+        max_bucket=64,
+        maintain_every=2,
+        consolidate_min_batch_dirs=2,
     )
     return out.select("vec_id", "label").orderBy("vec_id")
 
@@ -3130,6 +3278,10 @@ def stream_knn_ivf(spark, sf):
         .parquet(src_dir)
     )
     pdir = _os.path.join(scratch, "post")
+    # r12: maintain_every=2 — the roll + threshold-gated consolidation
+    # fire IN-DRIVE after batches 1 and 3, so the probe below attests
+    # result parity across a mid-drive maintenance cycle of the
+    # list-major layout
     stream_ivf_index_append(
         spark,
         stream,
@@ -3138,6 +3290,8 @@ def stream_knn_ivf(spark, sf):
         checkpoint_dir=_os.path.join(scratch, "ckpt"),
         replication=_KNN_IVF_REPL,
         list_major=True,
+        maintain_every=2,
+        consolidate_min_batch_dirs=2,
     )
     queries = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 10)
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
@@ -3910,6 +4064,28 @@ ORACLE_SQL: dict[str, str] = {
         "   ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
         " WHERE rank <= 3"
     ),
+    # IVF drift signal (r12): centroid + replicated-assignment CTEs
+    # verbatim from knn_ivf, then per-list occupancy + mean assignment
+    # cosine. round-6 after avg: the ~1e-16·n summation-order skew
+    # between engines sits ten orders below the rounding grain.
+    "knn_ivf_drift": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " cent AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f"  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_KNN_IVF_LISTS}),"
+        " asg AS (SELECT vec_id, cid AS list FROM ("
+        "  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id"
+        "   ORDER BY list_dot_product(e.v, c.cv) /"
+        "   sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv))"
+        "   DESC, c.cid ASC) AS rk FROM e CROSS JOIN cent c)"
+        f" WHERE rk <= {_KNN_IVF_REPL}),"
+        " j AS (SELECT a.list, list_dot_product(e.v, c.cv) /"
+        "  sqrt(list_dot_product(e.v, e.v) * list_dot_product(c.cv, c.cv))"
+        "  AS cos FROM asg a JOIN e ON e.vec_id = a.vec_id"
+        "  JOIN cent c ON c.cid = a.list)"
+        " SELECT list AS list_id, count(*)::BIGINT AS n_vectors,"
+        " round(avg(cos), 6) AS mean_cos FROM j GROUP BY list"
+        " ORDER BY list_id"
+    ),
     # IVF kNN JOIN: centroids sampled from the RIGHT corpus only, the
     # probe set is the (corpus-sized) LEFT relation, and there is no
     # same-id exclusion — equal ids across two distinct corpora are
@@ -4378,6 +4554,38 @@ ORACLE_SQL: dict[str, str] = {
         " LEFT JOIN dropped x ON d.doc_id = x.id_b"
         " WHERE x.id_b IS NULL ORDER BY d.doc_id"
     ),
+    # the ENGAGED hot-band backstop (r12): the same keeper rule over
+    # the template-injected corpus (the CASE rewrite mirrors the
+    # pyarrow staging verbatim — one _HOT_BAND_TEMPLATE definition),
+    # with _minhash_cand_sql's bc <= cap window guard mirroring the
+    # drive's corpus-global max_bucket exactly. Template docs survive
+    # in BOTH (their groups exceed the cap), which is the whole point.
+    "stream_dedup_hot_band": (
+        "WITH "
+        + _minhash_cand_sql(
+            f"mod AS (SELECT doc_id, CASE WHEN doc_id < {_HOT_BAND_N}"
+            f" THEN '{_HOT_BAND_TEMPLATE}' ELSE text END AS text"
+            " FROM documents),\n"
+            "toks AS (SELECT doc_id, string_split(text, ' ') AS t"
+            " FROM mod),\n"
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' ||"
+            " t[i+2]))) AS shingle FROM toks WHERE len(t) >= 3)",
+            max_bucket=_HOT_BAND_CAP,
+        )
+        + ",\nsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),\n"
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c"
+        " JOIN sh sa ON sa.doc_id = c.id_a"
+        " JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle"
+        " GROUP BY c.id_a, c.id_b),\n"
+        "dropped AS (SELECT DISTINCT id_b FROM inter"
+        " JOIN sizes na ON na.doc_id = id_a"
+        " JOIN sizes nb ON nb.doc_id = id_b"
+        " WHERE i / (na.n + nb.n - i) >= 0.2)\n"
+        "SELECT d.doc_id, d.source FROM documents d"
+        " LEFT JOIN dropped x ON d.doc_id = x.id_b"
+        " WHERE x.id_b IS NULL ORDER BY d.doc_id"
+    ),
     # same semantics as decontam_docs: a stateless stream-static probe
     # over availableNow equals the batch run on the same files
     "stream_decontam_docs": (
@@ -4686,111 +4894,30 @@ ORACLE_SQL["knn_ivf_persisted"] = ORACLE_SQL["knn_ivf"]
 # --------------------------------------------------------------------------
 
 _GATE_FRONT = {
-    # ---- r11 new surface: the persisted-store probe of the embedding
-    # dedup loop (build_signbucket_store landed to parquet, probed by
-    # embedding_near_dup_against_store) — attests the r11 store schema
-    # (stored self-norm _n) on the driver gate. ----
-    "dedup_emb_store_probe": dedup_emb_store_probe_q,
-    # ---- r11 new surface #2: the list-major persisted IVF index
-    # (write_ivf_index + cosine_knn_ivf_probe_dir — probed-list-only
-    # direct-path reads); shares knn_ivf's oracle (identical result
-    # by construction, pinned by test_knn_ivf_probe_dir_equals_probe).
-    "knn_ivf_persisted": knn_ivf_persisted_q,
-    # ---- r11 RESHAPED plans (changed since their r10 rows, so they
-    # must re-attest): both streaming near-dedup drives now read the
-    # STORED self-norm, land the payload id-bucketed (_pbkt partition
-    # dirs) and prune the verify's payload scan to the candidates'
-    # buckets, and enforce the store layout via _layout.json
-    # (VERDICT r10 #1/#2 + ADVICE). Results unchanged (keeper parity
-    # pinned by the banded staged-replay tests), plans changed. ----
+    # ---- r12 new surface: the ENGAGED hot-band backstop — a
+    # template-heavy corpus streamed with max_bucket below the
+    # degenerate group's size, oracle-checked against the
+    # guard-mirrored batch keeper rule (plus in-drive maintenance in
+    # the same drive). ----
+    "stream_dedup_hot_band": stream_dedup_hot_band,
+    # ---- r12 new surface #2: the IVF re-centering drift signal
+    # (per-list occupancy + mean assignment cosine over a persisted
+    # list-major index; the rebuild-scheduling metric). ----
+    "knn_ivf_drift": knn_ivf_drift_q,
+    # ---- r12 RESHAPED plans (changed since their r11 rows, so they
+    # re-attest): both streaming near-dedup drives and the streamed
+    # IVF appender now run IN-DRIVE maintenance (roll + threshold-
+    # gated consolidation from foreachBatch, maintain_every=2 — the
+    # drained result crosses a mid-drive maintenance cycle), and the
+    # dedup drives carry the corpus-global max_bucket backstop in the
+    # plan (non-engaging cap 64 here, so the oracles are unchanged;
+    # the hot-band entry above attests engagement). ----
     "stream_dedup_near_docs": stream_dedup_near_docs,
     "stream_dedup_near_emb": stream_dedup_near_emb,
-    # ---- the seven r9-green entries whose plans the r10
-    # norm-carrying edit changed behind the window (pre-declared as
-    # the r11 drain head at the r10 boundary): results bit-identical,
-    # but the driver ledger row is the contract, so they re-attest
-    # here. ----
-    "knn_ivf": knn_ivf_q,
-    "knn_ivf_tree": knn_ivf_tree_q,
     "stream_knn_ivf": stream_knn_ivf,
-    "dedup_embedding": dedup_embedding_q,
-    "dedup_embedding_cross": dedup_embedding_cross_q,
-    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
-    "knn_join_emb": knn_join_emb_q,
-    # knn_join_emb_ivf's probe plan changed this round too (the query
-    # self-norm moved below the centroid fan-out) — the rotation rule
-    # pulls it back into the gate the round the change lands
-    "knn_join_emb_ivf": knn_join_emb_ivf_q,
-    # ---- r8 drain head (pre-declared at the r10 window boundary):
-    # the 16 r8-attested leftovers — after this round no ledger row is
-    # older than r9. ----
-    "stream_stream_join_events": stream_stream_join_events,
-    "stream_dedup_events": stream_dedup_events,
-    "dedup_exact": dedup_exact_q,
-    "knn_brute": knn_brute_q,
-    "q1_rare_words": q1_rare_words,
-    "q1_word_search": q1_word_search,
-    "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
-    "q3_ratio_synth": q3_ratio_synth,
-    "q3_corpus_counts": q3_corpus_counts,
-    "q7_events_late": q7_events_late,
-    "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
-    "stream_windowed_events": stream_windowed_events,
-    "decontam_docs": decontam_docs_q,
-    "q1_top_emojis": q1_top_emojis,
-    "q7_events_early": q7_events_early,
-    "q2_stream_top_words": q2_stream_top_words,
-    # ---- r9 drain (oldest-first): the 22 oldest remaining
-    # r9-attested rows fill the window to exactly 50; the
-    # 19 youngest r9 rows (listed at the top of
-    # _PROVEN) plus the oldest r10 rows are the r12 drain head. ----
-    "stream_decontam_join": stream_decontam_join,
-    "dedup_cross_pairs": dedup_cross_pairs_q,
-    "dedup_containment_cross": dedup_containment_cross_q,
-    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
-    "word_position_counts": word_position_counts,
-    "setop_intersect": setop_intersect,
-    "setop_except": setop_except,
-    "rollup_doc_counts": rollup_doc_counts,
-    "cube_doc_counts": cube_doc_counts,
-    "pivot_events_by_day": pivot_events_by_day,
-    "events_json_props": events_json_props,
-    "window_running_value": window_running_value,
-    "event_value_percentiles": event_value_percentiles,
-    "tpch_q1_pricing": tpch_q1_pricing,
-    "tpch_q3_topk": tpch_q3_topk,
-    "join_revenue_by_nation": join_revenue_by_nation,
-    "window_top_customer_per_nation": window_top_customer_per_nation,
-    "events_partitioned_prune": events_partitioned_prune,
-    "events_partitioned_dpp": events_partitioned_dpp,
-    "event_value_percentiles_sketch": event_value_percentiles_sketch,
-    "bucketed_join_events": bucketed_join_events,
-    "event_distinct_users_sketch": event_distinct_users_sketch,
-}
-
-# r11 keeps the standing sentinel-block suspension: 2 new + 3 reshaped
-# + 7 plan-changed + the full 16-row r8 drain head + 24 r9 rows
-# fill the window exactly (2 + 3 + 7 + 16 + 22 = 50), and every
-# operator class a sentinel would re-attest is represented (emoji
-# kernel by q1_emoji_kernel_synth/q1_top_emojis, events by the
-# partitioned/sketch/percentile rows, streaming by
-# stream_stream_join_events/stream_windowed_events/stream_knn_ivf/
-# the near-dedup drives, dedup by exact/cross/containment/simhash64,
-# ANN by knn_brute/knn_ivf/knn_join_emb, relational by the
-# join/window/setop/rollup rows).
-_SENTINELS = {}
-
-_PROVEN = {
-    # ---- window boundary: slots above re-attest in r11. ----
-    # The r12 drain head, pre-declared, is the 19
-    # youngest r9-attested rows below (oldest-first), then the oldest
-    # r10 rows. RULE (rotation invariant): any entry whose PLAN
-    # changes behind the window — an operator edit that alters the
-    # physical plan even with bit-identical results — must re-enter
-    # _GATE_FRONT the round the change lands, ahead of the staleness
-    # drain; with 116 queries in a 50-slot window the steady-state
-    # staleness floor is 2 rounds, and it holds iff each round drains
-    # its pre-declared head. ----
+    # ---- r12 drain head (pre-declared at the r11 window boundary):
+    # the 19 youngest r9-attested rows — after this round no ledger
+    # row is older than r10. ----
     "event_top_users_sketch": event_top_users_sketch,
     "stream_sessionize_native": stream_sessionize_native,
     "dedup_simhash": dedup_simhash_q,
@@ -4810,8 +4937,11 @@ _PROVEN = {
     "text_quality": text_quality_q,
     "text_token_stats": text_token_stats_q,
     "text_fingerprint": text_fingerprint_q,
-    # ---- driver-attested green in r10 (CORRECTNESS_r10 window),
-    # oldest-first for the r12+ rotation ----
+    # ---- r10 drain (oldest-first): the 26 oldest r10-attested rows
+    # fill the window to exactly 50 (2 new + 3 reshaped + 19 r9 + 26);
+    # the remaining 21 r10 rows (multimodal_resize ... sessionize_
+    # events, listed at the top of _PROVEN) plus the oldest r11 rows
+    # are the r13 drain head. ----
     "text_bpe_tokens": text_bpe_tokens_q,
     "corpus_curation": corpus_curation_q,
     "vocab_top_tokens": vocab_top_tokens_q,
@@ -4838,6 +4968,34 @@ _PROVEN = {
     "knn_lsh": knn_lsh_q,
     "embedding_outliers": embedding_outliers_q,
     "multimodal_decode": multimodal_decode_q,
+}
+
+# STANDING POLICY (r12, resolving the r11 sentinel question for good):
+# the sentinel block stays EMPTY — the class-representation rule IS
+# the invariant. Each round's 50-slot window must contain at least one
+# representative of every operator class (emoji kernel, tweet-shape,
+# events batch/partitioned/sketch, streaming, dedup, ANN, relational,
+# text/shaping/safety/multimodal), satisfied by construction because
+# the oldest-first drain cycles every family through the window on a
+# ≤3-round period (118 queries / 50 slots) and new/reshaped surface
+# enters at the front. A dedicated sentinel set would only duplicate
+# rows the drain already re-attests; re-introduce one ONLY if the
+# catalog ever grows past ~150 queries (when the drain period exceeds
+# 3 rounds and a class could go unattested longer than the staleness
+# contract allows).
+_SENTINELS = {}
+
+_PROVEN = {
+    # ---- window boundary: slots above re-attest in r12. ----
+    # The r13 drain head, pre-declared, is the 21 remaining
+    # r10-attested rows below (oldest-first), then the oldest r11
+    # rows. RULE (rotation invariant): any entry whose PLAN changes
+    # behind the window — an operator edit that alters the physical
+    # plan even with bit-identical results — must re-enter
+    # _GATE_FRONT the round the change lands, ahead of the staleness
+    # drain; with 118 queries in a 50-slot window the steady-state
+    # staleness floor is 2 rounds, and it holds iff each round drains
+    # its pre-declared head. ----
     "multimodal_resize": multimodal_resize_q,
     "multimodal_frames": multimodal_frames_q,
     "training_pipeline": training_pipeline_q,
@@ -4859,6 +5017,58 @@ _PROVEN = {
     "asof_join_events": asof_join_events,
     "range_join_events": range_join_events,
     "sessionize_events": sessionize_events,
+    # ---- driver-attested green in r11 (CORRECTNESS_r11 window),
+    # window order preserved = oldest-attestation-first for the r13+
+    # rotation (the three r11 rows absent here —
+    # stream_dedup_near_docs/emb, stream_knn_ivf — re-attest in the
+    # r12 gate front above). ----
+    "dedup_emb_store_probe": dedup_emb_store_probe_q,
+    "knn_ivf_persisted": knn_ivf_persisted_q,
+    "knn_ivf": knn_ivf_q,
+    "knn_ivf_tree": knn_ivf_tree_q,
+    "dedup_embedding": dedup_embedding_q,
+    "dedup_embedding_cross": dedup_embedding_cross_q,
+    "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
+    "knn_join_emb": knn_join_emb_q,
+    "knn_join_emb_ivf": knn_join_emb_ivf_q,
+    "stream_stream_join_events": stream_stream_join_events,
+    "stream_dedup_events": stream_dedup_events,
+    "dedup_exact": dedup_exact_q,
+    "knn_brute": knn_brute_q,
+    "q1_rare_words": q1_rare_words,
+    "q1_word_search": q1_word_search,
+    "q1_emoji_kernel_synth": q1_emoji_kernel_synth,
+    "q3_ratio_synth": q3_ratio_synth,
+    "q3_corpus_counts": q3_corpus_counts,
+    "q7_events_late": q7_events_late,
+    "q2_tweets_stream_top_emojis": q2_tweets_stream_top_emojis,
+    "stream_windowed_events": stream_windowed_events,
+    "decontam_docs": decontam_docs_q,
+    "q1_top_emojis": q1_top_emojis,
+    "q7_events_early": q7_events_early,
+    "q2_stream_top_words": q2_stream_top_words,
+    "stream_decontam_join": stream_decontam_join,
+    "dedup_cross_pairs": dedup_cross_pairs_q,
+    "dedup_containment_cross": dedup_containment_cross_q,
+    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
+    "word_position_counts": word_position_counts,
+    "setop_intersect": setop_intersect,
+    "setop_except": setop_except,
+    "rollup_doc_counts": rollup_doc_counts,
+    "cube_doc_counts": cube_doc_counts,
+    "pivot_events_by_day": pivot_events_by_day,
+    "events_json_props": events_json_props,
+    "window_running_value": window_running_value,
+    "event_value_percentiles": event_value_percentiles,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q3_topk": tpch_q3_topk,
+    "join_revenue_by_nation": join_revenue_by_nation,
+    "window_top_customer_per_nation": window_top_customer_per_nation,
+    "events_partitioned_prune": events_partitioned_prune,
+    "events_partitioned_dpp": events_partitioned_dpp,
+    "event_value_percentiles_sketch": event_value_percentiles_sketch,
+    "bucketed_join_events": bucketed_join_events,
+    "event_distinct_users_sketch": event_distinct_users_sketch,
 }
 
 QUERIES = {**_GATE_FRONT, **_SENTINELS, **_PROVEN}

@@ -94,6 +94,10 @@ def read_partition_subtrees(
     subtree exists."""
     from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
 
+    # normalize like every sibling helper (roll/consolidate/_marker_io):
+    # a trailing-slash root would yield `//` subtree paths whose
+    # basePath may not prefix-match on some Hadoop FS implementations
+    root = root.rstrip("/")
     fs, _ = _hadoop_fs(spark, root)
     jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     paths = [

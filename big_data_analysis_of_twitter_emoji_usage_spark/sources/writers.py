@@ -410,7 +410,11 @@ def consolidate_bucket_history(
 
 
 def roll_recent_into_store(
-    spark: SparkSession, root: str, bucket_col: str
+    spark: SparkSession,
+    root: str,
+    bucket_col: str,
+    before_batch_id: int | None = None,
+    shuffle: bool = True,
 ) -> dict:
     """Roll a two-tier streaming store's batch-major RECENT tail
     (``<root>_recent/batch_id=N``, bucket col as a data column) into
@@ -429,8 +433,20 @@ def roll_recent_into_store(
     tolerates by construction (candidate sets and drop sets are
     DISTINCT, and the Jaccard verify aggregates per pair with
     first()); the re-run rewrites the same leaves and finishes the
-    delete, so the operation converges. Run between drives; follow
-    with ``consolidate_bucket_history`` to merge the rolled batch dirs."""
+    delete, so the operation converges. Run between drives, or
+    in-drive from ``foreachBatch`` with ``before_batch_id`` set to the
+    in-flight batch id (r12 self-driving maintenance): batches with a
+    smaller id are checkpoint-COMMITTED the moment a later batch runs
+    — a committed batch is never replayed, so rolling only those keeps
+    the original "committed batches only" contract with no new crash
+    window, while the in-flight batch stays in the recent tail (which
+    also keeps the tail non-empty for the probes' schema inference).
+    ``shuffle=False`` skips the per-bucket repartition — same contract
+    as ``consolidate_bucket_history``: wide-row payload stores
+    (shingle/vector arrays) roll without a spill-prone exchange, at
+    the cost of one file per (bucket, batch, scan-task-that-held-
+    the-bucket) instead of exactly one. Follow with
+    ``consolidate_bucket_history`` to merge the rolled batch dirs."""
     recent = root.rstrip("/") + "_recent"
     fs, hrecent = _hadoop_fs(spark, recent)
     if not fs.exists(hrecent):
@@ -438,15 +454,24 @@ def roll_recent_into_store(
     batches = [
         s.getPath()
         for s in fs.listStatus(hrecent)
-        if s.isDirectory() and s.getPath().getName().startswith("batch_id=")
+        if s.isDirectory()
+        and s.getPath().getName().startswith("batch_id=")
+        and (
+            before_batch_id is None
+            or int(s.getPath().getName().split("=", 1)[1]) < before_batch_id
+        )
     ]
     if not batches:
         return {"batches_rolled": 0}
     df = spark.read.parquet(recent)
+    if before_batch_id is not None:
+        # partition-pruned: batch_id is a dir column in the recent tier
+        df = df.filter(F.col("batch_id") < F.lit(before_batch_id))
     if df.count() > 0:
+        if shuffle:
+            df = df.repartition(bucket_col)  # one file per (bucket, batch) leaf
         (
-            df.repartition(bucket_col)  # one file per (bucket, batch) leaf
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(bucket_col, "batch_id")
             .parquet(root.rstrip("/"))

@@ -16,7 +16,6 @@ pointing the batch reader at a directory; README.md:30).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -500,7 +499,11 @@ def _marker_io(spark: SparkSession, store_dir: str):
 
 
 def write_store_layout_marker(
-    spark: SparkSession, store_dir: str, kind: str, store_buckets: int | None
+    spark: SparkSession,
+    store_dir: str,
+    kind: str,
+    store_buckets: int | None,
+    max_batch_id: int | None = None,
 ) -> None:
     """Persist the accumulating dedup/index store's layout contract as
     ``<store_dir>/_layout.json`` (underscore-prefixed, so Spark's file
@@ -514,20 +517,60 @@ def write_store_layout_marker(
     seeding a store from batch-built ``build_minhash_store`` /
     ``build_signbucket_store`` output. Marker IO goes through the
     Hadoop FileSystem, so the gate engages on any store FS Spark can
-    reach."""
+    reach.
+
+    ``max_batch_id`` (r12) records the highest streaming batch id ever
+    landed in the store; the drives keep it current per trigger and
+    REFUSE to resume a store whose marker records landed batches when
+    the drive's checkpoint is fresh (no commits): a recreated
+    checkpoint restarts batch ids at 0, and a later roll's dynamic
+    overwrite would silently replace surviving history leaves with
+    colliding ids (the r11 consolidation names merged leaves
+    ``min(ids)-1``, so MERGED history never collides — only
+    unconsolidated leaves and recent tails do). Batch-seeded stores
+    leave it None (no landed batches → fresh checkpoints are fine)."""
     fs, marker, _ = _marker_io(spark, store_dir)
     fs.mkdirs(marker.getParent())
+    payload = {
+        "layout_version": _STORE_LAYOUT_VERSION,
+        "kind": kind,
+        "store_buckets": store_buckets,
+    }
+    if max_batch_id is not None:
+        payload["max_batch_id"] = max_batch_id
     out = fs.create(marker, True)
     try:
-        out.write(bytearray(json.dumps(
-            {
-                "layout_version": _STORE_LAYOUT_VERSION,
-                "kind": kind,
-                "store_buckets": store_buckets,
-            }
-        ).encode()))
+        out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
+
+
+def _record_max_batch_id(spark: SparkSession, store_dir: str, bid: int) -> None:
+    """Advance the marker's ``max_batch_id`` watermark after a batch
+    lands (driver-side, one tiny JSON rewrite per trigger — monotone,
+    never lowered by a checkpoint replay of an earlier batch)."""
+    got = _read_store_layout_marker(spark, store_dir)
+    if int(got.get("max_batch_id", -1)) < bid:
+        write_store_layout_marker(
+            spark, store_dir, got["kind"], got["store_buckets"], bid
+        )
+
+
+def _checkpoint_is_fresh(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """True iff the Structured Streaming checkpoint has no committed
+    batches (missing dir, or an empty/missing ``commits/``) — through
+    the Hadoop FS, same FS-agnostic posture as ``_marker_io``."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
+
+    fs, _ = _hadoop_fs(spark, checkpoint_dir)
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    commits = jpath(f"{checkpoint_dir.rstrip('/')}/commits")
+    if not fs.exists(commits):
+        return True
+    return not any(
+        not s.getPath().getName().startswith(".")
+        for s in fs.listStatus(commits)
+    )
 
 
 def _read_store_layout_marker(spark: SparkSession, store_dir: str) -> dict:
@@ -544,14 +587,25 @@ def _read_store_layout_marker(spark: SparkSession, store_dir: str) -> dict:
 
 
 def _enforce_store_layout(
-    spark: SparkSession, store_dir: str, kind: str, store_buckets: int | None
+    spark: SparkSession,
+    store_dir: str,
+    kind: str,
+    store_buckets: int | None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Drive-start layout gate: first use writes the marker; every
     later drive (or resume) must present the SAME kind and bucket
     count, and a non-empty store without a marker is refused (it could
     be either layout — rebuild it, or ``write_store_layout_marker`` if
     you know which; pre-v2 stores also predate the stored verify
-    columns, so a rebuild is the correct migration)."""
+    columns, so a rebuild is the correct migration).
+
+    With ``checkpoint_dir`` (r12), also refuses the fresh-checkpoint /
+    landed-store combination: a recreated checkpoint restarts batch
+    ids at 0, so its landings can silently dynamic-overwrite surviving
+    history leaves with colliding ids. Markers written before r12 (no
+    ``max_batch_id``) pass ungated — they predate the watermark, and
+    their first post-r12 drive starts recording it."""
     fs, marker, jpath = _marker_io(spark, store_dir)
     expected = {
         "layout_version": _STORE_LAYOUT_VERSION,
@@ -560,12 +614,26 @@ def _enforce_store_layout(
     }
     if fs.exists(marker):
         got = _read_store_layout_marker(spark, store_dir)
-        if got != expected:
+        if {k: got.get(k) for k in expected} != expected:
             raise ValueError(
                 f"dedup store layout mismatch at {store_dir}: the store "
                 f"was written with {got}, this drive requests {expected}. "
                 "The layout (bucketing and bucket count) is a "
                 "store-lifetime contract — rebuild the store to change it."
+            )
+        if (
+            checkpoint_dir is not None
+            and int(got.get("max_batch_id", -1)) >= 0
+            and _checkpoint_is_fresh(spark, checkpoint_dir)
+        ):
+            raise ValueError(
+                f"dedup store at {store_dir} has landed streaming batches "
+                f"(max_batch_id={got['max_batch_id']}) but this drive's "
+                f"checkpoint {checkpoint_dir} has no commits: a fresh "
+                "checkpoint restarts batch ids at 0 and would silently "
+                "overwrite surviving history leaves with colliding ids. "
+                "Resume with the original checkpoint, or rebuild the "
+                "store alongside the new checkpoint."
             )
         return
 
@@ -632,6 +700,46 @@ def _two_tier(
     return union_partition_tiers(main, recent, bucket_col)
 
 
+def _run_two_tier_maintenance(
+    spark: SparkSession,
+    roots: list[tuple[str, str, bool]],
+    bid: int,
+    min_batch_dirs: int,
+) -> None:
+    """The r12 self-driving maintenance cycle, called from inside
+    ``foreachBatch`` after batch ``bid``'s work lands: for each
+    (root, bucket_col, wide) store root, roll the COMMITTED recent
+    tail (strictly below the in-flight ``bid`` — those batches'
+    checkpoint commits landed before this batch ran, so rolling them
+    adds no new crash window; the in-flight batch stays in the tail,
+    which also keeps the tail non-empty for the next probe's read),
+    then threshold-gated consolidation: ``consolidate_bucket_history``
+    early-returns unless some bucket accumulated ``min_batch_dirs``
+    batch dirs, so the O(store) merge rewrite fires only every ~
+    ``min_batch_dirs / roll_cadence`` cycles instead of every cycle —
+    the single-level LSM amortization (a size-tiered policy is the
+    next refinement; the threshold already bounds per-probe subtree
+    listing at ``min_batch_dirs`` dirs per bucket). ``wide`` stores
+    (shingle/vector payload arrays) roll and consolidate with
+    ``shuffle=False`` — the wide-row exchange was measured spilling
+    past local scratch at the 20M-doc decade (SCALE.md r11)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        _hadoop_fs,
+        consolidate_bucket_history,
+        roll_recent_into_store,
+    )
+
+    for root, bucket_col, wide in roots:
+        roll_recent_into_store(
+            spark, root, bucket_col, before_batch_id=bid, shuffle=not wide
+        )
+        fs, hroot = _hadoop_fs(spark, root)
+        if fs.exists(hroot):
+            consolidate_bucket_history(
+                spark, root, min_batch_dirs=min_batch_dirs, shuffle=not wide
+            )
+
+
 def stream_near_dedup_minhash(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -646,6 +754,9 @@ def stream_near_dedup_minhash(
     threshold: float = 0.4,
     unit: str = "word",
     store_buckets: int | None = None,
+    max_bucket: int | None = None,
+    maintain_every: int | None = None,
+    consolidate_min_batch_dirs: int = 8,
 ) -> DataFrame:
     """Incremental near-dup deduplication of a document stream against
     an accumulating MinHash signature store (r9) — the ingestion-time
@@ -735,7 +846,7 @@ def stream_near_dedup_minhash(
     dominating the otherwise-constant banded trigger), so each batch
     lands batch-major in ``<store_dir>_recent`` / ``<bands>_recent``
     (one cheap dir per trigger) and probes read history ∪ recent
-    (``_two_tier``). Maintenance loop, between drives:
+    (``_two_tier``). Maintenance loop:
     ``sources.writers.roll_recent_into_store`` on BOTH roots (pays the
     per-dir commit once per cycle; its crash window only duplicates
     rows across tiers, which the DISTINCT candidate/drop sets and the
@@ -744,10 +855,34 @@ def stream_near_dedup_minhash(
     batch dirs (probe filters ``batch_id <= bid`` keep merged history
     visible). Roll cadence bounds the recent tail's listing cost —
     unrolled, the recent tier degrades toward the flat layout's
-    per-trigger scan.
-    ``max_bucket`` is deliberately NOT offered: bucket occupancy would
-    be counted per-probe, not corpus-globally, silently diverging from
-    the batch operator it mirrors.
+    per-trigger scan. SELF-DRIVING since r12: ``maintain_every=N``
+    runs that loop in-drive from ``foreachBatch`` after every Nth
+    landed batch (``_run_two_tier_maintenance`` — rolls only
+    checkpoint-COMMITTED batches, so no new crash window; the O(store)
+    consolidation rewrite is threshold-gated on
+    ``consolidate_min_batch_dirs`` dirs in some bucket, the
+    single-level LSM amortization), instead of requiring an external
+    scheduler between drives. Two-tier only (requires
+    ``store_buckets``).
+
+    ``max_bucket`` (r12) is the hot-band backstop the batch operator
+    has (``dedup.near_dup_pairs(max_bucket=...)``): (band, sig) groups
+    whose occupancy exceeds it produce NO candidates — the bound that
+    keeps a degenerate boilerplate/template band from fanning out
+    every trigger's probe join without limit. The occupancy is
+    CORPUS-GLOBAL AS OF EACH TRIGGER, not per-probe-batch: every row
+    of a (band, sig) group hashes to the same ``_bkt``, so the probe's
+    touched-subtree read already holds each probed group's full
+    history∪recent∪current occupancy, and the guard applies the exact
+    batch window-count rule to the corpus-so-far (one extra aggregation
+    over the already-read subtrees, candidate-group-restricted). The
+    one semantic caveat is inherent to ANY online guard: a group that
+    crosses the cap mid-stream produced drops while it was small
+    (each a correct application of the batch rule to that trigger's
+    prefix corpus) and stops producing new ones after — on corpora
+    where no group crosses the cap mid-stream (including every
+    non-skewed corpus, where the guard never engages) the drained
+    keeper set equals the batch operator's at the same ``max_bucket``.
 
     Returns the drained keeper rows (original stream columns) as a
     batch DataFrame over ``out_dir``.
@@ -762,7 +897,15 @@ def stream_near_dedup_minhash(
 
     hcols = [f"h{i}" for i in range(num_hashes)]
     bands_dir = store_dir.rstrip("/") + "_bands"
-    _enforce_store_layout(spark, store_dir, "minhash", store_buckets)
+    if maintain_every is not None and store_buckets is None:
+        raise ValueError(
+            "maintain_every requires the two-tier banded layout "
+            "(store_buckets): the flat layout has no recent tail to "
+            "roll or bucket history to consolidate."
+        )
+    _enforce_store_layout(
+        spark, store_dir, "minhash", store_buckets, checkpoint_dir
+    )
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
         # the per-batch state IS one build_minhash_store increment —
@@ -790,8 +933,16 @@ def stream_near_dedup_minhash(
             bands_cur = signature_bands(
                 cur.select(id_col, *hcols), id_col, num_hashes, band_size
             )
+            # the seen side carries the corpus-global occupancy guard
+            # (window count over the WHOLE store incl. this batch —
+            # the exact batch-operator rule); emptying a hot group on
+            # one side of the equi-join kills all its pairs
             bands_seen = signature_bands(
-                store.select(id_col, *hcols), id_col, num_hashes, band_size
+                store.select(id_col, *hcols),
+                id_col,
+                num_hashes,
+                band_size,
+                max_bucket,
             )
             cand = (
                 bands_seen.alias("a")
@@ -864,12 +1015,37 @@ def stream_near_dedup_minhash(
                     F.col("_bkt").isin(bkts)
                 ),
                 "_bkt",
-            )
+            ).filter(F.col("batch_id") <= F.lit(bid))
+            probe = bc
+            if max_bucket is not None:
+                # corpus-global hot-band backstop (r12): every row of
+                # a (band, sig) group hashes to the same _bkt, so the
+                # touched-subtree read above already holds each probed
+                # group's FULL history∪recent∪current occupancy — one
+                # extra aggregation over those subtrees (restricted to
+                # the batch's own groups by the broadcast semi-join)
+                # computes the exact batch-operator window count, and
+                # hot groups are emptied from the broadcast probe side
+                # (killing all their pairs). ``hot`` is bounded by the
+                # batch's distinct groups — broadcastable by the same
+                # argument as bc itself.
+                hot = (
+                    bands_seen.join(
+                        F.broadcast(bc.select("band", "sig").distinct()),
+                        ["band", "sig"],
+                    )
+                    .groupBy("band", "sig")
+                    .agg(F.count(F.lit(1)).alias("_bc"))
+                    .filter(F.col("_bc") > max_bucket)
+                    .select("band", "sig")
+                )
+                probe = bc.join(
+                    F.broadcast(hot), ["band", "sig"], "left_anti"
+                )
             cand = (
-                bands_seen.filter(F.col("batch_id") <= F.lit(bid))
-                .alias("a")
+                bands_seen.alias("a")
                 .join(
-                    F.broadcast(bc).alias("b"),
+                    F.broadcast(probe).alias("b"),
                     (F.col("a._bkt") == F.col("b._bkt"))
                     & (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.sig") == F.col("b.sig"))
@@ -928,8 +1104,26 @@ def stream_near_dedup_minhash(
             if cand is not None:
                 cand.unpersist()
 
+    n_landed = [0]  # triggers since drive start (cadence, not state)
+
+    def _on_batch(bdf: DataFrame, bid: int) -> None:
+        _dedup_batch(bdf, bid)
+        # marker watermark AFTER the batch's work lands — a crash in
+        # between leaves the watermark one batch low, which only makes
+        # the fresh-checkpoint gate conservative (never permissive)
+        _record_max_batch_id(spark, store_dir, bid)
+        if maintain_every is not None:
+            n_landed[0] += 1
+            if n_landed[0] % maintain_every == 0:
+                _run_two_tier_maintenance(
+                    spark,
+                    [(bands_dir, "_bkt", False), (store_dir, "_pbkt", True)],
+                    bid,
+                    consolidate_min_batch_dirs,
+                )
+
     query = (
-        stream_df.writeStream.foreachBatch(_dedup_batch)
+        stream_df.writeStream.foreachBatch(_on_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -955,6 +1149,9 @@ def stream_near_dedup_embedding(
     tables: int = 2,
     threshold: float = 0.4,
     store_buckets: int | None = None,
+    max_bucket: int | None = None,
+    maintain_every: int | None = None,
+    consolidate_min_batch_dirs: int = 8,
 ) -> DataFrame:
     """Incremental SEMANTIC near-dup deduplication of an embedding
     stream against an accumulating sign-LSH bucket store (r9) — the
@@ -979,9 +1176,16 @@ def stream_near_dedup_embedding(
     miss cross-batch pairs. Size them for the corpus the store will
     GROW INTO (the ``auto_sign_bits`` rule at expected n), and rebuild
     the store on re-bucketing, exactly like any persisted LSH index.
-    ``max_bucket`` is deliberately not offered (per-probe occupancy
-    counting would diverge from the batch operator's corpus-global
-    guard — same contract as the MinHash twin).
+    ``max_bucket`` (r12) is the corpus-global hot-bucket backstop —
+    (table, bucket) groups whose occupancy across everything seen so
+    far exceeds it produce no candidates, the exact
+    ``similarity.embedding_near_dup_pairs(max_bucket=...)`` window
+    rule applied to the corpus-as-of-each-trigger (see the MinHash
+    twin's docstring for why the touched-subtree read already holds
+    the full occupancy and for the one inherent online caveat).
+    ``maintain_every`` / ``consolidate_min_batch_dirs`` (r12) run the
+    two-tier maintenance loop in-drive, every Nth landed batch —
+    same contract as the MinHash twin.
 
     Scale shape: per-vector state is written once at arrival; each
     trigger costs two columnar store scans (bucket-code columns for
@@ -1033,7 +1237,15 @@ def stream_near_dedup_embedding(
     from pyspark.errors import AnalysisException
 
     bands_dir = store_dir.rstrip("/") + "_bands"
-    _enforce_store_layout(spark, store_dir, "signbucket", store_buckets)
+    if maintain_every is not None and store_buckets is None:
+        raise ValueError(
+            "maintain_every requires the two-tier banded layout "
+            "(store_buckets): the flat layout has no recent tail to "
+            "roll or bucket history to consolidate."
+        )
+    _enforce_store_layout(
+        spark, store_dir, "signbucket", store_buckets, checkpoint_dir
+    )
 
     def _dedup_batch(bdf: DataFrame, bid: int) -> None:
         # one build_signbucket_store increment — batch-built reference
@@ -1050,9 +1262,22 @@ def stream_near_dedup_embedding(
             )
             cur = store.filter(F.col("batch_id") == bid)
             bands_cur = _bands(cur.select(id_col, *bcols))
+            bands_all = _bands(store.select(id_col, *bcols))
+            if max_bucket is not None:
+                # corpus-global occupancy guard on the seen side —
+                # the exact _banded_pairs_cosine_verify window rule
+                # over the whole store incl. this batch; emptying a
+                # hot group on one join side kills all its pairs
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("_t", "_b")
+                bands_all = (
+                    bands_all.withColumn("_bc", F.count(F.lit(1)).over(w))
+                    .filter(F.col("_bc") <= max_bucket)
+                    .drop("_bc")
+                )
             cand = (
-                _bands(store.select(id_col, *bcols))
-                .alias("a")
+                bands_all.alias("a")
                 .join(
                     F.broadcast(bands_cur).alias("b"),
                     (F.col("a._t") == F.col("b._t"))
@@ -1117,12 +1342,27 @@ def stream_near_dedup_embedding(
                     F.col("_bkt").isin(bkts)
                 ),
                 "_bkt",
-            )
+            ).filter(F.col("batch_id") <= F.lit(bid))
+            probe = bc
+            if max_bucket is not None:
+                # corpus-global hot-bucket backstop (r12) — see the
+                # MinHash twin: the touched subtrees hold each probed
+                # (table, bucket) group's FULL occupancy
+                hot = (
+                    bands_seen.join(
+                        F.broadcast(bc.select("_t", "_b").distinct()),
+                        ["_t", "_b"],
+                    )
+                    .groupBy("_t", "_b")
+                    .agg(F.count(F.lit(1)).alias("_bc"))
+                    .filter(F.col("_bc") > max_bucket)
+                    .select("_t", "_b")
+                )
+                probe = bc.join(F.broadcast(hot), ["_t", "_b"], "left_anti")
             cand = (
-                bands_seen.filter(F.col("batch_id") <= F.lit(bid))
-                .alias("a")
+                bands_seen.alias("a")
                 .join(
-                    F.broadcast(bc).alias("b"),
+                    F.broadcast(probe).alias("b"),
                     (F.col("a._bkt") == F.col("b._bkt"))
                     & (F.col("a._t") == F.col("b._t"))
                     & (F.col("a._b") == F.col("b._b"))
@@ -1209,8 +1449,23 @@ def stream_near_dedup_embedding(
             .distinct()
         )
 
+    n_landed = [0]  # triggers since drive start (cadence, not state)
+
+    def _on_batch(bdf: DataFrame, bid: int) -> None:
+        _dedup_batch(bdf, bid)
+        _record_max_batch_id(spark, store_dir, bid)
+        if maintain_every is not None:
+            n_landed[0] += 1
+            if n_landed[0] % maintain_every == 0:
+                _run_two_tier_maintenance(
+                    spark,
+                    [(bands_dir, "_bkt", False), (store_dir, "_pbkt", True)],
+                    bid,
+                    consolidate_min_batch_dirs,
+                )
+
     query = (
-        stream_df.writeStream.foreachBatch(_dedup_batch)
+        stream_df.writeStream.foreachBatch(_on_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -1234,6 +1489,8 @@ def stream_ivf_index_append(
     vec_col: str = "embedding",
     replication: int = 2,
     list_major: bool = False,
+    maintain_every: int | None = None,
+    consolidate_min_batch_dirs: int = 8,
 ) -> DataFrame:
     """Maintain a persisted IVF index under streaming arrival (r9) —
     the ANN member of the continuous-curation contract: the centroid
@@ -1257,11 +1514,18 @@ def stream_ivf_index_append(
     straight into per-list dirs pays the dynamic-overwrite commit per
     touched list per trigger), ``cosine_knn_ivf_probe_dir`` probes
     history ∪ recent so vectors stay searchable one trigger after
-    arrival, and the between-drives maintenance loop is
+    arrival, and the maintenance loop is
     ``roll_recent_into_store(postings_dir, "_list")`` +
     ``consolidate_bucket_history`` (one batch dir per list after each
-    cycle). Like the dedup stores, the landing layout is a
-    store-lifetime contract enforced by a ``_layout.json`` marker.
+    cycle) — run between drives, or IN-DRIVE every ``maintain_every``
+    landed batches (r12; ``_run_two_tier_maintenance``, committed
+    batches only, consolidation threshold-gated on
+    ``consolidate_min_batch_dirs`` — same contract as the dedup
+    twins; requires ``list_major``). Like the dedup stores, the
+    landing layout is a store-lifetime contract enforced by a
+    ``_layout.json`` marker, whose ``max_batch_id`` watermark also
+    refuses a fresh-checkpoint resume of a store with landed batches
+    (colliding batch ids would silently overwrite history leaves).
     Returns the accumulated postings (batch_id dropped).
     """
     from pyspark.errors import AnalysisException
@@ -1272,11 +1536,18 @@ def stream_ivf_index_append(
         _flat_replicated_assign,
     )
 
+    if maintain_every is not None and not list_major:
+        raise ValueError(
+            "maintain_every requires list_major=True: the flat postings "
+            "layout has no recent tail to roll or list history to "
+            "consolidate."
+        )
     _enforce_store_layout(
         spark,
         postings_dir,
         "ivf_postings_list_major" if list_major else "ivf_postings",
         None,
+        checkpoint_dir,
     )
     c = spark.read.parquet(centroids_dir)
 
@@ -1315,8 +1586,23 @@ def stream_ivf_index_append(
         else:
             write_batch_idempotent(postings, bid, postings_dir)
 
+    n_landed = [0]  # triggers since drive start (cadence, not state)
+
+    def _on_batch(bdf: DataFrame, bid: int) -> None:
+        _append(bdf, bid)
+        _record_max_batch_id(spark, postings_dir, bid)
+        if maintain_every is not None:
+            n_landed[0] += 1
+            if n_landed[0] % maintain_every == 0:
+                _run_two_tier_maintenance(
+                    spark,
+                    [(postings_dir, "_list", False)],
+                    bid,
+                    consolidate_min_batch_dirs,
+                )
+
     query = (
-        stream_df.writeStream.foreachBatch(_append)
+        stream_df.writeStream.foreachBatch(_on_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
