@@ -1275,11 +1275,11 @@ def ivf_index_drift_stats(
 
     Reads the two-tier streamed layout (history ``_list=K`` dirs ∪
     ``<postings_dir>_recent``) or a plain ``write_ivf_index`` /
-    flat-appended store — whatever exists. Stored self-norms (``_cn``)
-    are used when present; recomputed otherwise (pre-r10 stores)."""
-    from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (
-        union_partition_tiers,
-    )
+    flat-appended store — whatever exists (the tiers are projected to
+    the three needed columns before the union, so a batch-written
+    history with no ``batch_id`` column composes with a streamed
+    recent tail). Stored self-norms (``_cn``) are used when present;
+    recomputed otherwise (pre-r10 stores)."""
     from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
 
     fs, hroot = _hadoop_fs(spark, postings_dir)
@@ -1311,19 +1311,28 @@ def ivf_index_drift_stats(
         raise FileNotFoundError(
             f"ivf_index_drift_stats: no postings under {postings_dir}"
         )
-    if recent is None:
-        p = main.withColumn("_list", F.col("_list").cast("long"))
-    else:
-        p = union_partition_tiers(main, recent, "_list")
-    ncol = F.col("_cn") if "_cn" in p.columns else _dot(F.col("cv"), F.col("cv"))
+
+    def _proj(df: DataFrame) -> DataFrame:
+        ncol = (
+            F.col("_cn")
+            if "_cn" in df.columns
+            else _dot(F.col("cv"), F.col("cv"))
+        )
+        return df.select(
+            F.col("_list").cast("long").alias("_list"),
+            "cv",
+            ncol.alias("_n"),
+        )
+
+    tiers = [_proj(t) for t in (main, recent) if t is not None]
+    p = tiers[0] if len(tiers) == 1 else tiers[0].unionByName(tiers[1])
     c = spark.read.parquet(centroids_dir).select(
         F.col("_cid").cast("long").alias("_list"),
         F.col("_cv"),
         _dot(F.col("_cv"), F.col("_cv")).alias("_ccn"),
     )
     return (
-        p.select(F.col("_list").cast("long").alias("_list"), "cv", ncol.alias("_n"))
-        .join(F.broadcast(c), "_list")
+        p.join(F.broadcast(c), "_list")
         .select(
             "_list",
             cosine_with_norms(

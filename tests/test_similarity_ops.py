@@ -644,3 +644,53 @@ def test_knn_ivf_probe_dir_empty_lists(spark, tmp_path, sf_dir):
     )
     assert got.columns == ["query_id", "neighbor_id", "rank", "cosine"]
     assert got.count() == 0
+
+
+def test_ivf_drift_stats_and_summary(spark, sf_dir, tmp_path):
+    """r12 re-centering drift signal: per-list occupancy + mean
+    assignment cosine over a persisted list-major index. Invariants:
+    every posting row is counted exactly once (sum n_vectors =
+    replication x corpus), assignment cosines are sane for the
+    nearest-replica quantizer, the recent tail of a two-tier streamed
+    store is included, and the driver-side summary rolls up the
+    rebuild-signal scalars."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_drift_summary,
+        ivf_index_drift_stats,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cdir = str(tmp_path / "cent")
+    pdir = str(tmp_path / "post")
+    c, p = build_ivf_index(emb, n_lists=16, replication=2)
+    write_ivf_index(c, p, cdir, pdir)
+
+    stats = ivf_index_drift_stats(spark, cdir, pdir)
+    got = stats.collect()
+    assert 0 < len(got) <= 16
+    assert sum(r["n_vectors"] for r in got) == 2 * n
+    assert all(-1.0 <= r["mean_cos"] <= 1.0 for r in got)
+    s = ivf_drift_summary(stats, 16)
+    assert s["postings"] == 2 * n
+    assert s["nonempty_lists"] == len(got)
+    assert s["empty_lists"] == 16 - len(got)
+    assert s["occupancy_skew"] >= 1.0
+    assert -1.0 <= s["min_list_mean_cos"] <= s["mean_assign_cos"] <= 1.0
+
+    # two-tier: a recent tail (streamed landings not yet rolled) is
+    # part of the index and must be counted
+    extra = p.limit(40)
+    extra.write.mode("overwrite").parquet(pdir + "_recent/batch_id=0")
+    n_extra = extra.count()
+    stats2 = ivf_index_drift_stats(spark, cdir, pdir)
+    assert (
+        sum(r["n_vectors"] for r in stats2.collect()) == 2 * n + n_extra
+    )
+
+    # no postings at all -> explicit error, not an empty frame
+    with pytest.raises(FileNotFoundError):
+        ivf_index_drift_stats(spark, cdir, str(tmp_path / "nowhere"))

@@ -1302,3 +1302,536 @@ def test_stream_ivf_list_major_post_roll_resume_keeps_history(
     again = drive()
     assert again.count() == n
     assert set(again.columns) == {"neighbor_id", "cv", "_cn", "_list"}
+
+
+def _stage_ordered_files(pdf_chunks, src: str) -> None:
+    """Write pandas chunks as sequenced-mtime parquet files (the
+    ordered-replay contract: oldest mtime first == id order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+    for i, pdf in enumerate(pdf_chunks):
+        p = os.path.join(src, f"part-{i:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (base + i * 10, base + i * 10))
+
+
+def test_stream_near_dedup_in_drive_maintenance_keeper_parity(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r11 #3: maintain_every runs roll + threshold-gated
+    consolidation IN-DRIVE from foreachBatch — keeper parity with the
+    batch rule must hold across the mid-drive maintenance cycles, the
+    layout invariants must hold at drain (recent tails hold only the
+    not-yet-rolled trailing batch; consolidated buckets hold the
+    merged leaf), and a RESUME over later arrivals against the
+    maintained store must stay batch-exact."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    staged = _ordered_docs_stream_dir(sf_dir)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store_dir = str(tmp_path / "store")
+    bands_dir = store_dir + "_bands"
+    kwargs = dict(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+        store_buckets=16,
+        maintain_every=2,
+        consolidate_min_batch_dirs=2,
+    )
+
+    def drive():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_near_dedup_minhash(spark, stream, **kwargs)
+
+    for p in parts[:3]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    drive()
+    # maintenance fired after batch 1 (rolled batch 0; consolidation
+    # early-returns at 1 dir/bucket): history exists, recent tails hold
+    # only the not-yet-rolled batches 1 and 2
+    recents = {
+        d
+        for d in os.listdir(bands_dir + "_recent")
+        if d.startswith("batch_id=")
+    }
+    assert recents == {"batch_id=1", "batch_id=2"}
+    assert [d for d in os.listdir(bands_dir) if d.startswith("_bkt=")]
+
+    # resume over the remaining file: the cadence counter is per-drive
+    # (in-memory), so the single batch 3 lands without a fire — keeper
+    # parity against the maintained store is the contract either way
+    for p in parts[3:]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    got = drive().select("doc_id")
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+
+
+def test_stream_near_dedup_in_drive_consolidation_layout(
+    spark, sf_dir, tmp_path
+):
+    """The consolidation half of in-drive maintenance: with a 2-dir
+    threshold and 4 batches, the second maintenance fire (after batch
+    3) merges the rolled history into one batch_id=-1 leaf per bucket;
+    the recent tails keep only the in-flight batch 3. Keeper parity is
+    pinned by the sibling test — this one pins the LAYOUT the next
+    probe pays for."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    src_dir = _ordered_docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "store")
+    bands_dir = store_dir + "_bands"
+    got = stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+        store_buckets=16,
+        maintain_every=2,
+        consolidate_min_batch_dirs=2,
+    ).select("doc_id")
+    # fire 1 (after batch 1): rolls batch 0, consolidate no-ops (1 dir)
+    # fire 2 (after batch 3): rolls batches 1-2, consolidate merges
+    # {0, 1, 2} -> batch_id=-1 in every touched bucket
+    for root, prefix in ((bands_dir, "_bkt="), (store_dir, "_pbkt=")):
+        recents = {
+            d
+            for d in os.listdir(root + "_recent")
+            if d.startswith("batch_id=")
+        }
+        assert recents == {"batch_id=3"}, (root, recents)
+        buckets = [d for d in os.listdir(root) if d.startswith(prefix)]
+        assert buckets
+        for b in buckets:
+            leaves = {
+                d
+                for d in os.listdir(os.path.join(root, b))
+                if d.startswith("batch_id=")
+            }
+            assert leaves == {"batch_id=-1"}, (root, b, leaves)
+    # and the drained keeper set is still the batch rule
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+
+
+def test_stream_near_dedup_crash_replay_across_in_drive_roll(
+    spark, sf_dir, tmp_path
+):
+    """Crash-window extension across an in-drive roll (VERDICT r11 #3's
+    done-criterion): drive with maintenance on, then simulate a crash
+    AFTER the last batch's work (including its maintenance roll) but
+    BEFORE its checkpoint commit — by deleting the newest commit file —
+    and resume over more arrivals. The replayed batch re-lands its own
+    dirs idempotently against the already-rolled store and the final
+    keeper set still equals the batch rule."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    staged = _ordered_docs_stream_dir(sf_dir)
+    parts = sorted(p for p in os.listdir(staged) if p.endswith(".parquet"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=ckpt,
+        store_dir=str(tmp_path / "store"),
+        threshold=0.2,
+        store_buckets=16,
+        maintain_every=2,
+        consolidate_min_batch_dirs=2,
+    )
+
+    def drive():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_near_dedup_minhash(spark, stream, **kwargs)
+
+    for p in parts[:2]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    drive()  # batches 0-1; maintenance fired after batch 1 (rolled 0)
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    # "crash": the newest commit never landed (its checksum sidecar
+    # goes too — a real crash writes neither)
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    for p in parts[2:]:
+        shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+    got = drive().select("doc_id")  # replays batch 1, then 2-3
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+
+
+def _template_docs_pdf(n_template: int, ids, texts):
+    """pandas docs frame: ids < n_template share ONE boilerplate text
+    (a degenerate (band, sig) group), the rest keep distinct texts."""
+    import pandas as pd
+
+    tpl = (
+        "standard site header navigation home about contact copyright"
+        " notice all rights reserved terms of service privacy policy"
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": list(ids),
+            "text": [tpl if i < n_template else t for i, t in zip(ids, texts)],
+        }
+    )
+
+
+def test_stream_near_dedup_hot_band_backstop_parity(spark, sf_dir, tmp_path):
+    """VERDICT r11 #4: max_bucket on the streaming drive = the batch
+    operator's corpus-global (band, sig)-occupancy guard. With a
+    template group that is hot FROM ITS FIRST BATCH (all members in
+    file 1), the as-of-each-trigger guard and the batch corpus-global
+    guard agree exactly: the drained keeper set equals
+    near_dup_pairs(corpus, max_bucket=cap)'s keeper rule — and the
+    guard demonstrably ENGAGES (without it the template docs are
+    dropped as Jaccard-1 dups; with it they all survive and the
+    degenerate group never fans out a probe join)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    n_template, cap = 24, 12
+    pdf = _template_docs_pdf(n_template, docs["doc_id"], docs["text"])
+    chunk = (len(pdf) + 3) // 4
+    src = str(tmp_path / "src")
+    _stage_ordered_files(
+        [pdf.iloc[i * chunk : (i + 1) * chunk] for i in range(4)], src
+    )
+    corpus = spark.createDataFrame(pdf)
+
+    def drive(tag, max_bucket):
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_near_dedup_minhash(
+            spark,
+            stream,
+            out_dir=str(tmp_path / f"out{tag}"),
+            checkpoint_dir=str(tmp_path / f"ckpt{tag}"),
+            store_dir=str(tmp_path / f"store{tag}"),
+            threshold=0.2,
+            store_buckets=16,
+            max_bucket=max_bucket,
+        ).select("doc_id")
+
+    got = drive("g", cap)
+    dropped = (
+        near_dup_pairs(corpus, threshold=0.2, max_bucket=cap)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = corpus.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+    # the guard ENGAGED: all template docs kept (their groups exceed
+    # the cap), whereas the unguarded drive drops all but the first
+    kept_ids = {r[0] for r in got.collect()}
+    assert set(range(n_template)) <= kept_ids
+    unguarded = drive("u", None)
+    kept_u = {r[0] for r in unguarded.collect()}
+    assert kept_u & set(range(n_template)) == {0}
+    assert len(kept_u) < len(kept_ids)
+
+
+def test_stream_near_dedup_hot_band_prefix_rule(spark, tmp_path):
+    """The one inherent online-guard caveat, pinned as a CONTRACT: a
+    group that crosses the cap mid-stream produced drops while small —
+    each a correct application of the batch rule to that trigger's
+    prefix corpus — and produces none after. The drained keeper set
+    must equal the per-prefix batch rule: doc in batch b is dropped
+    iff near_dup_pairs(prefix_b, max_bucket) drops it."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    # 3 batches of 4 template docs each (+ distinct filler): the
+    # template group has occupancy 4 <= cap 6 in batch 0 (drops
+    # happen), crosses the cap at batch 1 (8 > 6 — no new drops)
+    ids = list(range(12))
+    texts = [f"unique filler document number {i} with distinct words {i}" for i in ids]
+    pdf = _template_docs_pdf(12, ids, texts)  # ALL template
+    import pandas as pd
+
+    filler = pd.DataFrame(
+        {
+            "doc_id": [100 + i for i in ids],
+            "text": [
+                f"completely different text {i} nothing shared here at all {i * 7}"
+                for i in ids
+            ],
+        }
+    )
+    pdf = (
+        pd.concat(
+            [
+                pd.concat([pdf.iloc[b * 4 : (b + 1) * 4], filler.iloc[b * 4 : (b + 1) * 4]])
+                for b in range(3)
+            ]
+        )
+        .reset_index(drop=True)
+    )
+    chunks = [pdf.iloc[b * 8 : (b + 1) * 8] for b in range(3)]
+    src = str(tmp_path / "src")
+    _stage_ordered_files(chunks, src)
+    cap = 6
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=str(tmp_path / "store"),
+        threshold=0.2,
+        store_buckets=16,
+        max_bucket=cap,
+    ).select("doc_id")
+
+    # expected: per-prefix batch rule
+    expected_dropped: set = set()
+    for b in range(3):
+        prefix = spark.createDataFrame(pd.concat(chunks[: b + 1]))
+        batch_ids = set(chunks[b]["doc_id"])
+        pairs = near_dup_pairs(prefix, threshold=0.2, max_bucket=cap)
+        expected_dropped |= {
+            r[0]
+            for r in pairs.select("id_b").distinct().collect()
+            if r[0] in batch_ids
+        }
+    # batch 0's template docs (ids 1-3) dropped while the group was
+    # small; later template docs survive (group hot) — the caveat is
+    # real, and exactly the per-prefix rule
+    assert expected_dropped >= {1, 2, 3}
+    assert not (expected_dropped & {4, 5, 6, 7, 8, 9, 10, 11})
+    want = set(pdf["doc_id"]) - expected_dropped
+    assert {r[0] for r in got.collect()} == want
+
+
+def test_stream_near_dedup_embedding_hot_bucket_backstop(spark, tmp_path):
+    """The embedding twin's r12 backstop: identical vectors share every
+    (table, bucket) code — a degenerate bucket hot from batch 1. With
+    max_bucket below the group size the drained keeper set equals
+    similarity.embedding_near_dup_pairs(max_bucket=cap)'s keeper rule
+    and the twins are all kept."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_embedding,
+    )
+
+    rng = np.random.RandomState(20260815)
+    n_template, cap, dim = 20, 10, 32
+    tpl = rng.randn(dim)
+    vecs = [tpl.copy() for _ in range(n_template)] + [
+        rng.randn(dim) for _ in range(60)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [[float(x) for x in v] for v in vecs],
+        }
+    )
+    src = str(tmp_path / "src")
+    chunk = (len(pdf) + 3) // 4
+    _stage_ordered_files(
+        [pdf.iloc[i * chunk : (i + 1) * chunk] for i in range(4)], src
+    )
+    corpus = spark.createDataFrame(pdf)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = stream_near_dedup_embedding(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=str(tmp_path / "store"),
+        bits=8,
+        tables=2,
+        threshold=0.3,
+        store_buckets=16,
+        max_bucket=cap,
+    ).select("vec_id")
+
+    dropped = (
+        embedding_near_dup_pairs(
+            corpus, bits=8, tables=2, threshold=0.3, max_bucket=cap
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    want = corpus.join(dropped, "vec_id", "left_anti").select("vec_id")
+    assert rows(got) == rows(want)
+    kept = {r[0] for r in got.collect()}
+    assert set(range(n_template)) <= kept  # the guard engaged
+
+
+def test_fresh_checkpoint_refused_on_landed_store(spark, sf_dir, tmp_path):
+    """ADVICE r11 #4, the strong fix: _layout.json records a
+    max_batch_id watermark; a drive whose checkpoint has no commits
+    against a store with landed batches is REFUSED (a recreated
+    checkpoint restarts batch ids at 0 and would silently overwrite
+    surviving history leaves). Batch-seeded stores (marker without the
+    watermark) still accept a fresh checkpoint."""
+    import json as _json
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        _STORE_LAYOUT_FILE,
+        stream_near_dedup_minhash,
+        write_store_layout_marker,
+    )
+
+    src_dir = _ordered_docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    store_dir = str(tmp_path / "store")
+
+    def drive(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        return stream_near_dedup_minhash(
+            spark,
+            stream,
+            out_dir=str(tmp_path / f"out{ckpt}"),
+            checkpoint_dir=str(tmp_path / f"ckpt{ckpt}"),
+            store_dir=store_dir,
+            threshold=0.2,
+            store_buckets=16,
+        )
+
+    drive(0)
+    marker = _json.load(open(os.path.join(store_dir, _STORE_LAYOUT_FILE)))
+    assert marker["max_batch_id"] == 1  # 4 files / 2 per trigger
+    # a SECOND drive with a FRESH checkpoint: refused
+    with pytest.raises(ValueError, match="fresh"):
+        drive(1)
+    # resuming the ORIGINAL checkpoint: fine (no new files -> no-op)
+    assert drive(0) is not None
+    # batch-seeded marker (no watermark): fresh checkpoints accepted
+    seeded = str(tmp_path / "seeded")
+    os.makedirs(seeded)
+    write_store_layout_marker(spark, seeded, "minhash", 16)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    out = stream_near_dedup_minhash(
+        spark,
+        stream,
+        out_dir=str(tmp_path / "out_seeded"),
+        checkpoint_dir=str(tmp_path / "ckpt_seeded"),
+        store_dir=seeded,
+        threshold=0.2,
+        store_buckets=16,
+    )
+    assert out.count() > 0

@@ -318,3 +318,48 @@ def test_compact_partitioned_hidden_path_conventions(spark, tmp_path):
         tuple(r)
         for r in spark.read.parquet(root).select("_bkt", "k").collect()
     ) == sorted(tuple(r) for r in df.select("_bkt", "k").collect())
+
+
+def test_roll_before_batch_id_rolls_committed_only(spark, tmp_path):
+    """r12 in-drive maintenance contract: roll_recent_into_store with
+    before_batch_id rolls ONLY the strictly-smaller (checkpoint-
+    committed) batch dirs, leaving the in-flight batch in the recent
+    tail; shuffle=False skips the per-bucket exchange but lands the
+    same rows."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        roll_recent_into_store,
+    )
+
+    root = str(tmp_path / "store")
+    recent = root + "_recent"
+    for bid in range(4):
+        (
+            spark.range(bid * 10, bid * 10 + 10)
+            .select(
+                F.col("id"),
+                F.pmod(F.col("id"), F.lit(4)).alias("_bkt"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{recent}/batch_id={bid}")
+        )
+    stats = roll_recent_into_store(
+        spark, root, "_bkt", before_batch_id=3, shuffle=False
+    )
+    assert stats["batches_rolled"] == 3
+    left = {
+        d for d in os.listdir(recent) if d.startswith("batch_id=")
+    }
+    assert left == {"batch_id=3"}  # the in-flight batch stays
+    rolled = spark.read.parquet(root)
+    assert rolled.count() == 30
+    assert {r[0] for r in rolled.select("batch_id").distinct().collect()} == {
+        0,
+        1,
+        2,
+    }
+    # a later full roll finishes the job
+    stats2 = roll_recent_into_store(spark, root, "_bkt")
+    assert stats2["batches_rolled"] == 1
+    assert spark.read.parquet(root).count() == 40
