@@ -1353,11 +1353,20 @@ def ivf_drift_summary(stats: DataFrame, n_lists: int) -> dict:
     signal a maintenance job logs/alerts on: occupancy skew
     (max/mean posting-list size over NON-EMPTY lists), the share of
     empty lists, and the occupancy-weighted mean assignment cosine.
-    Rebuild guidance (SCALE.md r12 carries the measured basis): treat
-    ``occupancy_skew`` ≳ 4 or a ``mean_assign_cos`` drop of ≳ 0.05
-    from the post-build baseline as "schedule a rebuild" — both
-    regimes measurably cost probe IO or recall before they cost
-    correctness (the index stays exact-on-probed-lists regardless)."""
+
+    Rebuild guidance, measured (SCALE.md r12, antipodal-drift protocol
+    on the 256-center clustered fixture at sqrt-rule lists): the
+    sensitive axis is ``mean_assign_cos`` — it LEADS recall damage by
+    a wide margin (25% foreign mass dropped it 0.71 → 0.64 with zero
+    recall effect at nprobe=16; a full antipodal doubling dropped it
+    to 0.52 before the first measurable fixed-vs-rebuilt gap, 1.3 pp).
+    Alert at a drop ≳ 0.05 from the post-build baseline (foreign mass
+    is arriving), schedule the offline rebuild by ≳ 0.15;
+    ``occupancy_skew`` is the probe-IO axis (a hot list inflates every
+    probe routed to it) and warrants a rebuild on sustained growth
+    regardless of recall. Drift never costs correctness — the index
+    stays exact-on-probed-lists — only recall-at-nprobe and probe
+    IO."""
     row = stats.agg(
         F.max("n_vectors"),
         F.avg("n_vectors"),
