@@ -1002,6 +1002,7 @@ def stream_near_dedup_minhash(
             .persist()
         )
         cand = None
+        seen_cached = None
         try:
             write_batch_idempotent(bc, bid, bands_dir + "_recent")
             bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
@@ -1028,7 +1029,11 @@ def stream_near_dedup_minhash(
                 # hot groups are emptied from the broadcast probe side
                 # (killing all their pairs). ``hot`` is bounded by the
                 # batch's distinct groups — broadcastable by the same
-                # argument as bc itself.
+                # argument as bc itself. bands_seen is persisted so the
+                # occupancy agg and the candidate join share ONE read
+                # of the touched subtrees — the dominant per-trigger IO
+                # at deep history, which the guard must not double.
+                bands_seen = seen_cached = bands_seen.persist()
                 hot = (
                     bands_seen.join(
                         F.broadcast(bc.select("band", "sig").distinct()),
@@ -1103,6 +1108,8 @@ def stream_near_dedup_minhash(
             bc.unpersist()
             if cand is not None:
                 cand.unpersist()
+            if seen_cached is not None:
+                seen_cached.unpersist()
 
     n_landed = [0]  # triggers since drive start (cadence, not state)
 
@@ -1329,6 +1336,7 @@ def stream_near_dedup_embedding(
             .persist()
         )
         cand = None
+        seen_cached = None
         try:
             write_batch_idempotent(bc, bid, bands_dir + "_recent")
             bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
@@ -1347,7 +1355,10 @@ def stream_near_dedup_embedding(
             if max_bucket is not None:
                 # corpus-global hot-bucket backstop (r12) — see the
                 # MinHash twin: the touched subtrees hold each probed
-                # (table, bucket) group's FULL occupancy
+                # (table, bucket) group's FULL occupancy; persisted so
+                # the occupancy agg and the candidate join share one
+                # touched-subtree read
+                bands_seen = seen_cached = bands_seen.persist()
                 hot = (
                     bands_seen.join(
                         F.broadcast(bc.select("_t", "_b").distinct()),
@@ -1418,6 +1429,8 @@ def stream_near_dedup_embedding(
             bc.unpersist()
             if cand is not None:
                 cand.unpersist()
+            if seen_cached is not None:
+                seen_cached.unpersist()
 
     def _cosine_dropped(cand: DataFrame, vecs: DataFrame) -> DataFrame:
         """ids of candidates whose exact cosine meets the threshold —
