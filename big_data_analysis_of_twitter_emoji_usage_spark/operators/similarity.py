@@ -1376,6 +1376,19 @@ def ivf_drift_summary(stats: DataFrame, n_lists: int) -> dict:
         F.min("mean_cos"),
     ).first()
     mx, mean_n, wcos, total, nonempty, mn_cos = row
+    if not nonempty:
+        # a store whose recent tail holds only zero-row batch dirs, or
+        # postings that match none of the supplied centroids' lists —
+        # a well-formed "nothing indexed yet" signal, not a TypeError
+        return {
+            "n_lists": n_lists,
+            "nonempty_lists": 0,
+            "empty_lists": n_lists,
+            "occupancy_skew": None,
+            "mean_assign_cos": None,
+            "min_list_mean_cos": None,
+            "postings": 0,
+        }
     return {
         "n_lists": n_lists,
         "nonempty_lists": int(nonempty),

@@ -2994,6 +2994,7 @@ def _ordered_table_stream_dir(
     n_files: int = 4,
     transform=None,
     variant: str = "",
+    stamp_extra: str = "",
 ) -> str:
     """Stage a fixture table as ``n_files`` parquet files in ascending-id
     ranges with sequenced mtimes — the ordered-replay contract the
@@ -3005,7 +3006,11 @@ def _ordered_table_stream_dir(
     optional pyarrow Table→Table hook applied after the sort —
     synthetic-variant stagings (``stream_dedup_hot_band``'s template
     injection) pass it with a distinguishing ``variant`` name so the
-    cache dirs never collide."""
+    cache dirs never collide; ``stamp_extra`` folds the transform's
+    PARAMETERS into the staleness stamp — without it, editing
+    ``_HOT_BAND_TEMPLATE``/``_HOT_BAND_N`` would keep serving the
+    stale cached staging while the DuckDB oracle uses the new values
+    (a phantom parity failure)."""
     import hashlib
     import shutil
     import tempfile
@@ -3023,7 +3028,10 @@ def _ordered_table_stream_dir(
     with open(src, "rb") as fh:
         fh.seek(max(0, st.st_size - 65536))
         tail_md5 = hashlib.md5(fh.read()).hexdigest()
-    want = f"{_os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{tail_md5}"
+    want = (
+        f"{_os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{tail_md5}"
+        f":{stamp_extra}"
+    )
     if not (
         _os.path.isfile(marker)
         and open(marker, encoding="utf-8").read() == want
@@ -3139,7 +3147,13 @@ def _hot_band_docs_stream_dir(sf: str) -> str:
         )
 
     return _ordered_table_stream_dir(
-        sf, "documents", "doc_id", 4, transform=_inject, variant="_hotband"
+        sf,
+        "documents",
+        "doc_id",
+        4,
+        transform=_inject,
+        variant="_hotband",
+        stamp_extra=f"{_HOT_BAND_N}:{_HOT_BAND_TEMPLATE}",
     )
 
 

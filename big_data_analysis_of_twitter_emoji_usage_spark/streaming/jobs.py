@@ -529,7 +529,7 @@ def write_store_layout_marker(
     ``min(ids)-1``, so MERGED history never collides — only
     unconsolidated leaves and recent tails do). Batch-seeded stores
     leave it None (no landed batches → fresh checkpoints are fine)."""
-    fs, marker, _ = _marker_io(spark, store_dir)
+    fs, marker, jpath = _marker_io(spark, store_dir)
     fs.mkdirs(marker.getParent())
     payload = {
         "layout_version": _STORE_LAYOUT_VERSION,
@@ -538,18 +538,36 @@ def write_store_layout_marker(
     }
     if max_batch_id is not None:
         payload["max_batch_id"] = max_batch_id
-    out = fs.create(marker, True)
+    # tmp-then-rename, NOT create(marker, True): since the r12
+    # watermark this rewrite happens once per trigger, and an in-place
+    # create truncates the live marker immediately — a crash mid-write
+    # would leave _layout.json empty/corrupt and every later drive
+    # unreadable. The tmp write is all-or-nothing at the marker path;
+    # the delete→rename window leaves a COMPLETE tmp, which the reader
+    # rolls forward (same repair-on-read family as compact_parquet_dir).
+    tmp = jpath(str(marker) + ".tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
+    if fs.exists(marker):
+        fs.delete(marker, False)
+    fs.rename(tmp, marker)
 
 
 def _record_max_batch_id(spark: SparkSession, store_dir: str, bid: int) -> None:
     """Advance the marker's ``max_batch_id`` watermark after a batch
-    lands (driver-side, one tiny JSON rewrite per trigger — monotone,
-    never lowered by a checkpoint replay of an earlier batch)."""
+    lands (driver-side, one tiny atomic JSON rewrite per trigger —
+    monotone, never lowered by a checkpoint replay of an earlier
+    batch)."""
     got = _read_store_layout_marker(spark, store_dir)
+    if got is None:
+        raise ValueError(
+            f"dedup store at {store_dir} lost its _layout.json marker "
+            "mid-drive — write_store_layout_marker() it back with the "
+            "drive's layout before resuming."
+        )
     if int(got.get("max_batch_id", -1)) < bid:
         write_store_layout_marker(
             spark, store_dir, got["kind"], got["store_buckets"], bid
@@ -557,33 +575,79 @@ def _record_max_batch_id(spark: SparkSession, store_dir: str, bid: int) -> None:
 
 
 def _checkpoint_is_fresh(spark: SparkSession, checkpoint_dir: str) -> bool:
-    """True iff the Structured Streaming checkpoint has no committed
-    batches (missing dir, or an empty/missing ``commits/``) — through
-    the Hadoop FS, same FS-agnostic posture as ``_marker_io``."""
+    """True iff the Structured Streaming checkpoint has never started a
+    batch (missing dir, or an empty/missing ``offsets/``) — through
+    the Hadoop FS, same FS-agnostic posture as ``_marker_io``.
+
+    ``offsets/``, deliberately NOT ``commits/``: a drive that crashed
+    after its first batch's work landed (and after the marker's
+    watermark advanced) but BEFORE the commit file has offsets/0 and
+    an empty commits/ — resuming THAT checkpoint replays the same
+    batch id idempotently and is exactly the safe path; gating on
+    commits/ would brick the legitimate resume the gate's own error
+    message recommends. Only a checkpoint with no offsets at all
+    restarts batch ids at 0 against a store that already has them."""
     from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
 
     fs, _ = _hadoop_fs(spark, checkpoint_dir)
     jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    commits = jpath(f"{checkpoint_dir.rstrip('/')}/commits")
-    if not fs.exists(commits):
+    offsets = jpath(f"{checkpoint_dir.rstrip('/')}/offsets")
+    if not fs.exists(offsets):
         return True
     return not any(
         not s.getPath().getName().startswith(".")
-        for s in fs.listStatus(commits)
+        for s in fs.listStatus(offsets)
     )
 
 
-def _read_store_layout_marker(spark: SparkSession, store_dir: str) -> dict:
-    fs, marker, _ = _marker_io(spark, store_dir)
-    st = fs.open(marker)
-    try:
-        buf, b = [], st.read()
-        while b != -1:  # marker is ~80 bytes; byte-wise py4j read is fine
-            buf.append(b)
-            b = st.read()
-    finally:
-        st.close()
-    return json.loads(bytes(buf).decode())
+def _read_store_layout_marker(
+    spark: SparkSession, store_dir: str
+) -> dict | None:
+    """Read the store's layout marker, repairing the atomic-write
+    protocol's crash windows: a COMPLETE ``.tmp`` left by a crash
+    between delete and rename (or beside a marker a pre-r12 in-place
+    writer corrupted) is rolled forward to the marker path. Returns
+    None when neither file exists; raises with rebuild guidance when
+    what exists cannot be decoded."""
+    fs, marker, jpath = _marker_io(spark, store_dir)
+    tmp = jpath(str(marker) + ".tmp")
+
+    def _read(path) -> dict:
+        st = fs.open(path)
+        try:
+            buf, b = [], st.read()
+            while b != -1:  # ~80 bytes; byte-wise py4j read is fine
+                buf.append(b)
+                b = st.read()
+        finally:
+            st.close()
+        return json.loads(bytes(buf).decode())
+
+    marker_exists = fs.exists(marker)
+    if marker_exists:
+        try:
+            return _read(marker)
+        except ValueError:
+            pass  # truncated/corrupt — try the tmp roll-forward below
+    if fs.exists(tmp):
+        try:
+            got = _read(tmp)
+        except ValueError:
+            got = None
+        if got is not None:
+            if marker_exists:
+                fs.delete(marker, False)
+            fs.rename(tmp, marker)
+            return got
+        fs.delete(tmp, False)  # incomplete tmp: the marker is truth
+    if marker_exists:
+        raise ValueError(
+            f"dedup store at {store_dir} has an undecodable "
+            f"{_STORE_LAYOUT_FILE} and no complete recovery tmp — "
+            "rebuild the store, or write_store_layout_marker() if you "
+            "know its layout."
+        )
+    return None
 
 
 def _enforce_store_layout(
@@ -612,8 +676,8 @@ def _enforce_store_layout(
         "kind": kind,
         "store_buckets": store_buckets,
     }
-    if fs.exists(marker):
-        got = _read_store_layout_marker(spark, store_dir)
+    got = _read_store_layout_marker(spark, store_dir)
+    if got is not None:
         if {k: got.get(k) for k in expected} != expected:
             raise ValueError(
                 f"dedup store layout mismatch at {store_dir}: the store "
@@ -629,11 +693,11 @@ def _enforce_store_layout(
             raise ValueError(
                 f"dedup store at {store_dir} has landed streaming batches "
                 f"(max_batch_id={got['max_batch_id']}) but this drive's "
-                f"checkpoint {checkpoint_dir} has no commits: a fresh "
-                "checkpoint restarts batch ids at 0 and would silently "
-                "overwrite surviving history leaves with colliding ids. "
-                "Resume with the original checkpoint, or rebuild the "
-                "store alongside the new checkpoint."
+                f"checkpoint {checkpoint_dir} has never started a batch: "
+                "a fresh checkpoint restarts batch ids at 0 and would "
+                "silently overwrite surviving history leaves with "
+                "colliding ids. Resume with the original checkpoint, or "
+                "rebuild the store alongside the new checkpoint."
             )
         return
 
@@ -642,7 +706,9 @@ def _enforce_store_layout(
         if not fs.exists(p):
             return False
         return any(
-            s.getPath().getName() != _STORE_LAYOUT_FILE
+            # the marker family (_layout.json and its atomic-write tmp)
+            # is metadata, not store content
+            not s.getPath().getName().startswith(_STORE_LAYOUT_FILE)
             for s in fs.listStatus(p)
         )
 
@@ -1040,7 +1106,15 @@ def stream_near_dedup_minhash(
                         ["band", "sig"],
                     )
                     .groupBy("band", "sig")
-                    .agg(F.count(F.lit(1)).alias("_bc"))
+                    # countDistinct, not count: the store's documented
+                    # crash windows (roll/consolidate interrupted,
+                    # replayed final batch) legally duplicate rows
+                    # across tiers, and a raw row count would inflate
+                    # occupancy and spuriously engage the guard —
+                    # store rows are unique per (id, band) by
+                    # construction, so the distinct-id count IS the
+                    # batch operator's occupancy under any duplication
+                    .agg(F.countDistinct(F.col(id_col)).alias("_bc"))
                     .filter(F.col("_bc") > max_bucket)
                     .select("band", "sig")
                 )
@@ -1365,7 +1439,10 @@ def stream_near_dedup_embedding(
                         ["_t", "_b"],
                     )
                     .groupBy("_t", "_b")
-                    .agg(F.count(F.lit(1)).alias("_bc"))
+                    # countDistinct: dedup-robust across the crash
+                    # windows' cross-tier duplication (see the
+                    # MinHash twin)
+                    .agg(F.countDistinct(F.col(id_col)).alias("_bc"))
                     .filter(F.col("_bc") > max_bucket)
                     .select("_t", "_b")
                 )

@@ -694,3 +694,25 @@ def test_ivf_drift_stats_and_summary(spark, sf_dir, tmp_path):
     # no postings at all -> explicit error, not an empty frame
     with pytest.raises(FileNotFoundError):
         ivf_index_drift_stats(spark, cdir, str(tmp_path / "nowhere"))
+
+
+def test_ivf_drift_summary_empty_stats(spark):
+    """r12 review find: an index with no scored postings (zero-row
+    recent batches, or postings matching none of the centroids) must
+    roll up to a well-formed 'nothing indexed' dict, not a
+    float(None) TypeError."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import ivf_drift_summary
+
+    empty = spark.createDataFrame(
+        [], "list_id long, n_vectors long, mean_cos double"
+    )
+    s = ivf_drift_summary(empty, 16)
+    assert s == {
+        "n_lists": 16,
+        "nonempty_lists": 0,
+        "empty_lists": 16,
+        "occupancy_skew": None,
+        "mean_assign_cos": None,
+        "min_list_mean_cos": None,
+        "postings": 0,
+    }

@@ -1835,3 +1835,255 @@ def test_fresh_checkpoint_refused_on_landed_store(spark, sf_dir, tmp_path):
         store_buckets=16,
     )
     assert out.count() > 0
+
+
+def test_layout_marker_atomic_write_crash_windows(spark, sf_dir, tmp_path):
+    """r12 review finds: the per-trigger watermark rewrite must be
+    atomic. Crash windows of the tmp-then-rename protocol: (a) marker
+    truncated but a complete .tmp exists -> the reader rolls forward
+    and the drive resumes; (b) marker deleted, complete .tmp -> same;
+    (c) marker corrupt with no tmp -> explicit ValueError with rebuild
+    guidance, not a bare JSONDecodeError."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        _STORE_LAYOUT_FILE,
+        _read_store_layout_marker,
+        stream_near_dedup_minhash,
+    )
+
+    src_dir = _ordered_docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    store_dir = str(tmp_path / "store")
+
+    def drive(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        return stream_near_dedup_minhash(
+            spark,
+            stream,
+            out_dir=str(tmp_path / f"out{ckpt}"),
+            checkpoint_dir=str(tmp_path / f"ckpt{ckpt}"),
+            store_dir=store_dir,
+            threshold=0.2,
+            store_buckets=16,
+        )
+
+    drive(0)
+    marker = os.path.join(store_dir, _STORE_LAYOUT_FILE)
+    good = open(marker).read()
+
+    def _scrub_crc():
+        # hand-editing marker files desyncs Hadoop's local-FS .crc
+        # sidecars — remove them so the simulated corruption is
+        # content-level, not a ChecksumException
+        for n in (_STORE_LAYOUT_FILE, _STORE_LAYOUT_FILE + ".tmp"):
+            crc = os.path.join(store_dir, f".{n}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+
+    # (a) truncated marker + complete tmp -> rolled forward
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(good)
+    with open(marker, "w") as fh:
+        fh.write(good[: len(good) // 2])
+    _scrub_crc()
+    got = _read_store_layout_marker(spark, store_dir)
+    assert got["max_batch_id"] == 1
+    assert not os.path.exists(marker + ".tmp")  # repaired in place
+    assert open(marker).read() == good
+
+    # (b) marker missing + complete tmp -> rolled forward
+    os.rename(marker, marker + ".tmp")
+    _scrub_crc()
+    got = _read_store_layout_marker(spark, store_dir)
+    assert got["max_batch_id"] == 1
+    assert os.path.exists(marker)
+
+    # (c) corrupt marker, incomplete tmp -> explicit guidance
+    with open(marker, "w") as fh:
+        fh.write("{ not json")
+    with open(marker + ".tmp", "w") as fh:
+        fh.write("{ also not")
+    _scrub_crc()
+    with pytest.raises(ValueError, match="undecodable"):
+        _read_store_layout_marker(spark, store_dir)
+    # restore and prove the drive still resumes
+    with open(marker, "w") as fh:
+        fh.write(good)
+    _scrub_crc()
+    assert drive(0) is not None
+
+
+def test_crashed_before_first_commit_resume_not_bricked(
+    spark, sf_dir, tmp_path
+):
+    """r12 review find: the fresh-checkpoint gate keys on offsets/,
+    not commits/ — a drive that crashed after its batch's work (and
+    the marker watermark) landed but before ANY commit file has
+    offsets and is the legitimate idempotent resume; gating on
+    commits/ would refuse exactly the path the error message
+    recommends."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        _checkpoint_is_fresh,
+        stream_near_dedup_minhash,
+    )
+
+    src_dir = _ordered_docs_stream_dir(sf_dir)
+    schema = spark.read.parquet(src_dir).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def drive():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return stream_near_dedup_minhash(
+            spark,
+            stream,
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=ckpt,
+            store_dir=str(tmp_path / "store"),
+            threshold=0.2,
+            store_buckets=16,
+        )
+
+    drive()
+    # simulate "crashed before any commit": offsets survive, commits
+    # gone — every batch's work and the marker watermark are on disk
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    assert not _checkpoint_is_fresh(spark, ckpt)  # offsets exist
+    got = drive().select("doc_id")  # replays all batches idempotently
+
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        near_dup_pairs(docs, threshold=0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = docs.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+    # and a genuinely fresh checkpoint IS still refused
+    with pytest.raises(ValueError, match="fresh"):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        stream_near_dedup_minhash(
+            spark,
+            stream,
+            out_dir=str(tmp_path / "out2"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            store_dir=str(tmp_path / "store"),
+            threshold=0.2,
+            store_buckets=16,
+        )
+
+
+def test_hot_band_guard_is_duplication_robust(spark, tmp_path):
+    """r12 review find: the occupancy guard counts DISTINCT ids, so
+    the store crash windows' legal cross-tier row duplication cannot
+    inflate a group past the cap and silently suppress honest drops.
+    Simulated crash: a rolled recent batch dir is restored after the
+    roll (rows in both tiers), then the drive resumes — a template
+    group with true occupancy under the cap must still produce its
+    drops (a raw row count would see 2x and guard it away)."""
+    import shutil
+
+    import pandas as pd
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.dedup import near_dup_pairs
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        roll_recent_into_store,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    # 8 template docs (group occupancy 8 <= cap 12) + filler, 2 files
+    ids = list(range(8))
+    pdf1 = _template_docs_pdf(8, ids, [""] * 8)
+    pdf2 = pd.DataFrame(
+        {
+            "doc_id": [100 + i for i in range(8)]
+            + [200 + i for i in range(4)],
+            "text": [
+                f"filler text number {i} with its own words {i * 3}"
+                for i in range(8)
+            ]
+            # four MORE template docs arriving in batch 2: with true
+            # occupancy 12 <= cap they must be dropped as Jaccard-1
+            # dups of batch 1's templates
+            + [
+                "standard site header navigation home about contact"
+                " copyright notice all rights reserved terms of service"
+                " privacy policy"
+            ]
+            * 4,
+        }
+    )
+    pdf2.loc[pdf2.index[-4:], "doc_id"] = [300, 301, 302, 303]
+    src = str(tmp_path / "src")
+    _stage_ordered_files([pdf1, pdf2], src)
+    store_dir = str(tmp_path / "store")
+    kwargs = dict(
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_dir=store_dir,
+        threshold=0.2,
+        store_buckets=16,
+        max_bucket=12,
+    )
+
+    def drive():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stream_near_dedup_minhash(spark, stream, **kwargs)
+
+    # batch 1 only (hide file 2), then a CRASHED roll: history gets the
+    # rows, the recent dirs come back (both tiers populated)
+    f2 = os.path.join(src, "part-0001.parquet")
+    hidden = str(tmp_path / "hidden.parquet")
+    os.rename(f2, hidden)
+    drive()
+    bands_dir = store_dir + "_bands"
+    saved = str(tmp_path / "saved_bands_recent")
+    shutil.copytree(bands_dir + "_recent", saved)
+    roll_recent_into_store(spark, bands_dir, "_bkt")
+    roll_recent_into_store(spark, store_dir, "_pbkt")
+    shutil.rmtree(bands_dir + "_recent")
+    shutil.copytree(saved, bands_dir + "_recent")  # rows in BOTH tiers
+    os.rename(hidden, f2)
+    got = drive().select("doc_id")
+
+    # expected: the batch rule over the full corpus at the same cap —
+    # template group's final occupancy 12 <= 12, so templates 1..7 and
+    # 300..303 are dropped; raw double-counting (16 > 12) would keep
+    # them all
+    corpus = spark.createDataFrame(pd.concat([pdf1, pdf2]))
+    dropped = (
+        near_dup_pairs(corpus, threshold=0.2, max_bucket=12)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    want = corpus.join(dropped, "doc_id", "left_anti").select("doc_id")
+    assert rows(got) == rows(want)
+    kept = {r[0] for r in got.collect()}
+    assert kept & {300, 301, 302, 303} == set()  # drops NOT suppressed
