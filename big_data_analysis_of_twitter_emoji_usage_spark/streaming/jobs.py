@@ -545,15 +545,23 @@ def write_store_layout_marker(
     # unreadable. The tmp write is all-or-nothing at the marker path;
     # the delete→rename window leaves a COMPLETE tmp, which the reader
     # rolls forward (same repair-on-read family as compact_parquet_dir).
-    tmp = jpath(str(marker) + ".tmp")
+    _write_small_json_atomic(spark, fs, jpath, marker, payload)
+
+
+def _write_small_json_atomic(spark, fs, jpath, target, payload: dict) -> None:
+    """tmp-then-rename landing for tiny JSON control files (layout
+    marker, drift signal): the tmp write is all-or-nothing at the
+    target path, and the delete→rename window leaves a COMPLETE tmp
+    the marker reader rolls forward."""
+    tmp = jpath(str(target) + ".tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
-    if fs.exists(marker):
-        fs.delete(marker, False)
-    fs.rename(tmp, marker)
+    if fs.exists(target):
+        fs.delete(target, False)
+    fs.rename(tmp, target)
 
 
 def _record_max_batch_id(spark: SparkSession, store_dir: str, bid: int) -> None:
@@ -1581,6 +1589,7 @@ def stream_ivf_index_append(
     list_major: bool = False,
     maintain_every: int | None = None,
     consolidate_min_batch_dirs: int = 8,
+    drift_signal: bool = True,
 ) -> DataFrame:
     """Maintain a persisted IVF index under streaming arrival (r9) —
     the ANN member of the continuous-curation contract: the centroid
@@ -1616,6 +1625,17 @@ def stream_ivf_index_append(
     ``_layout.json`` marker, whose ``max_batch_id`` watermark also
     refuses a fresh-checkpoint resume of a store with landed batches
     (colliding batch ids would silently overwrite history leaves).
+    Each in-drive maintenance fire also lands the RE-CENTERING DRIFT
+    SIGNAL beside the index (``drift_signal=True``, r12):
+    ``similarity.ivf_drift_summary`` over the accumulated postings —
+    occupancy skew, mean assignment cosine, empty-list share, stamped
+    with the batch id — written atomically to
+    ``<postings_dir>/_drift.json`` (underscore-hidden from Spark's
+    file index), so the metric an operator alerts on (thresholds in
+    the summary's docstring, measured basis in SCALE.md r12) is
+    maintained by the drive itself at maintenance cadence: one
+    broadcast-join aggregate scan of the postings per cycle, the same
+    O(store) class as the consolidation it rides along with.
     Returns the accumulated postings (batch_id dropped).
     """
     from pyspark.errors import AnalysisException
@@ -1640,6 +1660,8 @@ def stream_ivf_index_append(
         checkpoint_dir,
     )
     c = spark.read.parquet(centroids_dir)
+    # broadcast-sized by contract; counted once for the drift rollup
+    n_lists = c.count() if (maintain_every is not None and drift_signal) else 0
 
     def _append(bdf: DataFrame, bid: int) -> None:
         e0 = bdf.select(
@@ -1690,6 +1712,29 @@ def stream_ivf_index_append(
                     bid,
                     consolidate_min_batch_dirs,
                 )
+                if drift_signal:
+                    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+                        ivf_drift_summary,
+                        ivf_index_drift_stats,
+                    )
+
+                    s = ivf_drift_summary(
+                        ivf_index_drift_stats(
+                            spark, centroids_dir, postings_dir
+                        ),
+                        n_lists,
+                    )
+                    s["as_of_batch_id"] = bid
+                    fs, _, jpath = _marker_io(spark, postings_dir)
+                    _write_small_json_atomic(
+                        spark,
+                        fs,
+                        jpath,
+                        jpath(
+                            f"{postings_dir.rstrip('/')}/_drift.json"
+                        ),
+                        s,
+                    )
 
     query = (
         stream_df.writeStream.foreachBatch(_on_batch)

@@ -2087,3 +2087,56 @@ def test_hot_band_guard_is_duplication_robust(spark, tmp_path):
     assert rows(got) == rows(want)
     kept = {r[0] for r in got.collect()}
     assert kept & {300, 301, 302, 303} == set()  # drops NOT suppressed
+
+
+def test_stream_ivf_maintenance_lands_drift_signal(spark, sf_dir, tmp_path):
+    """r12: each in-drive maintenance fire of the list-major IVF
+    appender lands the re-centering drift signal beside the index
+    (_drift.json, atomic write) — occupancy/assignment rollup stamped
+    with the batch id, consistent with the accumulated postings."""
+    import json as _json
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import load_table
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        ivf_assignments,
+        select_ivf_centroids,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_embeddings_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_ivf_index_append,
+    )
+
+    staged = _ordered_embeddings_stream_dir(sf_dir)
+    cdir = str(tmp_path / "cent")
+    pdir = str(tmp_path / "post")
+    emb = load_table(spark, sf_dir, "embeddings")
+    c, _ = ivf_assignments(emb, select_ivf_centroids(emb, "vec_id", 8))
+    c.write.parquet(cdir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    postings = stream_ivf_index_append(
+        spark,
+        stream,
+        centroids_dir=cdir,
+        postings_dir=pdir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        replication=2,
+        list_major=True,
+        maintain_every=2,
+        consolidate_min_batch_dirs=2,
+    )
+    drift = _json.load(open(os.path.join(pdir, "_drift.json")))
+    assert drift["as_of_batch_id"] == 3  # last maintenance fire
+    assert drift["n_lists"] == 8
+    # stamped at the fire AFTER batch 3's landing: all 4 batches'
+    # postings are in (the drift scan reads history ∪ recent)
+    assert drift["postings"] == postings.count()
+    assert 0 < drift["nonempty_lists"] <= 8
+    assert drift["occupancy_skew"] >= 1.0
+    assert -1.0 <= drift["mean_assign_cos"] <= 1.0
