@@ -4929,6 +4929,13 @@ _GATE_FRONT = {
     "stream_dedup_near_docs": stream_dedup_near_docs,
     "stream_dedup_near_emb": stream_dedup_near_emb,
     "stream_knn_ivf": stream_knn_ivf,
+    # ---- r12 optimization-reshaped plan (rotation rule: a plan that
+    # changes behind the window re-enters the gate front): the SimHash
+    # pair verify is now carry-through + bit_count(xor) instead of two
+    # fingerprint join-backs + an interpreted per-bit filter — results
+    # bit-identical, plan different, so it re-attests. Its former
+    # drain-tail slot (multimodal_decode) moves to the r13 head. ----
+    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
     # ---- r12 drain head (pre-declared at the r11 window boundary):
     # the 19 youngest r9-attested rows — after this round no ledger
     # row is older than r10. ----
@@ -4981,7 +4988,6 @@ _GATE_FRONT = {
     "knn_wta": knn_wta_q,
     "knn_lsh": knn_lsh_q,
     "embedding_outliers": embedding_outliers_q,
-    "multimodal_decode": multimodal_decode_q,
 }
 
 # STANDING POLICY (r12, resolving the r11 sentinel question for good):
@@ -5001,8 +5007,10 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r12. ----
-    # The r13 drain head, pre-declared, is the 21 remaining
-    # r10-attested rows below (oldest-first), then the oldest r11
+    # The r13 drain head, pre-declared, is multimodal_decode (displaced
+    # from the r12 window tail by the reshaped dedup_simhash64_pairs
+    # re-entering the gate front) plus the 21 remaining r10-attested
+    # rows below (oldest-first), then the oldest r11
     # rows. RULE (rotation invariant): any entry whose PLAN changes
     # behind the window — an operator edit that alters the physical
     # plan even with bit-identical results — must re-enter
@@ -5010,6 +5018,7 @@ _PROVEN = {
     # drain; with 118 queries in a 50-slot window the steady-state
     # staleness floor is 2 rounds, and it holds iff each round drains
     # its pre-declared head. ----
+    "multimodal_decode": multimodal_decode_q,
     "multimodal_resize": multimodal_resize_q,
     "multimodal_frames": multimodal_frames_q,
     "training_pipeline": training_pipeline_q,
@@ -5064,7 +5073,6 @@ _PROVEN = {
     "stream_decontam_join": stream_decontam_join,
     "dedup_cross_pairs": dedup_cross_pairs_q,
     "dedup_containment_cross": dedup_containment_cross_q,
-    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
     "word_position_counts": word_position_counts,
     "setop_intersect": setop_intersect,
     "setop_except": setop_except,

@@ -386,8 +386,25 @@ def consolidate_bucket_history(
         return stats
     bcol = next(iter(per)).split("=", 1)[0]
     v = min(i for ids in per.values() for i in ids) - 1
+    # Merge ONLY the fragmented buckets (≥2 batch dirs) — r12: the old
+    # whole-store `spark.read.parquet(root)` also read and REWROTE
+    # every single-dir bucket, making each firing O(store) regardless
+    # of fragmentation; a direct-path read of just the fragmented
+    # buckets' subtrees makes the merge IO proportional to the
+    # fragmentation the cycle actually has to repair. Single-dir
+    # buckets are untouched on disk — they need no merge, and (in the
+    # crashed-merge recovery case) can hold no cross-dir duplicates,
+    # so the recovery dedup pass loses nothing by not seeing them.
+    frag = {name: ids for name, ids in per.items() if len(ids) >= 2}
+    if not frag:
+        if recovering:
+            fs.delete(pending, False)
+            stats["recovering"] = False
+        return stats
     fs.create(pending, True).close()
-    df = spark.read.parquet(root).drop("batch_id")
+    df = spark.read.option("basePath", root.rstrip("/")).parquet(
+        *(f"{root.rstrip('/')}/{name}" for name in sorted(frag))
+    ).drop("batch_id")
     if recovering:
         # copies from a crashed merge differ only in their (dropped)
         # batch_id dir — collapse them; paid only on recovery runs
@@ -401,11 +418,13 @@ def consolidate_bucket_history(
         .partitionBy(bcol, "batch_id")
         .parquet(root.rstrip("/"))
     )
-    for name, ids in per.items():
+    for name, ids in frag.items():
         for i in ids:
             fs.delete(Path(f"{root.rstrip('/')}/{name}/batch_id={i}"), True)
     fs.delete(pending, False)
-    stats.update(consolidated=True, merged_into=v)
+    stats.update(
+        consolidated=True, merged_into=v, buckets_merged=len(frag)
+    )
     return stats
 
 
@@ -467,15 +486,18 @@ def roll_recent_into_store(
     if before_batch_id is not None:
         # partition-pruned: batch_id is a dir column in the recent tier
         df = df.filter(F.col("batch_id") < F.lit(before_batch_id))
-    if df.count() > 0:
-        if shuffle:
-            df = df.repartition(bucket_col)  # one file per (bucket, batch) leaf
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(bucket_col, "batch_id")
-            .parquet(root.rstrip("/"))
-        )
+    # No emptiness pre-count (r12 perf): the old `df.count() > 0` gate
+    # cost one full extra read of the recent tail per roll, and a
+    # dynamic-overwrite write of an empty frame replaces no partitions
+    # — the write IS the emptiness check, paid once instead of twice.
+    if shuffle:
+        df = df.repartition(bucket_col)  # one file per (bucket, batch) leaf
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucket_col, "batch_id")
+        .parquet(root.rstrip("/"))
+    )
     for b in batches:
         fs.delete(b, True)
     return {"batches_rolled": len(batches)}

@@ -762,6 +762,39 @@ def _read_bucket_subtrees(
     return read_partition_subtrees(spark, root, bucket_col, buckets)
 
 
+def _read_committed_recent(
+    spark: SparkSession, root: str, bid: int
+) -> DataFrame | None:
+    """Direct-path read of a two-tier store's COMMITTED recent batch
+    dirs (``<root>/batch_id=K`` for K < ``bid``) — the r12 probe shape:
+    the in-flight batch's rows come straight from the persisted
+    in-memory frame instead of being read back from the files the
+    trigger just wrote, which (a) removes the land→read-back ordering
+    so the landings can overlap the probe (guide §2.6), and (b) makes
+    the read immune to a concurrent landing's in-flight commit: only
+    dirs whose batches are checkpoint-committed enter the file index
+    (one listStatus, no per-dir existence RPCs). Returns None when no
+    committed dir exists yet (first trigger, or a fully-rolled tail)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        _hadoop_fs,
+    )
+
+    root = root.rstrip("/")
+    fs, hroot = _hadoop_fs(spark, root)
+    if not fs.exists(hroot):
+        return None
+    dirs = [
+        f"{root}/{s.getPath().getName()}"
+        for s in fs.listStatus(hroot)
+        if s.isDirectory()
+        and s.getPath().getName().startswith("batch_id=")
+        and int(s.getPath().getName().split("=", 1)[1]) < bid
+    ]
+    if not dirs:
+        return None
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
 def _two_tier(
     main: DataFrame | None, recent: DataFrame, bucket_col: str
 ) -> DataFrame:
@@ -803,7 +836,7 @@ def _run_two_tier_maintenance(
         roll_recent_into_store,
     )
 
-    for root, bucket_col, wide in roots:
+    def _maintain_one(root: str, bucket_col: str, wide: bool) -> None:
         roll_recent_into_store(
             spark, root, bucket_col, before_batch_id=bid, shuffle=not wide
         )
@@ -812,6 +845,24 @@ def _run_two_tier_maintenance(
             consolidate_bucket_history(
                 spark, root, min_batch_dirs=min_batch_dirs, shuffle=not wide
             )
+
+    if len(roots) == 1:
+        _maintain_one(*roots[0])
+        return
+    # The roots (band store + payload store) are DISJOINT directory
+    # trees whose roll/consolidate jobs share no state — submit them
+    # from a small thread pool so the second root's jobs back-fill the
+    # executor slots the first root's tail leaves idle (optimization
+    # guide §2.6: actions are only sequential because driver code
+    # calls them sequentially). Within a root the order stays
+    # roll → consolidate (consolidate merges the dirs roll just
+    # landed). Exceptions propagate via future.result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(roots)) as pool:
+        futures = [pool.submit(_maintain_one, *r) for r in roots]
+        for f in futures:
+            f.result()
 
 
 def stream_near_dedup_minhash(
@@ -1058,13 +1109,9 @@ def stream_near_dedup_minhash(
         # buckets, one of the candidates' ≤ store_buckets payload
         # buckets, and ≤ store_buckets FS existence checks per probe.
         state = state.persist()
-        write_batch_idempotent(
-            state.withColumn(
-                "_pbkt",
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
-            ),
-            bid,
-            store_dir.rstrip("/") + "_recent",
+        state_p = state.withColumn(
+            "_pbkt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
         )
         bc = (
             signature_bands(
@@ -1077,18 +1124,44 @@ def stream_near_dedup_minhash(
         )
         cand = None
         seen_cached = None
+        # r12 trigger shape: the two landings write dirs nothing in
+        # this trigger reads back — the probe takes the current batch's
+        # rows from the PERSISTED state/bc frames and the recent tail
+        # from the already-committed batch dirs (_read_committed_recent)
+        # — so both writes run on background threads, overlapped with
+        # the probe/verify jobs (guide §2.6), and are joined before the
+        # batch returns (a landing failure must fail the batch so the
+        # checkpoint never commits a half-landed trigger).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        landings = [
+            pool.submit(
+                write_batch_idempotent,
+                state_p,
+                bid,
+                store_dir.rstrip("/") + "_recent",
+            ),
+            pool.submit(write_batch_idempotent, bc, bid, bands_dir + "_recent"),
+        ]
         try:
-            write_batch_idempotent(bc, bid, bands_dir + "_recent")
             bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
             if not bkts:
                 # zero-row micro-batch: nothing landed, nothing to dedup
                 write_batch_idempotent(bdf, bid, out_dir)
                 return
+            committed_bands = _read_committed_recent(
+                spark, bands_dir + "_recent", bid
+            )
+            cur_bands = bc.withColumn("batch_id", F.lit(bid))
+            recent_bands = (
+                cur_bands
+                if committed_bands is None
+                else committed_bands.unionByName(cur_bands)
+            )
             bands_seen = _two_tier(
                 _read_bucket_subtrees(spark, bands_dir, "_bkt", bkts),
-                spark.read.parquet(bands_dir + "_recent").filter(
-                    F.col("_bkt").isin(bkts)
-                ),
+                recent_bands.filter(F.col("_bkt").isin(bkts)),
                 "_bkt",
             ).filter(F.col("batch_id") <= F.lit(bid))
             probe = bc
@@ -1168,11 +1241,18 @@ def stream_near_dedup_minhash(
             if not pbkts:
                 keep = bdf
             else:
+                committed_pay = _read_committed_recent(
+                    spark, store_dir.rstrip("/") + "_recent", bid
+                )
+                cur_pay = state_p.withColumn("batch_id", F.lit(bid))
+                recent_pay = (
+                    cur_pay
+                    if committed_pay is None
+                    else committed_pay.unionByName(cur_pay)
+                )
                 payload = _two_tier(
                     _read_bucket_subtrees(spark, store_dir, "_pbkt", pbkts),
-                    spark.read.parquet(
-                        store_dir.rstrip("/") + "_recent"
-                    ).filter(F.col("_pbkt").isin(pbkts)),
+                    recent_pay.filter(F.col("_pbkt").isin(pbkts)),
                     "_pbkt",
                 ).filter(F.col("batch_id") <= F.lit(bid)).select(
                     id_col, "shingles"
@@ -1186,6 +1266,11 @@ def stream_near_dedup_minhash(
                 keep = bdf.join(dropped, id_col, "left_anti")
             write_batch_idempotent(keep, bid, out_dir)
         finally:
+            # join the landing threads FIRST: their writes read the
+            # persisted frames, and a landing failure must propagate
+            for _f in landings:
+                _f.result()
+            pool.shutdown()
             state.unpersist()
             bc.unpersist()
             if cand is not None:
@@ -1402,13 +1487,9 @@ def stream_near_dedup_embedding(
         # history plus the recent tail (see the MinHash twin's branch
         # comment for the measured whys).
         state = state.persist()
-        write_batch_idempotent(
-            state.withColumn(
-                "_pbkt",
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
-            ),
-            bid,
-            store_dir.rstrip("/") + "_recent",
+        state_p = state.withColumn(
+            "_pbkt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(store_buckets)),
         )
         bc = (
             _bands(state.select(id_col, *bcols))
@@ -1419,18 +1500,41 @@ def stream_near_dedup_embedding(
         )
         cand = None
         seen_cached = None
+        # r12 trigger shape — see the MinHash twin: landings write dirs
+        # nothing in this trigger reads back (current rows come from
+        # the persisted frames, committed recent dirs are read by
+        # direct path), so both writes overlap the probe on background
+        # threads and are joined before the batch returns.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        landings = [
+            pool.submit(
+                write_batch_idempotent,
+                state_p,
+                bid,
+                store_dir.rstrip("/") + "_recent",
+            ),
+            pool.submit(write_batch_idempotent, bc, bid, bands_dir + "_recent"),
+        ]
         try:
-            write_batch_idempotent(bc, bid, bands_dir + "_recent")
             bkts = [r[0] for r in bc.select("_bkt").distinct().collect()]
             if not bkts:
                 # zero-row micro-batch: nothing landed, nothing to dedup
                 write_batch_idempotent(bdf, bid, out_dir)
                 return
+            committed_bands = _read_committed_recent(
+                spark, bands_dir + "_recent", bid
+            )
+            cur_bands = bc.withColumn("batch_id", F.lit(bid))
+            recent_bands = (
+                cur_bands
+                if committed_bands is None
+                else committed_bands.unionByName(cur_bands)
+            )
             bands_seen = _two_tier(
                 _read_bucket_subtrees(spark, bands_dir, "_bkt", bkts),
-                spark.read.parquet(bands_dir + "_recent").filter(
-                    F.col("_bkt").isin(bkts)
-                ),
+                recent_bands.filter(F.col("_bkt").isin(bkts)),
                 "_bkt",
             ).filter(F.col("batch_id") <= F.lit(bid))
             probe = bc
@@ -1491,11 +1595,18 @@ def stream_near_dedup_embedding(
                 payload = None
                 keep = bdf
             else:
+                committed_pay = _read_committed_recent(
+                    spark, store_dir.rstrip("/") + "_recent", bid
+                )
+                cur_pay = state_p.withColumn("batch_id", F.lit(bid))
+                recent_pay = (
+                    cur_pay
+                    if committed_pay is None
+                    else committed_pay.unionByName(cur_pay)
+                )
                 payload = _two_tier(
                     _read_bucket_subtrees(spark, store_dir, "_pbkt", pbkts),
-                    spark.read.parquet(
-                        store_dir.rstrip("/") + "_recent"
-                    ).filter(F.col("_pbkt").isin(pbkts)),
+                    recent_pay.filter(F.col("_pbkt").isin(pbkts)),
                     "_pbkt",
                 ).filter(F.col("batch_id") <= F.lit(bid))
                 _nexpr = (
@@ -1510,6 +1621,11 @@ def stream_near_dedup_embedding(
                 keep = bdf.join(dropped, id_col, "left_anti")
             write_batch_idempotent(keep, bid, out_dir)
         finally:
+            # join the landing threads FIRST: their writes read the
+            # persisted frames, and a landing failure must propagate
+            for _f in landings:
+                _f.result()
+            pool.shutdown()
             state.unpersist()
             bc.unpersist()
             if cand is not None:
