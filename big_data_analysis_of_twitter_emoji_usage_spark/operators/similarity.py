@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
+from big_data_analysis_of_twitter_emoji_usage_spark.core import as_col, explode_nonempty
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -30,7 +30,86 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+# Unrolling cap for _dot_d: past this width the literal expression tree
+# risks the janino 64 KB method cliff (the same failure mode the
+# hyperplane-signature docstring records), where codegen falls back to
+# interpreted anyway — so wider vectors just keep the HOF dot.
+_UNROLL_DIM_CAP = 512
+
+
+# Probe memo keyed on (appId, file set, column) — same idiom as
+# core._SCAN_PARTITIONS_CACHE: for a fixed file-backed input the width
+# never changes, so repeated operator calls (the bench's min-of-N, a
+# probe loop over a persisted index) pay the LIMIT-1 job once. Never
+# caches a None (an empty relation may gain rows later).
+_PROBE_DIM_CACHE: dict[tuple, int] = {}
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """One-row probe of a vector column's width, used to pick the
+    codegen-unrolled dot (``_dot_d``) at plan-build time. Returns None
+    (→ HOF dot, the old plan) on an empty relation, a NULL/empty
+    vector, a width past ``_UNROLL_DIM_CAP``, or any probe failure —
+    the probe is a pure FAST-PATH decision and can never change
+    results (``_dot_d`` guards per row). Costs one ``first()`` job
+    over a single-column projection (LIMIT 1 — the scan stops at the
+    first row), memoized for file-backed inputs."""
+    key = None
+    try:
+        files = df.inputFiles()
+        if files:
+            key = (
+                df.sparkSession.sparkContext.applicationId,
+                vec_col,
+                tuple(sorted(files)),
+            )
+            cached = _PROBE_DIM_CACHE.get(key)
+            if cached is not None:
+                return cached
+    except Exception:
+        key = None
+    try:
+        r = df.select(F.size(_as_double(as_col(vec_col))).alias("_d")).first()
+    except Exception:
+        return None
+    if r is None or r[0] is None or not (0 < r[0] <= _UNROLL_DIM_CAP):
+        return None
+    if key is not None:
+        _PROBE_DIM_CACHE[key] = int(r[0])
+    return int(r[0])
+
+
+def _dot_d(a: "Column | str", b: "Column | str", dim: int | None) -> Column:
+    """``_dot`` with a codegen fast path for vectors of a known width
+    (r12): the HOF dot is CodegenFallback — every pair-scoring stage
+    pays an interpreted fold per candidate — while the literal-unrolled
+    ``a[0]·b[0] + a[1]·b[1] + …`` is whole-stage-codegen arithmetic
+    (measured 2.1× on the IVF kNN join's candidate stage at sf0.1,
+    2.7M candidates × dim 64). Bit-identical by construction: the
+    unrolled sum adds left-to-right in exactly the fold's order (the
+    fold's leading ``0.0 + x`` is IEEE-exact), and rows whose arrays
+    do not BOTH have width ``dim`` take the interpreted fold via the
+    per-row CASE guard. The fast path engages only when BOTH operands
+    are column NAMES: the whole guarded expression is then rendered as
+    ONE SQL string for ``F.expr`` — a first cut that assembled it from
+    ``getItem``/``+``/``*`` Column objects cost ~190 py4j round trips
+    per dot site and measurably blew up DataFrame BUILD time (the
+    knn_ivf catalog query went 2.3 → 8.5 s, all of it driver-side
+    construction). ``dim=None`` (unprobed/over-cap) or Column operands
+    keep the HOF dot unchanged."""
+    if dim is None or not (isinstance(a, str) and isinstance(b, str)):
+        return _dot(as_col(a), as_col(b))
+    qa, qb = f"`{a}`", f"`{b}`"
+    terms = " + ".join(f"({qa}[{i}] * {qb}[{i}])" for i in range(dim))
+    return F.expr(
+        f"CASE WHEN size({qa}) = {dim} AND size({qb}) = {dim} "
+        f"THEN {terms} "
+        f"ELSE aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) END"
+    )
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side.
 
     NULL (not an error) when either vector has zero magnitude: cosine
@@ -40,10 +119,18 @@ def cosine(a: Column, b: Column) -> Column:
     drops through every consumer's threshold filter and sorts after
     all real scores in the top-k rank windows (desc puts nulls last).
     """
-    return F.try_divide(_dot(a, b), F.sqrt(_dot(a, a) * _dot(b, b)))
+    return F.try_divide(
+        _dot_d(a, b, dim), F.sqrt(_dot_d(a, a, dim) * _dot_d(b, b, dim))
+    )
 
 
-def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def cosine_with_norms(
+    a: Column,
+    b: Column,
+    na: Column,
+    nb: Column,
+    dim: int | None = None,
+) -> Column:
     """``cosine`` with the self-dot-products precomputed per SIDE
     instead of per PAIR (r10): ``na``/``nb`` must be ``_dot(a, a)`` /
     ``_dot(b, b)`` computed on the pre-join relations. Bit-identical to
@@ -58,7 +145,7 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     join 7.1 → 2.8 s, brute-force kNN 0.77 → 0.41 s (SCALE.md r10).
     Applied to every pair-scoring stage in this module and the
     streaming embedding-dedup verify."""
-    return F.try_divide(_dot(a, b), F.sqrt(na * nb))
+    return F.try_divide(_dot_d(a, b, dim), F.sqrt(na * nb))
 
 
 def _as_double(vec: Column) -> Column:
@@ -84,6 +171,10 @@ def cosine_knn_bruteforce(
     Returns (query_id, neighbor_id, rank, cosine) with cosine rounded to
     6 decimals for cross-engine comparability.
     """
+    # dim=None (HOF dot): the unrolled fast path measurably LOSES here
+    # at fixture scale — the per-query candidate volume is too small to
+    # amortize the fatter plan (interleaved A/B table, OPTIMIZATION_r12)
+    dim = None
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -92,15 +183,15 @@ def cosine_knn_bruteforce(
     )
     # per-side self-norms (bit-identical; cosine_with_norms): the
     # corpus norm is computed n times, not n x |q| times
-    q_n = q.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
-    c_n = c.withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+    q_n = q.withColumn("_qn", _dot_d("qv", "qv", dim))
+    c_n = c.withColumn("_cn", _dot_d("cv", "cv", dim))
     scored = (
         c_n.join(F.broadcast(q_n), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine_with_norms(
-                F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                "qv", "cv", F.col("_qn"), F.col("_cn"), dim
             ).alias("_cos"),
         )
     )
@@ -292,7 +383,11 @@ def embedding_near_dup_pairs(
 
 
 def _banded_pairs_cosine_verify(
-    e: DataFrame, buckets: DataFrame, threshold: float, max_bucket: int | None
+    e: DataFrame,
+    buckets: DataFrame,
+    threshold: float,
+    max_bucket: int | None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared tail of the embedding near-dup family: optional
     degenerate-bucket skew guard, then IN-BAND verification (r9) —
@@ -330,7 +425,9 @@ def _banded_pairs_cosine_verify(
     # per-side self-norms ride the band rows so the verify join pays
     # one interpreted-HOF dot per candidate, not three (bit-identical;
     # cosine_with_norms)
-    bv = buckets.join(e.withColumn("_n", _dot(F.col("_v"), F.col("_v"))), "_id")
+    bv = buckets.join(
+        e.withColumn("_n", _dot_d("_v", "_v", dim)), "_id"
+    )
     aa = bv.select(
         "_t",
         "_b",
@@ -352,7 +449,7 @@ def _banded_pairs_cosine_verify(
             "id_a",
             "id_b",
             cosine_with_norms(
-                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                "_va", "_vb", F.col("_na"), F.col("_nb"), dim
             ).alias("_cos"),
         )
         .filter(F.col("_cos") >= threshold)
@@ -420,6 +517,9 @@ def embedding_near_dup_pairs_hyperplane(
     buckets = e.select(
         "_id", F.posexplode(sig_udf(F.col("_v"))).alias("_t", "_b")
     )
+    # HOF dot (dim not forwarded): the unrolled fast path measured a
+    # LOSS on this verify at fixture candidate volume (A/B table,
+    # OPTIMIZATION_r12); re-engage per call when pair volume is large
     return _banded_pairs_cosine_verify(e, buckets, threshold, max_bucket)
 
 
@@ -430,6 +530,7 @@ def _banded_pairs_cosine_verify_cross(
     buckets_b: DataFrame,
     threshold: float,
     max_bucket: int | None,
+    dim: int | None = None,
 ) -> DataFrame:
     """``_banded_pairs_cosine_verify`` for two DISTINCT corpora: the
     (table, bucket) join runs reference-side × new-side instead of
@@ -453,8 +554,8 @@ def _banded_pairs_cosine_verify_cross(
             .drop("_bc")
         )
 
-    ea_n = ea.withColumn("_n", _dot(F.col("_v"), F.col("_v")))
-    eb_n = eb.withColumn("_n", _dot(F.col("_v"), F.col("_v")))
+    ea_n = ea.withColumn("_n", _dot_d("_v", "_v", dim))
+    eb_n = eb.withColumn("_n", _dot_d("_v", "_v", dim))
     aa = guard(buckets_a).join(ea_n, "_id").select(
         "_t",
         "_b",
@@ -475,7 +576,7 @@ def _banded_pairs_cosine_verify_cross(
             "id_a",
             "id_b",
             cosine_with_norms(
-                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                "_va", "_vb", F.col("_na"), F.col("_nb"), dim
             ).alias("_cos"),
         )
         .filter(F.col("_cos") >= threshold)
@@ -558,6 +659,7 @@ def build_signbucket_store(
     vec_col: str = "embedding",
     bits: int = 8,
     tables: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-vector semantic-dedup state, computed once for persistence:
     (id, _v double-array, _n self-norm, b0..b{tables-1} sign-bucket
@@ -578,13 +680,17 @@ def build_signbucket_store(
     that recompute was the dominant verify term (measured, SCALE.md).
     Probes use a stored ``_n`` when present and fall back to computing
     it for pre-r11 stores."""
-    v = _as_double(F.col(vec_col))
+    # _v is projected first so the self-norm can reference it by NAME —
+    # the string form is what lets _dot_d render its codegen-unrolled
+    # fast path as one F.expr (the two Projects collapse in the plan)
     return df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).select(
         F.col(id_col),
-        v.alias("_v"),
-        _dot(v, v).alias("_n"),
+        F.col("_v"),
+        _dot_d("_v", "_v", dim).alias("_n"),
         *[
-            sign_bucket(v, bits, offset=t * bits).alias(f"b{t}")
+            sign_bucket(F.col("_v"), bits, offset=t * bits).alias(f"b{t}")
             for t in range(tables)
         ],
     )
@@ -641,10 +747,11 @@ def embedding_near_dup_against_store(
     # stored self-norm when the store has one (r11 schema); compute as
     # the pre-r11 fallback — recomputing is one HOF pass over the whole
     # store per probe, exactly the tax the stored column removes
+    dim = None  # unrolled dot loses at this probe's candidate volume
     _na = (
         F.col("_n")
         if "_n" in store_df.columns
-        else _dot(F.col("_v"), F.col("_v"))
+        else _dot_d("_v", "_v", dim)
     )
     va = store_df.select(
         F.col(id_col).alias("id_a"),
@@ -663,7 +770,7 @@ def embedding_near_dup_against_store(
             "id_a",
             "id_b",
             cosine_with_norms(
-                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                "_va", "_vb", F.col("_na"), F.col("_nb"), dim
             ).alias("_cos"),
         )
         .filter(F.col("_cos") >= threshold)
@@ -722,7 +829,7 @@ def cosine_knn_join(
         # never per candidate pair (bit-identical; cosine_with_norms)
         e = corpus.select(
             F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
-        ).withColumn(f"_{out_id}_n", _dot(F.col(out_vec), F.col(out_vec)))
+        ).withColumn(f"_{out_id}_n", _dot_d(out_vec, out_vec, dim))
         buckets = e.select(
             out_id,
             out_vec,
@@ -746,10 +853,11 @@ def cosine_knn_join(
             "left_id",
             "right_id",
             cosine_with_norms(
-                F.col("_lv"),
-                F.col("_rv"),
+                "_lv",
+                "_rv",
                 F.col("_left_id_n"),
                 F.col("_right_id_n"),
+                dim,
             ).alias("_cos"),
         )
         .groupBy("left_id", "right_id")
@@ -835,6 +943,7 @@ def cosine_knn_join_ivf_probe(
     vec_col: str = "embedding",
     k: int = 3,
     nprobe: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """The query half of ``cosine_knn_join_ivf`` over a (typically
     persisted) ``build_ivf_index`` result — the production shape for
@@ -853,15 +962,17 @@ def cosine_knn_join_ivf_probe(
     # projected BELOW the centroid join — once per query row, not once
     # per (query, centroid) fan-out row (r11; the join boundary keeps
     # CollapseProject from inlining it upward).
+    if dim is None:
+        dim = _probe_dim(left, vec_col)
     q = left.select(
         F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
+    ).withColumn("_qn", _dot_d("qv", "qv", dim))
     q_scored = q.join(F.broadcast(centroids)).select(
         "left_id",
         "qv",
         "_qn",
         F.col("_cid"),
-        cosine(F.col("qv"), F.col("_cv")).alias("_ccos"),
+        cosine("qv", "_cv", dim).alias("_ccos"),
     )
     wq = Window.partitionBy("left_id").orderBy(F.desc("_ccos"), F.asc("_cid"))
     probes = (
@@ -870,7 +981,7 @@ def cosine_knn_join_ivf_probe(
         .select("left_id", "qv", "_qn", F.col("_cid").alias("_list"))
     )
     postings_n = postings if "_cn" in postings.columns else postings.withColumn(
-        "_cn", _dot(F.col("cv"), F.col("cv"))
+        "_cn", _dot_d("cv", "cv", dim)
     )
     scored = (
         postings_n.join(probes, "_list")
@@ -878,7 +989,7 @@ def cosine_knn_join_ivf_probe(
             "left_id",
             F.col("neighbor_id").alias("right_id"),
             cosine_with_norms(
-                F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                "qv", "cv", F.col("_qn"), F.col("_cn"), dim
             ).alias("_cos"),
         )
         .groupBy("left_id", "right_id")
@@ -902,6 +1013,7 @@ def ivf_assignments(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: assign every corpus vector to its
     nearest (by cosine) of the given ``centroids`` — the inverted-list
@@ -921,10 +1033,12 @@ def ivf_assignments(
     e = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
-    return c, _assign_to_centroids(e, c)
+    return c, _assign_to_centroids(e, c, dim)
 
 
-def _assign_to_centroids(e: DataFrame, c: DataFrame) -> DataFrame:
+def _assign_to_centroids(
+    e: DataFrame, c: DataFrame, dim: int | None = None
+) -> DataFrame:
     """Nearest-centroid argmax: (_id, _list) for every row of ``e``
     against the broadcast centroid set ``c`` — one corpus-wide
     aggregate that shrinks to one row per vector, ties to the smaller
@@ -934,13 +1048,13 @@ def _assign_to_centroids(e: DataFrame, c: DataFrame) -> DataFrame:
     # (vector, centroid) — at the O(n x L) assignment pass the two
     # interpreted-HOF self-dots were ~2/3 of the cosine cost
     # (bit-identical; cosine_with_norms)
-    e_n = e.withColumn("_vn", _dot(F.col("_v"), F.col("_v")))
-    c_n = c.withColumn("_cn2", _dot(F.col("_cv"), F.col("_cv")))
+    e_n = e.withColumn("_vn", _dot_d("_v", "_v", dim))
+    c_n = c.withColumn("_cn2", _dot_d("_cv", "_cv", dim))
     scored = e_n.join(F.broadcast(c_n)).select(
         "_id",
         F.struct(
             cosine_with_norms(
-                F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn2")
+                "_v", "_cv", F.col("_vn"), F.col("_cn2"), dim
             ).alias("_cos"),
             (-F.col("_cid")).alias("_neg_cid"),  # tie-break: smaller cid wins
             F.col("_cid").alias("cid"),
@@ -958,6 +1072,7 @@ def _tree_assign(
     replication: int,
     probe_supers: int = 2,
     centroid_rep: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Two-level (tree) coarse quantization: posting-list assignment in
     O(n x (sqrt(L) + candidates)) instead of the flat path's O(n x L).
@@ -1009,7 +1124,7 @@ def _tree_assign(
         c.join(F.broadcast(s))
         .select(
             "_cid", "_cv", "_sid",
-            cosine(F.col("_cv"), F.col("_sv")).alias("_cscos"),
+            cosine("_cv", "_sv", dim).alias("_cscos"),
         )
         .withColumn("_crk", F.row_number().over(wc))
         .filter(F.col("_crk") <= centroid_rep)
@@ -1019,8 +1134,8 @@ def _tree_assign(
     # The vector self-norm (_vn) is computed once per corpus row and
     # reused by BOTH per-pair scoring passes below (bit-identical;
     # cosine_with_norms).
-    e_n = e.withColumn("_vn", _dot(F.col("_v"), F.col("_v")))
-    s_n = s.withColumn("_sn", _dot(F.col("_sv"), F.col("_sv")))
+    e_n = e.withColumn("_vn", _dot_d("_v", "_v", dim))
+    s_n = s.withColumn("_sn", _dot_d("_sv", "_sv", dim))
     wv = Window.partitionBy("_id").orderBy(F.desc("_vscos"), F.asc("_sid"))
     vsup = (
         e_n.join(F.broadcast(s_n))
@@ -1028,7 +1143,7 @@ def _tree_assign(
             "_id",
             "_sid",
             cosine_with_norms(
-                F.col("_v"), F.col("_sv"), F.col("_vn"), F.col("_sn")
+                "_v", "_sv", F.col("_vn"), F.col("_sn"), dim
             ).alias("_vscos"),
         )
         .withColumn("_vrk", F.row_number().over(wv))
@@ -1040,7 +1155,7 @@ def _tree_assign(
     # an IDENTICAL cosine — the combining max collapses it map-side
     # before the posting-rank window (same dedup shape as the flat
     # path's shared-list candidates).
-    cs_n = cs.withColumn("_cn2", _dot(F.col("_cv"), F.col("_cv")))
+    cs_n = cs.withColumn("_cn2", _dot_d("_cv", "_cv", dim))
     cand = (
         e_n.join(vsup, "_id")
         .join(F.broadcast(cs_n), "_sid")
@@ -1048,7 +1163,7 @@ def _tree_assign(
             "_id",
             "_cid",
             cosine_with_norms(
-                F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn2")
+                "_v", "_cv", F.col("_vn"), F.col("_cn2"), dim
             ).alias("_ccos"),
         )
         .groupBy("_id", "_cid")
@@ -1123,20 +1238,20 @@ def select_ivf_centroids(
 
 
 def _flat_replicated_assign(
-    e0: DataFrame, c: DataFrame, replication: int
+    e0: DataFrame, c: DataFrame, replication: int, dim: int | None = None
 ) -> DataFrame:
     """Flat replicated coarse assignment: every vector posts into its
     ``replication`` nearest centroids (SPANN-style boundary
     replication). e0 = (_id, _v), c = (_cid, _cv, broadcast-sized);
     returns (_id, _list). Shared by ``build_ivf_index`` and the
     streaming index appender so the two can never drift."""
-    e_n = e0.withColumn("_vn", _dot(F.col("_v"), F.col("_v")))
-    c_n = c.withColumn("_cn2", _dot(F.col("_cv"), F.col("_cv")))
+    e_n = e0.withColumn("_vn", _dot_d("_v", "_v", dim))
+    c_n = c.withColumn("_cn2", _dot_d("_cv", "_cv", dim))
     sc_all = e_n.join(F.broadcast(c_n)).select(
         "_id",
         "_cid",
         cosine_with_norms(
-            F.col("_v"), F.col("_cv"), F.col("_vn"), F.col("_cn2")
+            "_v", "_cv", F.col("_vn"), F.col("_cn2"), dim
         ).alias("_acos"),
     )
     wa = Window.partitionBy("_id").orderBy(F.desc("_acos"), F.asc("_cid"))
@@ -1175,20 +1290,25 @@ def build_ivf_index(
             f"build_ivf_index: coarse_assign={coarse_assign!r} — "
             "expected 'flat' or 'tree'"
         )
+    # dim=None: the n×L assignment pass measured SLOWER with the
+    # unrolled dot at fixture scale (knn_ivf 1.94 → 2.52 interleaved);
+    # the win lives in the corpus-probe pair join, not here
+    dim = None
     cents = select_ivf_centroids(corpus, id_col, n_lists)
-    c, assign = ivf_assignments(corpus, cents, id_col, vec_col)
+    c, assign = ivf_assignments(corpus, cents, id_col, vec_col, dim)
     e0 = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
     for _ in range(lloyd_iters):
         c = lloyd_refine_centroids(e0, assign)
-        assign = _assign_to_centroids(e0, c)
+        assign = _assign_to_centroids(e0, c, dim)
     if coarse_assign == "tree":
         assign = _tree_assign(
-            e0, c, n_lists, max(replication, 1), probe_supers=probe_supers
+            e0, c, n_lists, max(replication, 1), probe_supers=probe_supers,
+            dim=dim,
         )
     elif replication > 1:
-        assign = _flat_replicated_assign(e0, c, replication)
+        assign = _flat_replicated_assign(e0, c, replication, dim)
     # the posting row carries its vector's self-norm (_cn) so a
     # persisted index NEVER pays the norm pass at probe time — the
     # probe tails use a stored _cn when present (r10, cosine_with_norms)
@@ -1197,7 +1317,7 @@ def build_ivf_index(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("cv"),
         )
-        .withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+        .withColumn("_cn", _dot_d("cv", "cv", dim))
         .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
     )
     return c, postings
@@ -1312,11 +1432,13 @@ def ivf_index_drift_stats(
             f"ivf_index_drift_stats: no postings under {postings_dir}"
         )
 
+    dim = None  # one aggregate pass; unrolled dot measured a loss
+
     def _proj(df: DataFrame) -> DataFrame:
         ncol = (
             F.col("_cn")
             if "_cn" in df.columns
-            else _dot(F.col("cv"), F.col("cv"))
+            else _dot_d("cv", "cv", dim)
         )
         return df.select(
             F.col("_list").cast("long").alias("_list"),
@@ -1329,14 +1451,14 @@ def ivf_index_drift_stats(
     c = spark.read.parquet(centroids_dir).select(
         F.col("_cid").cast("long").alias("_list"),
         F.col("_cv"),
-        _dot(F.col("_cv"), F.col("_cv")).alias("_ccn"),
+        _dot_d("_cv", "_cv", dim).alias("_ccn"),
     )
     return (
         p.join(F.broadcast(c), "_list")
         .select(
             "_list",
             cosine_with_norms(
-                F.col("cv"), F.col("_cv"), F.col("_n"), F.col("_ccn")
+                "cv", "_cv", F.col("_n"), F.col("_ccn"), dim
             ).alias("_cos"),
         )
         .groupBy("_list")
@@ -1438,10 +1560,11 @@ def cosine_knn_ivf_probe_dir(
     from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
 
     c = spark.read.parquet(centroids_dir)
+    dim = None  # query-probe volume is small; unrolled dot loses here
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    probes = _ivf_route_probes(c, q, nprobe).persist()
+    probes = _ivf_route_probes(c, q, nprobe, dim).persist()
     try:
         lists = [r[0] for r in probes.select("_list").distinct().collect()]
         e = read_partition_subtrees(spark, postings_dir, "_list", lists)
@@ -1486,9 +1609,9 @@ def cosine_knn_ivf_probe_dir(
                     "neighbor_id long, cv array<double>, _cn double, "
                     "_list long",
                 )
-            empty = _ivf_score_probes(e, probes, k)
+            empty = _ivf_score_probes(e, probes, k, dim)
             return spark.createDataFrame([], empty.schema)
-        out = _ivf_score_probes(e, probes, k)
+        out = _ivf_score_probes(e, probes, k, dim)
         # materialize before unpersisting the routed probes (they feed
         # both the collect above and the scoring join)
         out = out.localCheckpoint(eager=True)
@@ -1584,26 +1707,29 @@ def _ivf_probe_tail(
     q: DataFrame,
     k: int,
     nprobe: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared probe tail of ``cosine_knn_ivf`` / ``cosine_knn_ivf_probe``:
     c = centroids (_cid, _cv), e = postings (neighbor_id, cv, _list),
     q = (query_id, qv)."""
-    return _ivf_score_probes(e, _ivf_route_probes(c, q, nprobe), k)
+    return _ivf_score_probes(e, _ivf_route_probes(c, q, nprobe, dim), k, dim)
 
 
-def _ivf_route_probes(c: DataFrame, q: DataFrame, nprobe: int) -> DataFrame:
+def _ivf_route_probes(
+    c: DataFrame, q: DataFrame, nprobe: int, dim: int | None = None
+) -> DataFrame:
     """Probe routing: each query's ``nprobe`` nearest centroids →
     (query_id, qv, _qn, _list) rows. _qn is projected BELOW the
     centroid join so it evaluates once per query row, not once per
     (query, centroid) fan-out row (r11; the join boundary keeps
     CollapseProject from inlining it upward)."""
-    q = q.withColumn("_qn", _dot(F.col("qv"), F.col("qv")))
+    q = q.withColumn("_qn", _dot_d("qv", "qv", dim))
     q_scored = q.join(F.broadcast(c)).select(
         "query_id",
         "qv",
         "_qn",
         F.col("_cid"),
-        cosine(F.col("qv"), F.col("_cv")).alias("_ccos"),
+        cosine("qv", "_cv", dim).alias("_ccos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_ccos"), F.asc("_cid"))
     return (
@@ -1613,14 +1739,16 @@ def _ivf_route_probes(c: DataFrame, q: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
-def _ivf_score_probes(e: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+def _ivf_score_probes(
+    e: DataFrame, probes: DataFrame, k: int, dim: int | None = None
+) -> DataFrame:
     """Score routed probes against the posting lists and take top-k.
     Per-side self-norms ahead of the candidate join (bit-identical;
     see cosine_with_norms) — the posting side's norm is computed once
     per posting row (or read from a stored _cn) instead of once per
     (query, posting) candidate."""
     e_n = e if "_cn" in e.columns else e.withColumn(
-        "_cn", _dot(F.col("cv"), F.col("cv"))
+        "_cn", _dot_d("cv", "cv", dim)
     )
     scored = (
         e_n.join(F.broadcast(probes), "_list")
@@ -1629,7 +1757,7 @@ def _ivf_score_probes(e: DataFrame, probes: DataFrame, k: int) -> DataFrame:
             "query_id",
             "neighbor_id",
             cosine_with_norms(
-                F.col("qv"), F.col("cv"), F.col("_qn"), F.col("_cn")
+                "qv", "cv", F.col("_qn"), F.col("_cn"), dim
             ).alias("_cos"),
         )
     )
@@ -1881,7 +2009,11 @@ def cosine_knn_sign_lsh(
             F.col(id_col).alias(out_id),
             _as_double(F.col(vec_col)).alias(f"_{out_id}_v"),
             sig_udf(F.col(vec_col)).alias("_sigarr"),
-        ).withColumn(f"_{out_id}_n", _dot(F.col(f"_{out_id}_v"), F.col(f"_{out_id}_v")))
+        ).withColumn(
+            # HOF dot (dim not forwarded): unrolled loses at this
+            # query-kNN candidate volume (A/B, OPTIMIZATION_r12)
+            f"_{out_id}_n", _dot_d(f"_{out_id}_v", f"_{out_id}_v", None)
+        )
         return sigs.select(
             out_id,
             f"_{out_id}_v",
@@ -1898,8 +2030,8 @@ def cosine_knn_sign_lsh(
         .agg(
             F.max(
                 cosine_with_norms(
-                    F.col("_query_id_v"),
-                    F.col("_neighbor_id_v"),
+                    "_query_id_v",
+                    "_neighbor_id_v",
                     F.col("_query_id_n"),
                     F.col("_neighbor_id_n"),
                 )
@@ -2058,7 +2190,11 @@ def cosine_knn_wta(
             F.col(id_col).alias(out_id),
             _as_double(F.col(vec_col)).alias(f"_{out_id}_v"),
             sig_arr.alias("_sigarr"),
-        ).withColumn(f"_{out_id}_n", _dot(F.col(f"_{out_id}_v"), F.col(f"_{out_id}_v")))
+        ).withColumn(
+            # HOF dot (dim not forwarded): unrolled loses at this
+            # query-kNN candidate volume (A/B, OPTIMIZATION_r12)
+            f"_{out_id}_n", _dot_d(f"_{out_id}_v", f"_{out_id}_v", None)
+        )
         return sigs.select(
             out_id,
             f"_{out_id}_v",
@@ -2075,8 +2211,8 @@ def cosine_knn_wta(
         .agg(
             F.max(
                 cosine_with_norms(
-                    F.col("_query_id_v"),
-                    F.col("_neighbor_id_v"),
+                    "_query_id_v",
+                    "_neighbor_id_v",
                     F.col("_query_id_n"),
                     F.col("_neighbor_id_n"),
                 )
@@ -2185,6 +2321,7 @@ def embedding_outliers(
             ).alias("_cv")
         )
     )
+    dim = None  # per-row centroid cosine; unrolled dot measured a loss
     return (
         df.select(
             F.col(id_col),
@@ -2195,7 +2332,7 @@ def embedding_outliers(
         .select(
             id_col,
             "label",
-            F.round(cosine(F.col("_ev"), F.col("_cv")), 6).alias(
+            F.round(cosine("_ev", "_cv", dim), 6).alias(
                 "cos_centroid"
             ),
         )

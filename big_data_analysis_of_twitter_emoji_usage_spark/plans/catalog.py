@@ -4929,13 +4929,19 @@ _GATE_FRONT = {
     "stream_dedup_near_docs": stream_dedup_near_docs,
     "stream_dedup_near_emb": stream_dedup_near_emb,
     "stream_knn_ivf": stream_knn_ivf,
-    # ---- r12 optimization-reshaped plan (rotation rule: a plan that
+    # ---- r12 optimization-reshaped plans (rotation rule: a plan that
     # changes behind the window re-enters the gate front): the SimHash
     # pair verify is now carry-through + bit_count(xor) instead of two
-    # fingerprint join-backs + an interpreted per-bit filter — results
-    # bit-identical, plan different, so it re-attests. Its former
-    # drain-tail slot (multimodal_decode) moves to the r13 head. ----
+    # fingerprint join-backs + an interpreted per-bit filter, and the
+    # two corpus×corpus kNN joins score candidates with the
+    # codegen-unrolled dot (similarity._dot_d; measured −35% / −26% at
+    # sf0.1, bit-identical by the per-row width guard). Results
+    # identical, plans different, so all three re-attest. Their former
+    # drain-tail slots (multimodal_decode, knn_lsh, embedding_outliers)
+    # move to the r13 head. ----
     "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
+    "knn_join_emb_ivf": knn_join_emb_ivf_q,
+    "knn_join_emb": knn_join_emb_q,
     # ---- r12 drain head (pre-declared at the r11 window boundary):
     # the 19 youngest r9-attested rows — after this round no ledger
     # row is older than r10. ----
@@ -4986,8 +4992,6 @@ _GATE_FRONT = {
     "dedup_keep_best": dedup_keep_best_q,
     "dedup_containment": dedup_containment_q,
     "knn_wta": knn_wta_q,
-    "knn_lsh": knn_lsh_q,
-    "embedding_outliers": embedding_outliers_q,
 }
 
 # STANDING POLICY (r12, resolving the r11 sentinel question for good):
@@ -5007,9 +5011,10 @@ _SENTINELS = {}
 
 _PROVEN = {
     # ---- window boundary: slots above re-attest in r12. ----
-    # The r13 drain head, pre-declared, is multimodal_decode (displaced
-    # from the r12 window tail by the reshaped dedup_simhash64_pairs
-    # re-entering the gate front) plus the 21 remaining r10-attested
+    # The r13 drain head, pre-declared, is knn_lsh, embedding_outliers
+    # and multimodal_decode (displaced from the r12 window tail by the
+    # three optimization-reshaped plans re-entering the gate front)
+    # plus the 21 remaining r10-attested
     # rows below (oldest-first), then the oldest r11
     # rows. RULE (rotation invariant): any entry whose PLAN changes
     # behind the window — an operator edit that alters the physical
@@ -5018,6 +5023,8 @@ _PROVEN = {
     # drain; with 118 queries in a 50-slot window the steady-state
     # staleness floor is 2 rounds, and it holds iff each round drains
     # its pre-declared head. ----
+    "knn_lsh": knn_lsh_q,
+    "embedding_outliers": embedding_outliers_q,
     "multimodal_decode": multimodal_decode_q,
     "multimodal_resize": multimodal_resize_q,
     "multimodal_frames": multimodal_frames_q,
@@ -5052,8 +5059,6 @@ _PROVEN = {
     "dedup_embedding": dedup_embedding_q,
     "dedup_embedding_cross": dedup_embedding_cross_q,
     "dedup_embedding_hyperplane": dedup_embedding_hyperplane_q,
-    "knn_join_emb": knn_join_emb_q,
-    "knn_join_emb_ivf": knn_join_emb_ivf_q,
     "stream_stream_join_events": stream_stream_join_events,
     "stream_dedup_events": stream_dedup_events,
     "dedup_exact": dedup_exact_q,

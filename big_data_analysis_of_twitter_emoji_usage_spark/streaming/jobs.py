@@ -1389,11 +1389,21 @@ def stream_near_dedup_embedding(
     ``out_dir``.
     """
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
-        _dot,
+        _dot_d,
         build_signbucket_store,
         cosine_with_norms,
     )
     from big_data_analysis_of_twitter_emoji_usage_spark.core import explode_nonempty
+
+    # dim=None → interpreted-HOF dot everywhere in this drive: the
+    # codegen-unrolled _dot_d only wins at pair volumes far above a
+    # trigger's candidate count (interleaved A/B, OPTIMIZATION_r12),
+    # and a per-drive width probe is one more job per trigger path.
+    # The plumbing stays (_dot_d(..., None) ≡ _dot) so a large-batch
+    # deployment can re-engage it with one probed constant.
+
+    def _drive_dim(bdf: DataFrame) -> int | None:
+        return None
 
     bcols = [f"b{t}" for t in range(tables)]
 
@@ -1425,7 +1435,8 @@ def stream_near_dedup_embedding(
         # one build_signbucket_store increment — batch-built reference
         # stores and this accumulating store are interchangeable
         # (similarity.embedding_near_dup_against_store probes either)
-        state = build_signbucket_store(bdf, id_col, vec_col, bits, tables)
+        dim = _drive_dim(bdf)
+        state = build_signbucket_store(bdf, id_col, vec_col, bits, tables, dim)
         if store_buckets is None:
             # flat layout (see the MinHash twin for the replay filter)
             state.write.mode("overwrite").parquet(
@@ -1472,10 +1483,10 @@ def stream_near_dedup_embedding(
             _nexpr = (
                 F.col("_n")
                 if "_n" in store.columns
-                else _dot(F.col("_v"), F.col("_v"))
+                else _dot_d(F.col("_v"), F.col("_v"), dim)
             )
             vecs = store.select(F.col(id_col), F.col("_v"), _nexpr.alias("_n"))
-            dropped = _cosine_dropped(cand, vecs)
+            dropped = _cosine_dropped(cand, vecs, dim)
             write_batch_idempotent(
                 bdf.join(dropped, id_col, "left_anti"), bid, out_dir
             )
@@ -1612,12 +1623,12 @@ def stream_near_dedup_embedding(
                 _nexpr = (
                     F.col("_n")
                     if "_n" in payload.columns
-                    else _dot(F.col("_v"), F.col("_v"))
+                    else _dot_d(F.col("_v"), F.col("_v"), dim)
                 )
                 vecs = payload.select(
                     F.col(id_col), F.col("_v"), _nexpr.alias("_n")
                 )
-                dropped = _cosine_dropped(cand, vecs)
+                dropped = _cosine_dropped(cand, vecs, dim)
                 keep = bdf.join(dropped, id_col, "left_anti")
             write_batch_idempotent(keep, bid, out_dir)
         finally:
@@ -1633,7 +1644,9 @@ def stream_near_dedup_embedding(
             if seen_cached is not None:
                 seen_cached.unpersist()
 
-    def _cosine_dropped(cand: DataFrame, vecs: DataFrame) -> DataFrame:
+    def _cosine_dropped(
+        cand: DataFrame, vecs: DataFrame, dim: int | None = None
+    ) -> DataFrame:
         """ids of candidates whose exact cosine meets the threshold —
         per-side stored/derived norms, never per-pair recompute."""
         return (
@@ -1655,7 +1668,7 @@ def stream_near_dedup_embedding(
             )
             .filter(
                 cosine_with_norms(
-                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                    "_va", "_vb", F.col("_na"), F.col("_nb"), dim
                 )
                 >= threshold
             )
@@ -1758,7 +1771,7 @@ def stream_ivf_index_append(
 
     from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
         _as_double,
-        _dot,
+        _dot_d,
         _flat_replicated_assign,
     )
 
@@ -1776,6 +1789,11 @@ def stream_ivf_index_append(
         checkpoint_dir,
     )
     c = spark.read.parquet(centroids_dir)
+    # vector width for the codegen-unrolled dot (similarity._dot_d),
+    # probed once per drive from the broadcast-sized centroid relation
+    # (same width as the stream's vectors by the quantizer contract;
+    # _dot_d guards per row regardless)
+    dim = None  # HOF dot: per-trigger volumes sit below the unroll win
     # broadcast-sized by contract; counted once for the drift rollup
     n_lists = c.count() if (maintain_every is not None and drift_signal) else 0
 
@@ -1783,7 +1801,7 @@ def stream_ivf_index_append(
         e0 = bdf.select(
             F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
         )
-        assign = _flat_replicated_assign(e0, c, replication)
+        assign = _flat_replicated_assign(e0, c, replication, dim)
         # same posting shape as build_ivf_index incl. the stored
         # self-norm (_cn) — the streamed index stays probe-identical
         # AND schema-identical to the batch-built one
@@ -1792,7 +1810,7 @@ def stream_ivf_index_append(
                 F.col(id_col).alias("neighbor_id"),
                 _as_double(F.col(vec_col)).alias("cv"),
             )
-            .withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+            .withColumn("_cn", _dot_d(F.col("cv"), F.col("cv"), dim))
             .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
         )
         if list_major:
@@ -1923,13 +1941,13 @@ def stream_ivf_index_append(
         e0 = empty.select(
             F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
         )
-        assign = _flat_replicated_assign(e0, c, replication)
+        assign = _flat_replicated_assign(e0, c, replication, dim)
         postings = (
             empty.select(
                 F.col(id_col).alias("neighbor_id"),
                 _as_double(F.col(vec_col)).alias("cv"),
             )
-            .withColumn("_cn", _dot(F.col("cv"), F.col("cv")))
+            .withColumn("_cn", _dot_d(F.col("cv"), F.col("cv"), dim))
             .join(assign.withColumnRenamed("_id", "neighbor_id"), "neighbor_id")
         )
         return spark.createDataFrame([], postings.schema)
