@@ -829,7 +829,16 @@ def cosine_knn_join(
         # never per candidate pair (bit-identical; cosine_with_norms)
         e = corpus.select(
             F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
-        ).withColumn(f"_{out_id}_n", _dot_d(out_vec, out_vec, dim))
+        ).withColumn(
+            # HOF dot (dim not forwarded): the unrolled fast path wins
+            # this query standalone (2.55 → 2.22 s min-of-6) but LOSES
+            # in full-catalog context (bench 2.55 → 3.52 s) — the big
+            # generated methods recompile under codegen-cache pressure
+            # in a 118-query session and the per-sample win is smaller
+            # than the compile tax (unlike the IVF join, which nets
+            # 0.74× in-bench). OPTIMIZATION_r12.md, guide §1.3.
+            f"_{out_id}_n", _dot_d(out_vec, out_vec, None)
+        )
         buckets = e.select(
             out_id,
             out_vec,
@@ -857,7 +866,6 @@ def cosine_knn_join(
                 "_rv",
                 F.col("_left_id_n"),
                 F.col("_right_id_n"),
-                dim,
             ).alias("_cos"),
         )
         .groupBy("left_id", "right_id")

@@ -4933,12 +4933,15 @@ _GATE_FRONT = {
     # changes behind the window re-enters the gate front): the SimHash
     # pair verify is now carry-through + bit_count(xor) instead of two
     # fingerprint join-backs + an interpreted per-bit filter, and the
-    # two corpus×corpus kNN joins score candidates with the
-    # codegen-unrolled dot (similarity._dot_d; measured −35% / −26% at
-    # sf0.1, bit-identical by the per-row width guard). Results
-    # identical, plans different, so all three re-attest. Their former
-    # drain-tail slots (multimodal_decode, knn_lsh, embedding_outliers)
-    # move to the r13 head. ----
+    # IVF kNN join scores candidates with the codegen-unrolled dot
+    # (similarity._dot_d; bench-context 0.74×, bit-identical by the
+    # per-row width guard). Results identical, plans different, so
+    # they re-attest. knn_join_emb ALSO sits here: its unrolled-dot
+    # engagement was measured, found to lose in full-catalog context
+    # (codegen-cache pressure) and reverted — plan now equals its r11
+    # shape; it re-attests out of caution since it was touched
+    # in-round. Their former drain-tail slots (multimodal_decode,
+    # knn_lsh, embedding_outliers) move to the r13 head. ----
     "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
     "knn_join_emb_ivf": knn_join_emb_ivf_q,
     "knn_join_emb": knn_join_emb_q,
