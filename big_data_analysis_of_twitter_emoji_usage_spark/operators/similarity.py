@@ -37,12 +37,51 @@ def _dot(a: Column, b: Column) -> Column:
 _UNROLL_DIM_CAP = 512
 
 
-# Probe memo keyed on (appId, file set, column) — same idiom as
-# core._SCAN_PARTITIONS_CACHE: for a fixed file-backed input the width
-# never changes, so repeated operator calls (the bench's min-of-N, a
-# probe loop over a persisted index) pay the LIMIT-1 job once. Never
-# caches a None (an empty relation may gain rows later).
+# Probe memo keyed on (appId, file set incl. per-file mtime+size,
+# column) — same idiom as core._SCAN_PARTITIONS_CACHE: for a fixed
+# file-backed input the width never changes, so repeated operator
+# calls (the bench's min-of-N, a probe loop over a persisted index)
+# pay the LIMIT-1 job once. The mtime/size stamp (r13, ADVICE r12)
+# invalidates on in-place overwrites with a different vector width —
+# results were already safe (per-row guard) but the fast path would
+# silently degrade to the HOF fallback on every row. Never caches a
+# None (an empty relation may gain rows later); FIFO-bounded so a
+# long-lived application probing many transient stores cannot grow it
+# without limit.
 _PROBE_DIM_CACHE: dict[tuple, int] = {}
+_PROBE_DIM_CACHE_MAX = 512
+
+
+def _file_stamps(df: DataFrame, files: list) -> tuple:
+    """(path, mtime, size) stamps for a plan's input files via ONE
+    Hadoop listStatus per distinct parent dir — no Spark job. Paths
+    are matched on their URI *path* component: ``inputFiles()`` URIs
+    (``file:///…``) and Hadoop ``Path.toString()`` (``file:/…``) spell
+    the same file differently. Files missing from their dir listing
+    (concurrently deleted) stamp as (path, None, None), which still
+    keys deterministically."""
+    from urllib.parse import unquote, urlparse
+
+    def _norm(p: str) -> str:
+        u = urlparse(p)
+        return unquote(u.path) if u.scheme else p
+
+    sc = df.sparkSession.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    stat: dict[str, tuple] = {}
+    parents = {}
+    for f in files:
+        parents.setdefault(f.rsplit("/", 1)[0], []).append(f)
+    for parent in parents:
+        p = jvm.org.apache.hadoop.fs.Path(parent)
+        fs = p.getFileSystem(hconf)
+        for s in fs.listStatus(p):
+            sp = _norm(s.getPath().toString())
+            stat[sp] = (s.getModificationTime(), s.getLen())
+    return tuple(
+        (f, *stat.get(_norm(f), (None, None))) for f in sorted(files)
+    )
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
@@ -61,7 +100,7 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
             key = (
                 df.sparkSession.sparkContext.applicationId,
                 vec_col,
-                tuple(sorted(files)),
+                _file_stamps(df, files),
             )
             cached = _PROBE_DIM_CACHE.get(key)
             if cached is not None:
@@ -75,6 +114,8 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     if r is None or r[0] is None or not (0 < r[0] <= _UNROLL_DIM_CAP):
         return None
     if key is not None:
+        if len(_PROBE_DIM_CACHE) >= _PROBE_DIM_CACHE_MAX:
+            _PROBE_DIM_CACHE.pop(next(iter(_PROBE_DIM_CACHE)))
         _PROBE_DIM_CACHE[key] = int(r[0])
     return int(r[0])
 
@@ -100,10 +141,15 @@ def _dot_d(a: "Column | str", b: "Column | str", dim: int | None) -> Column:
     if dim is None or not (isinstance(a, str) and isinstance(b, str)):
         return _dot(as_col(a), as_col(b))
     qa, qb = f"`{a}`", f"`{b}`"
+    # The leading `0.0 +` seed mirrors the fold's ((0.0+t0)+t1)+…
+    # EXACTLY, including zero signs (r13, ADVICE r12): without it an
+    # all-(-0.0)-terms row returns -0.0 where the fold returns +0.0 —
+    # invisible after rounding-to-nonzero but not strictly
+    # bit-identical. For every other input the extra add is exact.
     terms = " + ".join(f"({qa}[{i}] * {qb}[{i}])" for i in range(dim))
     return F.expr(
         f"CASE WHEN size({qa}) = {dim} AND size({qb}) = {dim} "
-        f"THEN {terms} "
+        f"THEN CAST(0.0 AS DOUBLE) + {terms} "
         f"ELSE aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) END"
     )
@@ -1380,7 +1426,10 @@ def write_ivf_index(
 
 
 def ivf_index_drift_stats(
-    spark, centroids_dir: str, postings_dir: str
+    spark,
+    centroids_dir: str,
+    postings_dir: str,
+    as_of_batch_id: int | None = None,
 ) -> DataFrame:
     """Re-centering drift signal for a persisted IVF index (r12): per
     posting list, its occupancy and the mean cosine between its
@@ -1407,7 +1456,18 @@ def ivf_index_drift_stats(
     the three needed columns before the union, so a batch-written
     history with no ``batch_id`` column composes with a streamed
     recent tail). Stored self-norms (``_cn``) are used when present;
-    recomputed otherwise (pre-r10 stores)."""
+    recomputed otherwise (pre-r10 stores).
+
+    ``as_of_batch_id`` (r13) pins the snapshot to batches ≤ that id:
+    the recent tier is read from exactly the ≤-id batch dirs by
+    DIRECT PATH — so a concurrent trigger's in-flight landing dir
+    never enters the file index, which is what lets the signal ride
+    the in-drive background maintenance thread — and the history
+    tier, whose rolled/consolidated batch ids are always ≤ the firing
+    batch's by the maintenance contract, gets the same
+    partition-pruned filter when it carries the column (a no-op today,
+    kept for exactness). None keeps the read-everything shape
+    (between-drives usage on a quiesced store)."""
     from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import _hadoop_fs
 
     fs, hroot = _hadoop_fs(spark, postings_dir)
@@ -1424,15 +1484,34 @@ def ivf_index_drift_stats(
         )
         else None
     )
+    if (
+        main is not None
+        and as_of_batch_id is not None
+        and "batch_id" in main.columns
+    ):
+        main = main.filter(F.col("batch_id") <= F.lit(as_of_batch_id))
     recent_dir = postings_dir.rstrip("/") + "_recent"
     rfs, hrecent = _hadoop_fs(spark, recent_dir)
-    recent = (
-        spark.read.parquet(recent_dir)
-        if rfs.exists(hrecent)
-        and any(
-            s.isDirectory() and s.getPath().getName().startswith("batch_id=")
+    rdirs = (
+        [
+            s.getPath().getName()
             for s in rfs.listStatus(hrecent)
+            if s.isDirectory()
+            and s.getPath().getName().startswith("batch_id=")
+            and (
+                as_of_batch_id is None
+                or int(s.getPath().getName().split("=", 1)[1])
+                <= as_of_batch_id
+            )
+        ]
+        if rfs.exists(hrecent)
+        else []
+    )
+    recent = (
+        spark.read.option("basePath", recent_dir).parquet(
+            *(f"{recent_dir}/{d}" for d in rdirs)
         )
+        if rdirs
         else None
     )
     if main is None and recent is None:

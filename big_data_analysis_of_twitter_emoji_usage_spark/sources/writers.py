@@ -482,22 +482,54 @@ def roll_recent_into_store(
     ]
     if not batches:
         return {"batches_rolled": 0}
-    df = spark.read.parquet(recent)
-    if before_batch_id is not None:
-        # partition-pruned: batch_id is a dir column in the recent tier
-        df = df.filter(F.col("batch_id") < F.lit(before_batch_id))
-    # No emptiness pre-count (r12 perf): the old `df.count() > 0` gate
-    # cost one full extra read of the recent tail per roll, and a
-    # dynamic-overwrite write of an empty frame replaces no partitions
-    # — the write IS the emptiness check, paid once instead of twice.
-    if shuffle:
-        df = df.repartition(bucket_col)  # one file per (bucket, batch) leaf
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(bucket_col, "batch_id")
-        .parquet(root.rstrip("/"))
-    )
+    # Emptiness gate, DRIVER-SIDE (r13; VERDICT r12 #1/#3): r12
+    # removed the `df.count() > 0` pre-gate because it cost one full
+    # extra read of the tail per roll — but replacing it with an
+    # unconditional write swapped the count job for a WRITE job
+    # whenever the tail is empty, and an empty dynamic-overwrite
+    # against a root that does not exist yet creates a SCHEMA-LESS
+    # root (only _SUCCESS) that any later bare
+    # ``spark.read.parquet(root)`` fails schema inference on. The
+    # batch dirs are already listed above, so check them for any
+    # non-hidden DATA file — pure FS metadata, no Spark job, bounded
+    # by the roll cadence.
+    def _has_data(p) -> bool:
+        return any(
+            not s.getPath().getName().startswith(("_", "."))
+            for s in fs.listStatus(p)
+        )
+
+    if any(_has_data(b) for b in batches):
+        hroot = _hadoop_fs(spark, root.rstrip("/"))[1]
+        root_existed = fs.exists(hroot)
+        # Direct-path read of exactly the batch dirs listed above
+        # (r13): the old whole-root read + batch_id filter re-listed
+        # every dir and — decisive for the in-drive background
+        # maintenance overlap — would also pick up a LATER trigger's
+        # in-flight landing dir at file-index time. The listed dirs
+        # are committed (< before_batch_id) and stable; basePath keeps
+        # batch_id as a column exactly as the pruned read did.
+        df = spark.read.option("basePath", recent).parquet(
+            *(f"{recent}/{b.getName()}" for b in batches)
+        )
+        if shuffle:
+            # one file per (bucket, batch) leaf
+            df = df.repartition(bucket_col)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucket_col, "batch_id")
+            .parquet(root.rstrip("/"))
+        )
+        if not root_existed and not any(
+            s.isDirectory() and "=" in s.getPath().getName()
+            for s in fs.listStatus(hroot)
+        ):
+            # data files held 0 rows (e.g. an empty-frame landing):
+            # the write created a fresh root holding only _SUCCESS —
+            # remove it so the store's "root exists ⇒ readable"
+            # contract holds for later bare reads
+            fs.delete(hroot, True)
     for b in batches:
         fs.delete(b, True)
     return {"batches_rolled": len(batches)}

@@ -92,6 +92,13 @@ def run_stream_to_memory(
     return spark.table(query_name)
 
 
+# r13 A/B toggle for the streamed-IVF drive's background maintenance
+# (see stream_ivf_index_append): True = cycle + drift signal overlap
+# later triggers from one serialized background thread; False = the
+# synchronous r12 shape. Module-level so interleaved A/B sessions can
+# flip it without a code edit.
+_OVERLAP_IN_DRIVE_MAINTENANCE = True
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long"
@@ -1267,9 +1274,18 @@ def stream_near_dedup_minhash(
             write_batch_idempotent(keep, bid, out_dir)
         finally:
             # join the landing threads FIRST: their writes read the
-            # persisted frames, and a landing failure must propagate
+            # persisted frames, and a landing failure must propagate.
+            # Drain EVERY future before re-raising (r13, ADVICE r12):
+            # result() raising on the first landing must not skip the
+            # second landing's join (its write would still be in
+            # flight while the frames unpersist below) nor the pool
+            # shutdown (leaked executor threads for the process life).
+            _errs = []
             for _f in landings:
-                _f.result()
+                try:
+                    _f.result()
+                except BaseException as _e:  # noqa: BLE001 — re-raised
+                    _errs.append(_e)
             pool.shutdown()
             state.unpersist()
             bc.unpersist()
@@ -1277,6 +1293,8 @@ def stream_near_dedup_minhash(
                 cand.unpersist()
             if seen_cached is not None:
                 seen_cached.unpersist()
+            if _errs:
+                raise _errs[0]
 
     n_landed = [0]  # triggers since drive start (cadence, not state)
 
@@ -1633,9 +1651,15 @@ def stream_near_dedup_embedding(
             write_batch_idempotent(keep, bid, out_dir)
         finally:
             # join the landing threads FIRST: their writes read the
-            # persisted frames, and a landing failure must propagate
+            # persisted frames, and a landing failure must propagate.
+            # Drain EVERY future before re-raising (r13, ADVICE r12) —
+            # see the MinHash twin for why.
+            _errs = []
             for _f in landings:
-                _f.result()
+                try:
+                    _f.result()
+                except BaseException as _e:  # noqa: BLE001 — re-raised
+                    _errs.append(_e)
             pool.shutdown()
             state.unpersist()
             bc.unpersist()
@@ -1643,6 +1667,8 @@ def stream_near_dedup_embedding(
                 cand.unpersist()
             if seen_cached is not None:
                 seen_cached.unpersist()
+            if _errs:
+                raise _errs[0]
 
     def _cosine_dropped(
         cand: DataFrame, vecs: DataFrame, dim: int | None = None
@@ -1834,41 +1860,70 @@ def stream_ivf_index_append(
 
     n_landed = [0]  # triggers since drive start (cadence, not state)
 
+    def _maintain(bid: int) -> None:
+        _run_two_tier_maintenance(
+            spark,
+            [(postings_dir, "_list", False)],
+            bid,
+            consolidate_min_batch_dirs,
+        )
+        if drift_signal:
+            from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+                ivf_drift_summary,
+                ivf_index_drift_stats,
+            )
+
+            s = ivf_drift_summary(
+                ivf_index_drift_stats(
+                    spark, centroids_dir, postings_dir, as_of_batch_id=bid
+                ),
+                n_lists,
+            )
+            s["as_of_batch_id"] = bid
+            fs, _, jpath = _marker_io(spark, postings_dir)
+            _write_small_json_atomic(
+                spark,
+                fs,
+                jpath,
+                jpath(f"{postings_dir.rstrip('/')}/_drift.json"),
+                s,
+            )
+
+    # r13 (guide §2.6 / VERDICT r12 #1): the maintenance cycle + drift
+    # signal run on ONE background thread so later triggers' landings
+    # back-fill the executor slots its jobs leave idle. Safe because
+    # the cycle touches only data a concurrent landing never reads or
+    # writes: the roll reads EXACTLY the committed (< bid) batch dirs
+    # by direct path and writes/deletes only those and the history
+    # tier; a landing writes a NEW ≥-bid dir; the drift read pins its
+    # file index to batches ≤ bid (as_of_batch_id). Cycles are
+    # SERIALIZED (max_workers=1 + the pre-submit join below) — two
+    # concurrent rolls over one root could both read a not-yet-deleted
+    # dir. Failure semantics shift one cycle later: a maintenance
+    # error now surfaces at the next fire or at drive end (the drive
+    # still FAILS) with the batch itself committed — inside the
+    # documented crash contract, since an interrupted cycle was always
+    # legal and convergent (roll re-runs on everything committed; the
+    # consolidation PENDING marker recovers). Set
+    # ``_OVERLAP_IN_DRIVE_MAINTENANCE = False`` to restore the
+    # synchronous r12 shape (the A/B toggle).
+    from concurrent.futures import ThreadPoolExecutor
+
+    maint_pool = ThreadPoolExecutor(max_workers=1)
+    pending: list = [None]
+
     def _on_batch(bdf: DataFrame, bid: int) -> None:
         _append(bdf, bid)
         _record_max_batch_id(spark, postings_dir, bid)
         if maintain_every is not None:
             n_landed[0] += 1
             if n_landed[0] % maintain_every == 0:
-                _run_two_tier_maintenance(
-                    spark,
-                    [(postings_dir, "_list", False)],
-                    bid,
-                    consolidate_min_batch_dirs,
-                )
-                if drift_signal:
-                    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
-                        ivf_drift_summary,
-                        ivf_index_drift_stats,
-                    )
-
-                    s = ivf_drift_summary(
-                        ivf_index_drift_stats(
-                            spark, centroids_dir, postings_dir
-                        ),
-                        n_lists,
-                    )
-                    s["as_of_batch_id"] = bid
-                    fs, _, jpath = _marker_io(spark, postings_dir)
-                    _write_small_json_atomic(
-                        spark,
-                        fs,
-                        jpath,
-                        jpath(
-                            f"{postings_dir.rstrip('/')}/_drift.json"
-                        ),
-                        s,
-                    )
+                if pending[0] is not None:
+                    pending[0].result()  # serialize; surface errors
+                pending[0] = maint_pool.submit(_maintain, bid)
+                if not _OVERLAP_IN_DRIVE_MAINTENANCE:
+                    pending[0].result()
+                    pending[0] = None
 
     query = (
         stream_df.writeStream.foreachBatch(_on_batch)
@@ -1876,7 +1931,15 @@ def stream_ivf_index_append(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+        # the drained read below must see a quiesced store: join the
+        # in-flight cycle before building it (and surface its error)
+        if pending[0] is not None:
+            pending[0].result()
+            pending[0] = None
+    finally:
+        maint_pool.shutdown(wait=True)
     try:
         if list_major:
             from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (

@@ -716,3 +716,93 @@ def test_ivf_drift_summary_empty_stats(spark):
         "min_list_mean_cos": None,
         "postings": 0,
     }
+
+
+def test_dot_d_unrolled_bit_equals_fold(spark):
+    """r13 pin (VERDICT r12 #6): the codegen-unrolled `_dot_d` must be
+    BIT-identical to the interpreted HOF fold on every row shape —
+    matching width, ragged/mismatched widths (per-row guard → fold),
+    NULL cells, empty arrays, and the all-(-0.0)-terms row where the
+    fold's leading `0.0 +` seed decides the zero's sign (ADVICE r12)."""
+    import math
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        _dot,
+        _dot_d,
+    )
+
+    rows_ = [
+        (0, [1.5, -2.0, 3.25, 0.5], [4.0, 0.125, -8.0, 2.0]),   # width 4
+        (1, [0.1, 0.2, 0.3, 0.4], [0.9, 0.8, 0.7, 0.6]),        # inexact sums
+        (2, [1.0, 2.0], [3.0, 4.0]),                             # ragged: dim!=4
+        (3, [1.0, None, 2.0, 3.0], [1.0, 1.0, 1.0, 1.0]),        # NULL cell
+        (4, [], []),                                             # empty
+        (5, None, [1.0, 1.0, 1.0, 1.0]),                         # NULL array
+        (6, [0.0, -0.0, 0.0, -0.0], [-1.0, 0.0, -2.0, 5.0]),     # all -0.0 terms
+        (7, [1e308, 1.0, -1e308, 1.0], [2.0, 1.0, 2.0, 1.0]),    # order-sensitive
+    ]
+    df = spark.createDataFrame(
+        rows_, "id long, a array<double>, b array<double>"
+    )
+    got = {
+        r["id"]: (r["u"], r["f"])
+        for r in df.select(
+            "id",
+            _dot_d("a", "b", 4).alias("u"),
+            _dot("a", "b").alias("f"),
+        ).collect()
+    }
+    for i, (u, f) in got.items():
+        if f is None or (isinstance(f, float) and math.isnan(f)):
+            assert u is None or math.isnan(u), (i, u, f)
+        else:
+            assert u == f, (i, u, f)
+            # bit-level: zero SIGNS must agree too (the seed contract)
+            assert math.copysign(1.0, u) == math.copysign(1.0, f), (i, u, f)
+    # explicit: the -0.0-terms row lands on +0.0, as the fold does
+    assert got[6][1] == 0.0 and math.copysign(1.0, got[6][1]) == 1.0
+    assert math.copysign(1.0, got[6][0]) == 1.0
+
+
+def test_probe_dim_cache_invalidates_on_inplace_overwrite(
+    spark, tmp_path
+):
+    """r13 (ADVICE r12): `_probe_dim`'s memo keys on per-file
+    mtime+size, so a file overwritten IN PLACE with a different vector
+    width re-probes instead of serving the stale dim for the
+    application's lifetime."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        _probe_dim,
+    )
+
+    p = str(tmp_path / "vecs.parquet")
+
+    def write(dim):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([1, 2], pa.int64()),
+                    "embedding": pa.array(
+                        [[float(i) for i in range(dim)]] * 2,
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            p,
+        )
+
+    write(4)
+    df = spark.read.parquet(p)
+    assert _probe_dim(df, "embedding") == 4
+    assert _probe_dim(df, "embedding") == 4  # memo hit
+    time.sleep(0.01)
+    write(6)
+    os.utime(p)  # ensure a fresh mtime even on coarse filesystems
+    df2 = spark.read.parquet(p)
+    assert _probe_dim(df2, "embedding") == 6

@@ -2140,3 +2140,43 @@ def test_stream_ivf_maintenance_lands_drift_signal(spark, sf_dir, tmp_path):
     assert 0 < drift["nonempty_lists"] <= 8
     assert drift["occupancy_skew"] >= 1.0
     assert -1.0 <= drift["mean_assign_cos"] <= 1.0
+
+
+def test_read_committed_recent_equals_whole_tail_read(spark, tmp_path):
+    """r13 pin (VERDICT r12 #6): the r12 probe shape reads the recent
+    tier as `_read_committed_recent(bid)` (committed dirs < bid) ∪ the
+    in-flight batch's persisted frame — that union must be row-equal
+    to the pre-r12 shape, one read of ALL dirs ≤ bid, including under
+    a replay where the in-flight batch's dir already exists on disk
+    (committed < bid ∪ current ≡ all ≤ bid, because the current dir's
+    rows equal the persisted frame's by write_batch_idempotent)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        _read_committed_recent,
+        write_batch_idempotent,
+    )
+
+    recent = str(tmp_path / "store_recent")
+    frames = {}
+    for bid in range(3):
+        frames[bid] = spark.range(bid * 10, bid * 10 + 5).select(
+            F.col("id"), F.pmod(F.col("id"), F.lit(4)).alias("_bkt")
+        )
+        write_batch_idempotent(frames[bid], bid, recent)
+    bid = 2  # in-flight: its dir ALREADY exists (the replay case)
+    committed = _read_committed_recent(spark, recent, bid)
+    new_shape = committed.unionByName(
+        frames[bid].withColumn("batch_id", F.lit(bid)),
+        allowMissingColumns=True,
+    ).select("id", "_bkt", "batch_id")
+    old_shape = (
+        spark.read.parquet(recent)
+        .filter(F.col("batch_id") <= bid)
+        .select("id", "_bkt", "batch_id")
+    )
+    assert rows(new_shape) == rows(old_shape)
+    # committed view never includes the in-flight dir
+    assert {
+        r[0] for r in committed.select("batch_id").distinct().collect()
+    } == {0, 1}
+    # first trigger: nothing committed yet
+    assert _read_committed_recent(spark, recent, 0) is None
