@@ -51,6 +51,12 @@ _UNROLL_DIM_CAP = 512
 _PROBE_DIM_CACHE: dict[tuple, int] = {}
 _PROBE_DIM_CACHE_MAX = 512
 
+# r13 A/B toggle (VERDICT r12 #2): False = the IVF kNN-join probe
+# unrolls the dot ONLY in its corpus×corpus candidate-pair stage;
+# True = r12's engagement at every dot site in the probe (routing
+# cosine, per-side self-norms too). Bit-identical results either way.
+_UNROLL_ALL_IVF_PROBE_SITES = False
+
 
 def _file_stamps(df: DataFrame, files: list) -> tuple:
     """(path, mtime, size) stamps for a plan's input files via ONE
@@ -1018,6 +1024,16 @@ def cosine_knn_join_ivf_probe(
     # CollapseProject from inlining it upward).
     if dim is None:
         dim = _probe_dim(left, vec_col)
+    # r13 (VERDICT r12 #2): the unroll engages ONLY in the
+    # candidate-pair stage below — the corpus×corpus volume where it
+    # wins (the r12 rule) — while the routing cosine and the per-side
+    # self-norms keep the HOF dot: their volumes (|left|·n_lists
+    # fan-out, one row per side) are the regime the r12 A/B table
+    # measured as losses, and every extra unrolled site is another
+    # codegen class whose compile/JIT weight taxes the rest of a
+    # many-query session (the measured knn_join_emb collateral).
+    # Bit-identical either way — mixing variants per site is safe.
+    pair_dim, dim = dim, (dim if _UNROLL_ALL_IVF_PROBE_SITES else None)
     q = left.select(
         F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("_qn", _dot_d("qv", "qv", dim))
@@ -1043,7 +1059,7 @@ def cosine_knn_join_ivf_probe(
             "left_id",
             F.col("neighbor_id").alias("right_id"),
             cosine_with_norms(
-                "qv", "cv", F.col("_qn"), F.col("_cn"), dim
+                "qv", "cv", F.col("_qn"), F.col("_cn"), pair_dim
             ).alias("_cos"),
         )
         .groupBy("left_id", "right_id")
