@@ -310,6 +310,7 @@ def consolidate_bucket_history(
     root: str,
     min_batch_dirs: int = 2,
     shuffle: bool = True,
+    defer_reap: bool = False,
 ) -> dict:
     """History consolidation for bucket-major streaming-store layouts
     (``<root>/<col>=K/batch_id=N/...`` — the r11 dedup band/payload
@@ -418,9 +419,27 @@ def consolidate_bucket_history(
         .partitionBy(bcol, "batch_id")
         .parquet(root.rstrip("/"))
     )
-    for name, ids in frag.items():
-        for i in ids:
-            fs.delete(Path(f"{root.rstrip('/')}/{name}/batch_id={i}"), True)
+    reap = [
+        f"{root.rstrip('/')}/{name}/batch_id={i}"
+        for name, ids in frag.items()
+        for i in ids
+    ]
+    if defer_reap:
+        # r13 deferred reaping (see roll_recent_into_store): the merged
+        # leaf + originals coexist — exactly the documented crashed-
+        # merge window, which probes tolerate and the recovery path
+        # converges from — until the caller reaps at a read-quiesced
+        # point. The PENDING marker is reaped LAST, preserving the
+        # marker ⇒ possible-duplication invariant throughout.
+        stats.update(
+            consolidated=True,
+            merged_into=v,
+            buckets_merged=len(frag),
+            deferred_reap=reap + [f"{root.rstrip('/')}/{pending.getName()}"],
+        )
+        return stats
+    for p in reap:
+        fs.delete(Path(p), True)
     fs.delete(pending, False)
     stats.update(
         consolidated=True, merged_into=v, buckets_merged=len(frag)
@@ -434,6 +453,7 @@ def roll_recent_into_store(
     bucket_col: str,
     before_batch_id: int | None = None,
     shuffle: bool = True,
+    defer_reap: bool = False,
 ) -> dict:
     """Roll a two-tier streaming store's batch-major RECENT tail
     (``<root>_recent/batch_id=N``, bucket col as a data column) into
@@ -530,6 +550,20 @@ def roll_recent_into_store(
             # remove it so the store's "root exists ⇒ readable"
             # contract holds for later bare reads
             fs.delete(hroot, True)
+    if defer_reap:
+        # r13 deferred reaping: the rolled rows now exist in BOTH
+        # tiers — the roll's own documented crash window, which every
+        # probe tolerates by construction (DISTINCT candidate/drop
+        # sets, countDistinct occupancy, pair-aggregated verify) —
+        # until the caller deletes the listed dirs at a point where no
+        # concurrent reader can hold them in a pinned file index. This
+        # is what lets the in-drive maintenance cycle run on a
+        # background thread UNDER live probes (guide §2.6): the cycle
+        # only ever ADDS files; the deletes happen between triggers.
+        return {
+            "batches_rolled": len(batches),
+            "deferred_reap": [str(b) for b in batches],
+        }
     for b in batches:
         fs.delete(b, True)
     return {"batches_rolled": len(batches)}

@@ -92,9 +92,10 @@ def run_stream_to_memory(
     return spark.table(query_name)
 
 
-# r13 A/B toggle for the streamed-IVF drive's background maintenance
-# (see stream_ivf_index_append): True = cycle + drift signal overlap
-# later triggers from one serialized background thread; False = the
+# r13 A/B toggle for in-drive background maintenance (all streaming
+# store drives; see _MaintenanceScheduler): True = the maintenance
+# cycle (and, for the IVF drive, the drift signal) overlaps later
+# triggers from one serialized background thread; False = the
 # synchronous r12 shape. Module-level so interleaved A/B sessions can
 # flip it without a code edit.
 _OVERLAP_IN_DRIVE_MAINTENANCE = True
@@ -819,7 +820,8 @@ def _run_two_tier_maintenance(
     roots: list[tuple[str, str, bool]],
     bid: int,
     min_batch_dirs: int,
-) -> None:
+    defer_reap: bool = False,
+) -> list[str]:
     """The r12 self-driving maintenance cycle, called from inside
     ``foreachBatch`` after batch ``bid``'s work lands: for each
     (root, bucket_col, wide) store root, roll the COMMITTED recent
@@ -836,26 +838,45 @@ def _run_two_tier_maintenance(
     listing at ``min_batch_dirs`` dirs per bucket). ``wide`` stores
     (shingle/vector payload arrays) roll and consolidate with
     ``shuffle=False`` — the wide-row exchange was measured spilling
-    past local scratch at the 20M-doc decade (SCALE.md r11)."""
+    past local scratch at the 20M-doc decade (SCALE.md r11).
+
+    ``defer_reap=True`` (r13): the cycle only ADDS files — the rolled
+    recent dirs, the merged buckets' old dirs and the consolidation
+    PENDING marker are NOT deleted; their paths are RETURNED for the
+    caller to pass to ``_reap_deferred`` at a read-quiesced point.
+    The interim double-presence is exactly the two ops' documented
+    crash windows, which every probe tolerates by construction — this
+    is what lets the whole cycle run on a background thread UNDER
+    live probes (guide §2.6) without a delete ever racing a probe's
+    pinned file index. Returns [] when not deferring."""
     from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
         _hadoop_fs,
         consolidate_bucket_history,
         roll_recent_into_store,
     )
 
-    def _maintain_one(root: str, bucket_col: str, wide: bool) -> None:
-        roll_recent_into_store(
-            spark, root, bucket_col, before_batch_id=bid, shuffle=not wide
-        )
+    def _maintain_one(root: str, bucket_col: str, wide: bool) -> list[str]:
+        reap = roll_recent_into_store(
+            spark,
+            root,
+            bucket_col,
+            before_batch_id=bid,
+            shuffle=not wide,
+            defer_reap=defer_reap,
+        ).get("deferred_reap", [])
         fs, hroot = _hadoop_fs(spark, root)
         if fs.exists(hroot):
-            consolidate_bucket_history(
-                spark, root, min_batch_dirs=min_batch_dirs, shuffle=not wide
-            )
+            reap += consolidate_bucket_history(
+                spark,
+                root,
+                min_batch_dirs=min_batch_dirs,
+                shuffle=not wide,
+                defer_reap=defer_reap,
+            ).get("deferred_reap", [])
+        return reap
 
     if len(roots) == 1:
-        _maintain_one(*roots[0])
-        return
+        return _maintain_one(*roots[0])
     # The roots (band store + payload store) are DISJOINT directory
     # trees whose roll/consolidate jobs share no state — submit them
     # from a small thread pool so the second root's jobs back-fill the
@@ -866,10 +887,80 @@ def _run_two_tier_maintenance(
     # landed). Exceptions propagate via future.result().
     from concurrent.futures import ThreadPoolExecutor
 
+    reap: list[str] = []
     with ThreadPoolExecutor(max_workers=len(roots)) as pool:
         futures = [pool.submit(_maintain_one, *r) for r in roots]
         for f in futures:
-            f.result()
+            reap += f.result()
+    return reap
+
+
+class _MaintenanceScheduler:
+    """Serialized background in-drive maintenance (r13, guide §2.6):
+    at most ONE cycle in flight, run on a single worker thread so
+    later triggers' jobs back-fill the executor slots the cycle's
+    tail leaves idle. ``cycle(bid)`` is the drive's maintenance
+    callable and returns a deferred-deletion list (possibly empty);
+    deletions are reaped at read-quiesced points only — the next
+    foreachBatch entry (``on_trigger_entry``, before any probe plan
+    is built), the next ``fire`` (which also serializes cycles), or
+    ``drain``. A failed cycle surfaces at the next of those points,
+    one trigger later than the r12 synchronous shape — within the
+    ops' documented crash contract (an interrupted cycle was always
+    legal and convergent: the next roll re-rolls everything
+    committed, the consolidation PENDING marker recovers). With
+    ``_OVERLAP_IN_DRIVE_MAINTENANCE`` False, ``fire`` runs the cycle
+    synchronously and reaps inline (the r12 shape, the A/B toggle)."""
+
+    def __init__(self, spark: SparkSession, cycle):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._spark = spark
+        self._cycle = cycle
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pending = None
+
+    def _join_and_reap(self) -> None:
+        f, self._pending = self._pending, None
+        _reap_deferred(self._spark, f.result())
+
+    def on_trigger_entry(self) -> None:
+        if self._pending is not None and self._pending.done():
+            self._join_and_reap()
+
+    def fire(self, bid: int) -> None:
+        if self._pending is not None:
+            self._join_and_reap()
+        if _OVERLAP_IN_DRIVE_MAINTENANCE:
+            self._pending = self._pool.submit(self._cycle, bid)
+        else:
+            _reap_deferred(self._spark, self._cycle(bid))
+
+    def drain(self) -> None:
+        try:
+            if self._pending is not None:
+                self._join_and_reap()
+        finally:
+            self._pool.shutdown(wait=True)
+
+
+def _reap_deferred(spark: SparkSession, paths: list[str]) -> None:
+    """Delete the paths a ``defer_reap`` maintenance cycle returned.
+    Call ONLY from a point where no concurrent reader can hold them in
+    a pinned file index: between triggers (foreachBatch entry, before
+    any probe plan is built) or after the drive drains. Order is
+    preserved — data dirs first, the consolidation PENDING marker
+    last, keeping the marker ⇒ possible-duplication invariant."""
+    if not paths:
+        return
+    from big_data_analysis_of_twitter_emoji_usage_spark.sources.writers import (
+        _hadoop_fs,
+    )
+
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs, _ = _hadoop_fs(spark, paths[0])
+    for p in paths:
+        fs.delete(Path(p), True)
 
 
 def stream_near_dedup_minhash(
@@ -1297,8 +1388,29 @@ def stream_near_dedup_minhash(
                 raise _errs[0]
 
     n_landed = [0]  # triggers since drive start (cadence, not state)
+    # r13: the maintenance cycle runs on a background thread with
+    # DEFERRED reaping — the cycle only ADDS files (the roll/
+    # consolidate crash-window shape every probe tolerates), and the
+    # deletes land between triggers, where no probe holds a pinned
+    # file index (guide §2.6; _MaintenanceScheduler).
+    sched = (
+        _MaintenanceScheduler(
+            spark,
+            lambda bid: _run_two_tier_maintenance(
+                spark,
+                [(bands_dir, "_bkt", False), (store_dir, "_pbkt", True)],
+                bid,
+                consolidate_min_batch_dirs,
+                defer_reap=True,
+            ),
+        )
+        if maintain_every is not None
+        else None
+    )
 
     def _on_batch(bdf: DataFrame, bid: int) -> None:
+        if sched is not None:
+            sched.on_trigger_entry()
         _dedup_batch(bdf, bid)
         # marker watermark AFTER the batch's work lands — a crash in
         # between leaves the watermark one batch low, which only makes
@@ -1307,12 +1419,7 @@ def stream_near_dedup_minhash(
         if maintain_every is not None:
             n_landed[0] += 1
             if n_landed[0] % maintain_every == 0:
-                _run_two_tier_maintenance(
-                    spark,
-                    [(bands_dir, "_bkt", False), (store_dir, "_pbkt", True)],
-                    bid,
-                    consolidate_min_batch_dirs,
-                )
+                sched.fire(bid)
 
     query = (
         stream_df.writeStream.foreachBatch(_on_batch)
@@ -1320,7 +1427,11 @@ def stream_near_dedup_minhash(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        if sched is not None:
+            sched.drain()
     try:
         return spark.read.parquet(out_dir).drop("batch_id")
     except AnalysisException as exc:
@@ -1703,19 +1814,32 @@ def stream_near_dedup_embedding(
         )
 
     n_landed = [0]  # triggers since drive start (cadence, not state)
+    # r13 background maintenance with deferred reaping — see the
+    # MinHash twin and _MaintenanceScheduler.
+    sched = (
+        _MaintenanceScheduler(
+            spark,
+            lambda bid: _run_two_tier_maintenance(
+                spark,
+                [(bands_dir, "_bkt", False), (store_dir, "_pbkt", True)],
+                bid,
+                consolidate_min_batch_dirs,
+                defer_reap=True,
+            ),
+        )
+        if maintain_every is not None
+        else None
+    )
 
     def _on_batch(bdf: DataFrame, bid: int) -> None:
+        if sched is not None:
+            sched.on_trigger_entry()
         _dedup_batch(bdf, bid)
         _record_max_batch_id(spark, store_dir, bid)
         if maintain_every is not None:
             n_landed[0] += 1
             if n_landed[0] % maintain_every == 0:
-                _run_two_tier_maintenance(
-                    spark,
-                    [(bands_dir, "_bkt", False), (store_dir, "_pbkt", True)],
-                    bid,
-                    consolidate_min_batch_dirs,
-                )
+                sched.fire(bid)
 
     query = (
         stream_df.writeStream.foreachBatch(_on_batch)
@@ -1723,7 +1847,11 @@ def stream_near_dedup_embedding(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        if sched is not None:
+            sched.drain()
     try:
         return spark.read.parquet(out_dir).drop("batch_id")
     except AnalysisException as exc:
@@ -1860,7 +1988,11 @@ def stream_ivf_index_append(
 
     n_landed = [0]  # triggers since drive start (cadence, not state)
 
-    def _maintain(bid: int) -> None:
+    def _maintain(bid: int) -> list:
+        # no deferred reap here: this drive has no per-trigger probes
+        # pinning store file indexes (landings only ADD new recent
+        # dirs), so immediate deletes race nothing — and the drift
+        # read below must see each posting exactly once
         _run_two_tier_maintenance(
             spark,
             [(postings_dir, "_list", False)],
@@ -1888,6 +2020,7 @@ def stream_ivf_index_append(
                 jpath(f"{postings_dir.rstrip('/')}/_drift.json"),
                 s,
             )
+        return []  # nothing deferred (deletes ran inline above)
 
     # r13 (guide §2.6 / VERDICT r12 #1): the maintenance cycle + drift
     # signal run on ONE background thread so later triggers' landings
@@ -1897,20 +2030,17 @@ def stream_ivf_index_append(
     # by direct path and writes/deletes only those and the history
     # tier; a landing writes a NEW ≥-bid dir; the drift read pins its
     # file index to batches ≤ bid (as_of_batch_id). Cycles are
-    # SERIALIZED (max_workers=1 + the pre-submit join below) — two
-    # concurrent rolls over one root could both read a not-yet-deleted
-    # dir. Failure semantics shift one cycle later: a maintenance
-    # error now surfaces at the next fire or at drive end (the drive
+    # serialized and drained by _MaintenanceScheduler; a maintenance
+    # error surfaces at the next fire or at drive end (the drive
     # still FAILS) with the batch itself committed — inside the
     # documented crash contract, since an interrupted cycle was always
     # legal and convergent (roll re-runs on everything committed; the
-    # consolidation PENDING marker recovers). Set
-    # ``_OVERLAP_IN_DRIVE_MAINTENANCE = False`` to restore the
-    # synchronous r12 shape (the A/B toggle).
-    from concurrent.futures import ThreadPoolExecutor
-
-    maint_pool = ThreadPoolExecutor(max_workers=1)
-    pending: list = [None]
+    # consolidation PENDING marker recovers).
+    sched = (
+        _MaintenanceScheduler(spark, _maintain)
+        if maintain_every is not None
+        else None
+    )
 
     def _on_batch(bdf: DataFrame, bid: int) -> None:
         _append(bdf, bid)
@@ -1918,12 +2048,7 @@ def stream_ivf_index_append(
         if maintain_every is not None:
             n_landed[0] += 1
             if n_landed[0] % maintain_every == 0:
-                if pending[0] is not None:
-                    pending[0].result()  # serialize; surface errors
-                pending[0] = maint_pool.submit(_maintain, bid)
-                if not _OVERLAP_IN_DRIVE_MAINTENANCE:
-                    pending[0].result()
-                    pending[0] = None
+                sched.fire(bid)
 
     query = (
         stream_df.writeStream.foreachBatch(_on_batch)
@@ -1933,13 +2058,11 @@ def stream_ivf_index_append(
     )
     try:
         query.awaitTermination()
+    finally:
         # the drained read below must see a quiesced store: join the
         # in-flight cycle before building it (and surface its error)
-        if pending[0] is not None:
-            pending[0].result()
-            pending[0] = None
-    finally:
-        maint_pool.shutdown(wait=True)
+        if sched is not None:
+            sched.drain()
     try:
         if list_major:
             from big_data_analysis_of_twitter_emoji_usage_spark.sources.readers import (

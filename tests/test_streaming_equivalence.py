@@ -2180,3 +2180,78 @@ def test_read_committed_recent_equals_whole_tail_read(spark, tmp_path):
     } == {0, 1}
     # first trigger: nothing committed yet
     assert _read_committed_recent(spark, recent, 0) is None
+
+
+def test_background_maintenance_parity_with_synchronous(
+    spark, sf_dir, tmp_path
+):
+    """r13: the background deferred-reap maintenance cycle
+    (_MaintenanceScheduler + defer_reap) must leave keeper set AND
+    final store layout identical to the synchronous r12 shape — same
+    drive, same parameters, toggle flipped."""
+    import shutil
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        _ordered_docs_stream_dir,
+    )
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming import jobs
+    from big_data_analysis_of_twitter_emoji_usage_spark.streaming.jobs import (
+        stream_near_dedup_minhash,
+    )
+
+    staged = _ordered_docs_stream_dir(sf_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for p in sorted(os.listdir(staged)):
+        if p.endswith(".parquet"):
+            shutil.copy2(os.path.join(staged, p), os.path.join(src, p))
+
+    def drive(tag):
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream_near_dedup_minhash(
+            spark,
+            stream,
+            out_dir=str(tmp_path / tag / "out"),
+            checkpoint_dir=str(tmp_path / tag / "ckpt"),
+            store_dir=str(tmp_path / tag / "store"),
+            threshold=0.2,
+            store_buckets=16,
+            max_bucket=64,
+            maintain_every=2,
+            consolidate_min_batch_dirs=2,
+        )
+        keepers = rows(out.select("doc_id"))
+        store = str(tmp_path / tag / "store")
+        layout = {}
+        for root in (store, store + "_bands"):
+            for sub in ("", "_recent"):
+                d = root + sub
+                # directory STRUCTURE only (bucket/batch dirs) — part
+                # file names carry per-run UUIDs
+                layout[os.path.basename(d)] = sorted(
+                    os.path.join(b, s)
+                    for b in os.listdir(d)
+                    if not b.startswith(".")
+                    and os.path.isdir(os.path.join(d, b))
+                    for s in (
+                        [x for x in os.listdir(os.path.join(d, b))
+                         if x.startswith("batch_id=")] or [""]
+                    )
+                ) if os.path.isdir(d) else None
+        return keepers, layout
+
+    prev = jobs._OVERLAP_IN_DRIVE_MAINTENANCE
+    try:
+        jobs._OVERLAP_IN_DRIVE_MAINTENANCE = True
+        k_bg, l_bg = drive("bg")
+        jobs._OVERLAP_IN_DRIVE_MAINTENANCE = False
+        k_sync, l_sync = drive("sync")
+    finally:
+        jobs._OVERLAP_IN_DRIVE_MAINTENANCE = prev
+    assert k_bg == k_sync and len(k_bg) > 0
+    assert l_bg == l_sync  # same dirs rolled/merged/reaped at drain
