@@ -287,12 +287,59 @@ def stream_table_path(sf_dir: str, name: str) -> str:
     return table_path(sf_dir, name) + "*"
 
 
+# r13 A/B toggle for spread_stream (guide §2.5 input skew): True =
+# file-stream scans whose batch twin would be spread get a per-batch
+# round-robin repartition; False = the pre-r13 shape (map work serial
+# on the fixture's single-row-group files). Module-level so interleaved
+# A/B sessions can flip it without a code edit. NOTE the loaders
+# default to spread_scan=False — engagement is per call site, from the
+# measured table in OPTIMIZATION_r13.md: the exchange's fixed cost
+# (~0.2–0.3 s per availableNow drive at fixture scale) only pays where
+# the per-row map work is genuinely heavy (the 13-gram md5 decontam
+# probes: −30..−40%); the light projections/aggregations all measured
+# small losses.
+_SPREAD_STREAM_SCANS = True
+
+
+def spread_stream(stream, spark: SparkSession, sf_dir: str, name: str):
+    """Streaming twin of ``spread``: round-robin repartition a
+    file-stream source whose BATCH scan of the same files would arrive
+    with fewer partitions than the session's parallelism.
+
+    Why it exists (r13, guide §2.5): ``spread`` must no-op on streams
+    (partition counts are undefined pre-execution), so every micro-batch
+    of a fixture-table stream ran its entire map-side work — 13-gram
+    md5 probes, regex redaction, tokenization — in ONE task (the
+    fixture tables are single-file/single-row-group parquet), while the
+    batch twins run 32-way. Event-log evidence: stream_decontam_docs'
+    addBatch was one 3.2 s single-task job vs ~0.35 s for the identical
+    32-task batch plan. The decision is delegated to the SAME probe the
+    batch path uses (``_scan_partitions`` on a batch read of the same
+    path — memoized, no Spark job), so stream and batch twins spread
+    under exactly the same condition: on a real deployment the input
+    splits past the session's parallelism and this is a no-op; it only
+    ever fires when the table is smaller than cores × split size,
+    bounding the shuffled volume. The added per-batch Exchange is
+    round-robin with sort-before-repartition (deterministic under task
+    retry); results are partitioning-invariant for every consumer
+    (row-level projections, aggregations, watermarked joins)."""
+    if not _SPREAD_STREAM_SCANS:
+        return stream
+    sc = spark.sparkContext
+    target = sc.defaultParallelism
+    batch_probe = spark.read.parquet(table_path(sf_dir, name))
+    if _scan_partitions(batch_probe) < target:
+        return stream.repartition(target)
+    return stream
+
+
 def load_table_stream(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     columns: list[str] | None = None,
     max_files_per_trigger: int | None = None,
+    spread_scan: bool = False,
 ):
     """Generic streaming twin of ``load_table``: one fixture table as a
     file-source stream — batch schema probe (streaming JSON/parquet
@@ -314,13 +361,16 @@ def load_table_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = reader.parquet(stream_table_path(sf_dir, name))
-    return stream.select(*columns) if columns else stream
+    if columns:
+        stream = stream.select(*columns)  # project BEFORE any spread
+    return spread_stream(stream, spark, sf_dir, name) if spread_scan else stream
 
 
 def load_events_stream(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
+    spread_scan: bool = False,
 ):
     """Streaming twin of ``load_events``: the events table as a file
     stream with ``ts`` as a timestamp, whatever the parquet encoding.
@@ -332,5 +382,7 @@ def load_events_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    stream = reader.parquet(stream_table_path(sf_dir, "events"))
-    return _normalize_ts(stream)
+    stream = _normalize_ts(reader.parquet(stream_table_path(sf_dir, "events")))
+    return (
+        spread_stream(stream, spark, sf_dir, "events") if spread_scan else stream
+    )

@@ -57,6 +57,82 @@ _PROBE_DIM_CACHE_MAX = 512
 # cosine, per-side self-norms too). Bit-identical results either way.
 _UNROLL_ALL_IVF_PROBE_SITES = False
 
+# The measured crossover for the unrolled dot's NET win (r12 per-site
+# A/B table + the r13 pair-only narrowing): engagements at
+# corpus×corpus candidate volumes (~1.5M+ scored pairs at the fixture)
+# win ~1.4–2×; query-kNN / LSH-bucketed volumes (tens of thousands)
+# lose — the fatter expression tree's planning + codegen/JIT weight
+# exceeds the per-row saving, and every big generated class also taxes
+# the REST of a many-query session (the measured knn_join_emb
+# collateral). 1e6 sits between the measured win (≥1.5M) and loss
+# (≤250k in-context) regimes.
+_UNROLL_MIN_EST_PAIRS = 1_000_000
+
+
+def _est_rows(df: DataFrame, dim: int) -> int | None:
+    """Plan-time row-count estimate from Catalyst's optimized-plan
+    ``sizeInBytes`` statistic divided by the estimated vector-row width
+    — no Spark job, no data read. For file-backed relations the
+    statistic is the real file size; for computed subtrees the default
+    (non-CBO) estimation propagates sizes upward multiplicatively
+    through joins, i.e. it OVER-estimates — which only ever errs toward
+    engaging the unroll, the measured-good default for this operator's
+    corpus×corpus callers. Returns None when stats are absent or
+    degenerate (the optimizer's "unknown" defaults)."""
+    try:
+        b = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        b = b if isinstance(b, int) else int(b.toString())
+    except Exception:
+        return None
+    if b <= 0 or b >= (1 << 60):  # unknown / Long.MaxValue-ish defaults
+        return None
+    return max(1, b // (8 * dim + 16))
+
+
+def _unroll_pair_gate(
+    left: DataFrame,
+    postings: DataFrame,
+    nprobe: int,
+    dim: int,
+    n_lists: int | None = None,
+    gate_corpus: DataFrame | None = None,
+    gate_replication: int = 1,
+) -> bool:
+    """Principled engagement rule for the unrolled dot at the IVF
+    join's candidate-pair stage (r13, VERDICT r12 #7): engage iff the
+    ESTIMATED scored-pair volume — |left| · |postings| · nprobe/n_lists
+    from plan-time statistics — clears the measured crossover, instead
+    of inheriting a fixture-tuned constant. ``n_lists`` comes from the
+    caller when known (``cosine_knn_join_ivf`` passes its own
+    parameter); otherwise the shipped 24-list geometry is assumed.
+
+    The postings row count comes from, in order: ``gate_corpus`` ×
+    ``gate_replication`` when the caller still holds the RAW indexed
+    corpus (the inline join does — its stats are real file sizes,
+    where the built postings subtree's default non-CBO stats are
+    join-inflated by orders of magnitude); the postings relation's own
+    stats when plausible (the persisted-index probe shape — postings
+    read back from parquet carry true file sizes); else unknown. When
+    either side is unknown the measured-good default for this
+    operator's shipped corpus×corpus callers (engage) is kept — the
+    gate exists to protect SMALL probes from the fat plan, so it only
+    disengages on confident evidence (the forced-HOF A/B at the small
+    volume measured a wash standalone; declining there buys back the
+    session-wide codegen tax, the r12 knn_join_emb collateral)."""
+    lr = _est_rows(left, dim)
+    pr = None
+    if gate_corpus is not None:
+        cr = _est_rows(gate_corpus, dim)
+        pr = cr * max(1, gate_replication) if cr is not None else None
+    if pr is None:
+        pr = _est_rows(postings, dim)
+        if pr is not None and pr > 1_000_000_000:
+            pr = None  # non-CBO join-product blowup: not evidence
+    if lr is None or pr is None:
+        return True
+    frac = min(1.0, nprobe / float(n_lists or 24))
+    return lr * pr * frac >= _UNROLL_MIN_EST_PAIRS
+
 
 def _file_stamps(df: DataFrame, files: list) -> tuple:
     """(path, mtime, size) stamps for a plan's input files via ONE
@@ -991,7 +1067,19 @@ def cosine_knn_join_ivf(
         probe_supers,
     )
     return cosine_knn_join_ivf_probe(
-        c, postings, left, id_col, vec_col, k, nprobe
+        c,
+        postings,
+        left,
+        id_col,
+        vec_col,
+        k,
+        nprobe,
+        n_lists=n_lists,
+        # the raw indexed corpus carries REAL plan statistics (file
+        # sizes); the built postings subtree's non-CBO stats are
+        # join-inflated and unusable for the volume gate
+        gate_corpus=right,
+        gate_replication=replication,
     )
 
 
@@ -1004,6 +1092,9 @@ def cosine_knn_join_ivf_probe(
     k: int = 3,
     nprobe: int = 8,
     dim: int | None = None,
+    n_lists: int | None = None,
+    gate_corpus: DataFrame | None = None,
+    gate_replication: int = 1,
 ) -> DataFrame:
     """The query half of ``cosine_knn_join_ivf`` over a (typically
     persisted) ``build_ivf_index`` result — the production shape for
@@ -1014,7 +1105,15 @@ def cosine_knn_join_ivf_probe(
     probe routing down (pinned bit-for-bit by
     ``test_knn_join_ivf_probe_equals_inline``); the shared-list
     duplicate collapse is unconditional, so the probe is correct for
-    any index regardless of its build-time replication."""
+    any index regardless of its build-time replication.
+
+    ``dim``: None (default) = auto — the unrolled-dot fast path for the
+    candidate-pair stage engages iff the plan-time volume gate
+    (``_unroll_pair_gate``) estimates the scored-pair count past the
+    measured crossover; an explicit ``dim`` forces engagement; the
+    per-row guard keeps results bit-identical either way. ``n_lists``
+    is an optional gate hint (the index geometry, when the caller
+    knows it)."""
     # self-norms per SIDE, not per pair: the pair join below scores
     # |left|·replication·(nprobe/n_lists)·|right| candidates and the
     # interpreted-HOF self-dots were ~2/3 of that stage's cost
@@ -1023,7 +1122,25 @@ def cosine_knn_join_ivf_probe(
     # per (query, centroid) fan-out row (r11; the join boundary keeps
     # CollapseProject from inlining it upward).
     if dim is None:
-        dim = _probe_dim(left, vec_col)
+        # r13 (VERDICT r12 #7): the engagement decision is derived from
+        # plan-time inputs, not a fixture-tuned constant. The width
+        # probe (one memoized LIMIT-1 job) runs first — the gate's row
+        # estimates need the width to turn plan bytes into rows.
+        w = _probe_dim(left, vec_col)
+        dim = (
+            w
+            if w is not None
+            and _unroll_pair_gate(
+                left,
+                postings,
+                nprobe,
+                w,
+                n_lists,
+                gate_corpus,
+                gate_replication,
+            )
+            else None
+        )
     # r13 (VERDICT r12 #2): the unroll engages ONLY in the
     # candidate-pair stage below — the corpus×corpus volume where it
     # wins (the r12 rule) — while the routing cosine and the per-side

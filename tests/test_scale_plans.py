@@ -844,3 +844,19 @@ def test_knn_join_recall_floor(spark, sf_dir):
         ).collect()
     }
     assert len(got & truth) / len(truth) >= 0.85
+
+
+def test_training_pipeline_join_variant_single_keeper_window(docs):
+    """r13: the contaminated-id branch derives its grams from the
+    quality-gated PRE-keeper frame, so the keeper's full-text window
+    subtree appears exactly ONCE in the join-variant plan (it used to
+    be planned twice — Catalyst reuses no exchange between the
+    anti-join's two sides). The shard window is the only other
+    hash-by-derived-key exchange."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.text_analysis import (
+        training_data_pipeline,
+    )
+
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    plan = plan_of(training_data_pipeline(docs, bench))
+    assert len(re.findall(r"Exchange hashpartitioning\(text", plan)) == 1

